@@ -1,0 +1,163 @@
+"""Mesh / point-cloud data structures as JAX pytrees.
+
+The reference keeps stateful torch classes with lazily-cached derived
+attributes (/root/reference/TextureTools/texturetools/mesh/structure.py:481-517
+and mesh/structure_v2.py:28-135).  Here meshes are frozen pytree dataclasses:
+derived quantities (normals, areas) are pure functions, so everything
+composes with jit/vmap/shard_map, and the same structs flow through both the
+host preprocessing path (numpy arrays) and the device path (jax arrays).
+
+Geometry convention ("storage frame"): meshes are stored in the frame the
+rasterizer consumes directly — the front box camera has identity rotation and
+sits at +z (see camera/generator.py).  UV convention: u right, v up in
+[0, 1]; ``faces_uv`` indexes a separate ``uv`` vertex table (an attribute
+seam-split layout like OBJ's, mesh/structure_v2.py:28-46).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _field(**kw):
+    return dataclasses.field(**kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Mesh:
+    """Triangle mesh.  vertices [V, 3] float32, faces [F, 3] int32;
+    optional uv table [T, 2] + faces_uv [F, 3] and per-vertex colors."""
+
+    vertices: jnp.ndarray
+    faces: jnp.ndarray
+    uv: Optional[jnp.ndarray] = None
+    faces_uv: Optional[jnp.ndarray] = None
+    vertex_colors: Optional[jnp.ndarray] = None
+
+    @property
+    def n_vertices(self) -> int:
+        return self.vertices.shape[0]
+
+    @property
+    def n_faces(self) -> int:
+        return self.faces.shape[0]
+
+    def with_vertices(self, vertices) -> "Mesh":
+        return dataclasses.replace(self, vertices=vertices)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PBRMesh:
+    """Mesh with PBR texture maps (albedo/metallic/roughness/bump), each in
+    [H, W, C] map form, [V, C] vertex form, or [C] constant form — mirroring
+    the accepted layouts of the reference (mesh/structure_v2.py:12-27)."""
+
+    vertices: jnp.ndarray
+    faces: jnp.ndarray
+    uv: Optional[jnp.ndarray] = None
+    faces_uv: Optional[jnp.ndarray] = None
+    albedo: Optional[jnp.ndarray] = None
+    metallic: Optional[jnp.ndarray] = None
+    roughness: Optional[jnp.ndarray] = None
+    bump: Optional[jnp.ndarray] = None
+
+    @property
+    def mesh(self) -> Mesh:
+        return Mesh(self.vertices, self.faces, self.uv, self.faces_uv)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PointCloud:
+    """Fixed-size point set with a validity mask instead of ragged shapes.
+
+    The reference uses variable-length masked_select point clouds
+    (pcd/structure.py:9-110); on TPU we keep static shapes and carry
+    ``valid`` [N] bool — consumers mask with ``where``/segment ops."""
+
+    points: jnp.ndarray
+    normals: Optional[jnp.ndarray] = None
+    colors: Optional[jnp.ndarray] = None
+    valid: Optional[jnp.ndarray] = None
+
+    @property
+    def n_points(self) -> int:
+        return self.points.shape[0]
+
+    def mask(self) -> jnp.ndarray:
+        if self.valid is None:
+            return jnp.ones(self.points.shape[0], dtype=bool)
+        return self.valid
+
+
+def gather_face_vertices(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """[V, C], [F, 3] -> [F, 3, C]."""
+    return vertices[faces]
+
+
+def compute_face_normals(
+    vertices: jnp.ndarray, faces: jnp.ndarray, normalize: bool = True
+) -> jnp.ndarray:
+    """Per-face normals [F, 3]; unnormalized value is 2x the face area vector."""
+    tri = vertices[faces]
+    n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    if normalize:
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    return n
+
+
+def compute_face_areas(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Triangle areas [F]."""
+    tri = vertices[faces]
+    n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    return 0.5 * jnp.linalg.norm(n, axis=-1)
+
+
+def compute_vertex_normals(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Area-weighted vertex normals [V, 3] (mesh/structure_v2.py:64-71) via
+    segment-sum scatter — static shapes, TPU-friendly."""
+    fn = compute_face_normals(vertices, faces, normalize=False)  # area-weighted
+    V = vertices.shape[0]
+    contrib = jnp.repeat(fn, 3, axis=0)
+    idx = faces.reshape(-1)
+    vn = jax.ops.segment_sum(contrib, idx, num_segments=V)
+    return vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-20)
+
+
+def scale_to_bbox(
+    vertices: jnp.ndarray, scale: float = 0.95, uniform: bool = True
+) -> jnp.ndarray:
+    """Center and scale vertices so the bounding box fits in [-scale, scale]^3
+    (reference ``scale_to_bbox``, mesh/structure_v2.py:79-103)."""
+    vmin = vertices.min(axis=0)
+    vmax = vertices.max(axis=0)
+    center = (vmin + vmax) * 0.5
+    extent = (vmax - vmin) * 0.5
+    if uniform:
+        extent = jnp.max(extent)
+    return (vertices - center) / jnp.maximum(extent, 1e-12) * scale
+
+
+def mesh_edges(faces: jnp.ndarray) -> jnp.ndarray:
+    """All directed edges [3F, 2]."""
+    return jnp.concatenate(
+        [faces[:, (0, 1)], faces[:, (1, 2)], faces[:, (2, 0)]], axis=0
+    )
+
+
+def interpolate_attributes(
+    attr: jnp.ndarray, faces: jnp.ndarray, face_idx: jnp.ndarray, bary: jnp.ndarray
+) -> jnp.ndarray:
+    """Barycentric interpolation of per-vertex attributes.
+
+    attr [V, C], faces [F, 3], face_idx [...], bary [..., 3] -> [..., C].
+    Out-of-range face ids (e.g. -1 for background) read garbage — mask at the
+    call site."""
+    tri_attr = attr[faces[face_idx]]
+    return jnp.einsum("...kc,...k->...c", tri_attr, bary)
