@@ -1,0 +1,123 @@
+"""Procedural test meshes (host-side numpy): cube, icosphere, uv-sphere, torus.
+
+The reference tests against a bundled bunny.obj fixture
+(raytracing/rt_aprmis/test.py); we use procedural meshes so fixtures need no
+binary blobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .io.mesh_io import HostMesh
+
+
+def make_cube(size: float = 1.0) -> HostMesh:
+    """Axis-aligned cube with 12 triangles and per-face UVs in a 3x2 layout."""
+    s = size / 2.0
+    corners = np.asarray(
+        [
+            [-s, -s, -s], [s, -s, -s], [s, s, -s], [-s, s, -s],
+            [-s, -s, s], [s, -s, s], [s, s, s], [-s, s, s],
+        ],
+        dtype=np.float32,
+    )
+    quads = [
+        (4, 5, 6, 7),  # +z
+        (1, 0, 3, 2),  # -z
+        (5, 1, 2, 6),  # +x
+        (0, 4, 7, 3),  # -x
+        (7, 6, 2, 3),  # +y
+        (0, 1, 5, 4),  # -y
+    ]
+    faces = []
+    uvs = []
+    faces_uv = []
+    for qi, q in enumerate(quads):
+        col, row = qi % 3, qi // 3
+        u0, v0 = col / 3.0, row / 2.0
+        base = len(uvs)
+        uvs.extend(
+            [
+                [u0 + 0.01, v0 + 0.01],
+                [u0 + 1 / 3 - 0.01, v0 + 0.01],
+                [u0 + 1 / 3 - 0.01, v0 + 0.5 - 0.01],
+                [u0 + 0.01, v0 + 0.5 - 0.01],
+            ]
+        )
+        faces.append([q[0], q[1], q[2]])
+        faces.append([q[0], q[2], q[3]])
+        faces_uv.append([base, base + 1, base + 2])
+        faces_uv.append([base, base + 2, base + 3])
+    return HostMesh(
+        corners,
+        np.asarray(faces, dtype=np.int32),
+        uv=np.asarray(uvs, dtype=np.float32),
+        faces_uv=np.asarray(faces_uv, dtype=np.int32),
+    )
+
+
+def make_icosphere(subdivisions: int = 2, radius: float = 1.0) -> HostMesh:
+    """Icosahedron subdivided ``subdivisions`` times, projected to a sphere."""
+    t = (1.0 + 5.0**0.5) / 2.0
+    verts = np.asarray(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        dtype=np.float64,
+    )
+    faces = np.asarray(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        dtype=np.int64,
+    )
+    for _ in range(subdivisions):
+        edge_mid = {}
+        verts_list = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                verts_list.append((verts_list[a] + verts_list[b]) / 2.0)
+                edge_mid[key] = len(verts_list) - 1
+            return edge_mid[key]
+
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(verts_list)
+        faces = np.asarray(new_faces, dtype=np.int64)
+    verts = verts / np.linalg.norm(verts, axis=-1, keepdims=True) * radius
+    return HostMesh(verts.astype(np.float32), faces.astype(np.int32))
+
+
+def make_torus(
+    major_radius: float = 0.7,
+    minor_radius: float = 0.3,
+    n_major: int = 32,
+    n_minor: int = 16,
+) -> HostMesh:
+    """Torus with a natural cylindrical UV parameterization."""
+    u = np.arange(n_major) / n_major * 2 * np.pi
+    v = np.arange(n_minor) / n_minor * 2 * np.pi
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    x = (major_radius + minor_radius * np.cos(vv)) * np.cos(uu)
+    y = (major_radius + minor_radius * np.cos(vv)) * np.sin(uu)
+    z = minor_radius * np.sin(vv)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    faces = []
+    for i in range(n_major):
+        for j in range(n_minor):
+            a = i * n_minor + j
+            b = ((i + 1) % n_major) * n_minor + j
+            c = ((i + 1) % n_major) * n_minor + (j + 1) % n_minor
+            d = i * n_minor + (j + 1) % n_minor
+            faces += [[a, b, c], [a, c, d]]
+    return HostMesh(verts, np.asarray(faces, dtype=np.int32))
