@@ -1,0 +1,79 @@
+"""K-nearest-neighbour search as tiled matmul + top-k.
+
+The reference dispatches to GPU KD-trees (torch_kdtree / CuPy
+pcd/knn/__init__.py:13-114, knn_cupy.py) for k<=8 queries over millions of
+UV texels.  Pointer-chasing KD-trees are hostile to the TPU's vector units;
+at the pipeline's scales (<= 4M queries x <= 256k references) a tiled
+brute-force search rides the MXU instead: the distance matrix is a single
+matmul via ||q - r||^2 = ||q||^2 + ||r||^2 - 2 q.r, reduced with
+``lax.top_k`` per query chunk, never materializing more than
+[chunk, n_ref] — the same chunking idea as the reference's
+``batch_size=1024*1024`` loop (renderer_inverse.py:383).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def knn(
+    queries: jnp.ndarray,
+    references: jnp.ndarray,
+    k: int = 1,
+    chunk: int = 65536,
+    ref_valid: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """queries [Q, D], references [R, D] -> (dists [Q, k], idx [Q, k]).
+
+    Distances are Euclidean (not squared), ascending.  ``ref_valid`` [R]
+    masks out padded reference points (they sort to +inf).
+    """
+    Q, D = queries.shape
+    R = references.shape[0]
+    k = min(k, R)
+    ref_sq = jnp.sum(references * references, axis=-1)          # [R]
+    if ref_valid is not None:
+        ref_penalty = jnp.where(ref_valid, 0.0, jnp.inf)
+    else:
+        ref_penalty = jnp.zeros((R,), queries.dtype)
+
+    n_chunks = (Q + chunk - 1) // chunk
+    Qp = n_chunks * chunk
+    q_pad = jnp.pad(queries, ((0, Qp - Q), (0, 0)))
+
+    def body(_, q):
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)           # [c, 1]
+        d2 = q_sq + ref_sq[None, :] - 2.0 * jnp.dot(
+            q, references.T, preferred_element_type=jnp.float32
+        )
+        d2 = jnp.maximum(d2, 0.0) + ref_penalty[None, :]
+        neg_d, idx = jax.lax.top_k(-d2, k)
+        return None, (jnp.sqrt(jnp.maximum(-neg_d, 0.0)), idx)
+
+    _, (dists, idx) = jax.lax.scan(
+        body, None, q_pad.reshape(n_chunks, chunk, D)
+    )
+    return dists.reshape(Qp, k)[:Q], idx.reshape(Qp, k)[:Q].astype(jnp.int32)
+
+
+def knn_gather_blend(
+    queries: jnp.ndarray,
+    references: jnp.ndarray,
+    values: jnp.ndarray,
+    k: int = 4,
+    chunk: int = 65536,
+    ref_valid: jnp.ndarray | None = None,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Inverse-distance-weighted KNN interpolation of ``values`` [R, C] at
+    ``queries`` — the fill operation used for invisible texels
+    (renderer_inverse.py:383-433)."""
+    dists, idx = knn(queries, references, k=k, chunk=chunk, ref_valid=ref_valid)
+    w = 1.0 / (dists + eps)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return jnp.einsum("qk,qkc->qc", w, values[idx])

@@ -1,0 +1,250 @@
+"""Triangle rasterization as vectorized XLA ops.
+
+The TPU-native replacement for nvdiffrast's CUDA/OpenGL rasterizer
+(used throughout the reference, e.g. renderer_base.py:142,
+renderer_inverse.py:183/273).  Instead of a hardware scan-line pipeline we
+evaluate edge functions for (pixel-tile x face-chunk) blocks inside a
+``lax.scan`` with a running z-buffer — everything is static-shape, fuses on
+the VPU, and the face-chunk loop bounds peak memory.  A tile-binned Pallas
+kernel can drop in behind the same API for large meshes; this XLA version is
+the reference implementation and is already fast enough for the pipeline's
+6x512^2 conditioning renders.
+
+Output convention (mirrors ``dr.rasterize``'s (u, v, z, tri_id) buffer):
+``Rast.bary`` holds perspective-corrected barycentric weights (b1, b2) of
+vertices 1 and 2 (vertex 0 weight = 1 - b1 - b2), ``Rast.z`` the NDC depth
+(+1 far, screen-space interpolated), ``Rast.tri`` the face id with -1 for
+background.  Triangles are rasterized double-sided, matching the renderer's
+use for visibility of arbitrary meshes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Rast:
+    """Rasterization result for one view: bary [H, W, 2] f32, z [H, W] f32,
+    tri [H, W] i32 (-1 = background)."""
+
+    bary: jnp.ndarray
+    z: jnp.ndarray
+    tri: jnp.ndarray
+
+    @property
+    def mask(self) -> jnp.ndarray:
+        return self.tri >= 0
+
+    @property
+    def bary3(self) -> jnp.ndarray:
+        b1 = self.bary[..., 0]
+        b2 = self.bary[..., 1]
+        return jnp.stack([1.0 - b1 - b2, b1, b2], axis=-1)
+
+
+def _triangle_setup(verts_clip: jnp.ndarray, faces: jnp.ndarray, H: int, W: int):
+    """Per-triangle screen-space setup.
+
+    Returns pixel-space corners [F, 3, 2], ndc z [F, 3], clip w [F, 3], and
+    a validity mask (w>eps for all corners — cheap near-plane rejection; the
+    pipeline's cameras keep geometry well inside the frustum)."""
+    tri = verts_clip[faces]                     # [F, 3, 4]
+    w = tri[..., 3]
+    valid = jnp.all(w > 1e-6, axis=-1)
+    w_safe = jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
+    ndc = tri[..., :3] / w_safe[..., None]
+    pix = jnp.stack(
+        [
+            (ndc[..., 0] * 0.5 + 0.5) * W,
+            (ndc[..., 1] * 0.5 + 0.5) * H,
+        ],
+        axis=-1,
+    )
+    return pix, ndc[..., 2], w, valid
+
+
+def _rasterize_tile(
+    pix: jnp.ndarray,
+    z_ndc: jnp.ndarray,
+    w_clip: jnp.ndarray,
+    tri_valid: jnp.ndarray,
+    x0: int,
+    y0: int,
+    th: int,
+    tw: int,
+    face_chunk: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Rasterize all triangles into one [th, tw] pixel tile."""
+    F = pix.shape[0]
+    n_chunks = (F + face_chunk - 1) // face_chunk
+    Fp = n_chunks * face_chunk
+    pad = Fp - F
+
+    def pad0(a):
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+    pix_p = pad0(pix).reshape(n_chunks, face_chunk, 3, 2)
+    z_p = pad0(z_ndc).reshape(n_chunks, face_chunk, 3)
+    w_p = pad0(w_clip).reshape(n_chunks, face_chunk, 3)
+    valid_p = jnp.pad(tri_valid, (0, pad)).reshape(n_chunks, face_chunk)
+
+    ys = y0 + jnp.arange(th, dtype=jnp.float32) + 0.5
+    xs = x0 + jnp.arange(tw, dtype=jnp.float32) + 0.5
+    px = jnp.broadcast_to(xs[None, :], (th, tw)).reshape(-1)  # [P]
+    py = jnp.broadcast_to(ys[:, None], (th, tw)).reshape(-1)
+    P = th * tw
+
+    big = jnp.float32(jnp.inf)
+
+    def body(carry, chunk):
+        zbuf, tribuf, b1buf, b2buf = carry
+        cpix, cz, cw, cvalid, cbase = chunk
+        ax, ay = cpix[:, 0, 0], cpix[:, 0, 1]
+        bx, by = cpix[:, 1, 0], cpix[:, 1, 1]
+        cx, cy = cpix[:, 2, 0], cpix[:, 2, 1]
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)      # [C]
+        inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+        # edge functions at pixel centers: e0 opposite v0, etc.
+        # E(p) = (x2-x1)(py-y1) - (y2-y1)(px-x1) for edge v1->v2
+        def edge(x1, y1, x2, y2):
+            return (x2 - x1)[None, :] * (py[:, None] - y1[None, :]) - (
+                (y2 - y1)[None, :] * (px[:, None] - x1[None, :])
+            )
+
+        e0 = edge(bx, by, cx, cy)    # weight of v0
+        e1 = edge(cx, cy, ax, ay)    # weight of v1
+        e2 = edge(ax, ay, bx, by)    # weight of v2
+        s = jnp.sign(area)[None, :]
+        inside = (e0 * s >= 0) & (e1 * s >= 0) & (e2 * s >= 0)
+        inside &= (jnp.abs(area) > 1e-12)[None, :] & cvalid[None, :]
+
+        b0 = e0 * inv_area[None, :]
+        b1 = e1 * inv_area[None, :]
+        b2 = e2 * inv_area[None, :]
+        # screen-space interpolation of ndc z (correct for depth buffers)
+        z = b0 * cz[None, :, 0] + b1 * cz[None, :, 1] + b2 * cz[None, :, 2]
+        inside &= (z >= -1.0) & (z <= 1.0)
+        z_masked = jnp.where(inside, z, big)
+        best = jnp.argmin(z_masked, axis=1)                       # [P]
+        pidx = jnp.arange(P)
+        zb = z_masked[pidx, best]
+        better = zb < zbuf
+        # perspective-correct barycentrics for the winning triangle
+        wb = cw[best]                                              # [P, 3]
+        bb = jnp.stack([b0[pidx, best], b1[pidx, best], b2[pidx, best]], axis=-1)
+        pc = bb / wb
+        pc = pc / jnp.sum(pc, axis=-1, keepdims=True)
+        new_zbuf = jnp.where(better, zb, zbuf)
+        new_tri = jnp.where(better, cbase + best, tribuf)
+        new_b1 = jnp.where(better, pc[:, 1], b1buf)
+        new_b2 = jnp.where(better, pc[:, 2], b2buf)
+        return (new_zbuf, new_tri, new_b1, new_b2), None
+
+    init = (
+        jnp.full((P,), big),
+        jnp.full((P,), -1, dtype=jnp.int32),
+        jnp.zeros((P,)),
+        jnp.zeros((P,)),
+    )
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * face_chunk
+    (zbuf, tribuf, b1buf, b2buf), _ = jax.lax.scan(
+        body, init, (pix_p, z_p, w_p, valid_p, bases)
+    )
+    return (
+        jnp.stack([b1buf, b2buf], axis=-1).reshape(th, tw, 2).astype(jnp.float32),
+        jnp.where(jnp.isinf(zbuf), 1.0, zbuf).reshape(th, tw).astype(jnp.float32),
+        tribuf.reshape(th, tw),
+    )
+
+
+@partial(jax.jit, static_argnames=("resolution", "face_chunk", "pixel_tile"))
+def rasterize(
+    verts_clip: jnp.ndarray,
+    faces: jnp.ndarray,
+    resolution: Tuple[int, int],
+    face_chunk: int = 512,
+    pixel_tile: int = 0,
+) -> Rast:
+    """Rasterize clip-space triangles into a z-buffered id/barycentric buffer.
+
+    verts_clip [V, 4] (after MVP), faces [F, 3] int32, resolution (H, W).
+    ``pixel_tile`` > 0 processes the image in square tiles of that size to
+    bound memory (needed at 2048^2); 0 = whole image at once.
+    """
+    H, W = resolution
+    pix, z_ndc, w_clip, valid = _triangle_setup(verts_clip, faces, H, W)
+    if pixel_tile <= 0 or (pixel_tile >= H and pixel_tile >= W):
+        bary, z, tri = _rasterize_tile(
+            pix, z_ndc, w_clip, valid, 0, 0, H, W, face_chunk
+        )
+        return Rast(bary, z, tri)
+    assert H % pixel_tile == 0 and W % pixel_tile == 0, (
+        "resolution must be divisible by pixel_tile"
+    )
+    ty = H // pixel_tile
+    tx = W // pixel_tile
+
+    def do_tile(carry, idx):
+        iy, ix = idx // tx, idx % tx
+        bary, z, tri = _rasterize_tile(
+            pix, z_ndc, w_clip, valid,
+            ix * pixel_tile, iy * pixel_tile, pixel_tile, pixel_tile, face_chunk,
+        )
+        return carry, (bary, z, tri)
+
+    # sequential over tiles keeps peak memory at one tile's working set;
+    # XLA pipelines the scan body internally
+    _, (barys, zs, tris) = jax.lax.scan(
+        do_tile, None, jnp.arange(ty * tx, dtype=jnp.int32)
+    )
+    # reassemble [ty*tx, t, t, ...] -> [H, W, ...]
+    def untile(a, ch=None):
+        a = a.reshape(ty, tx, pixel_tile, pixel_tile, *a.shape[3:])
+        a = jnp.moveaxis(a, 2, 1)
+        return a.reshape(H, W, *a.shape[4:])
+
+    return Rast(untile(barys), untile(zs), untile(tris))
+
+
+def rasterize_uv(
+    uv: jnp.ndarray,
+    faces_uv: jnp.ndarray,
+    resolution: int,
+    face_chunk: int = 512,
+    pixel_tile: int = 512,
+) -> Rast:
+    """Rasterize the UV atlas into texture space (renderer_inverse.py uv_to_pcd
+    first step).  UVs are [T, 2] in [0,1], v-up; image row 0 = v=1 (top)."""
+    # map u in [0,1] -> ndc x in [-1,1]; v=1 -> ndc y = -1 (top row)
+    ndc = jnp.stack([uv[:, 0] * 2.0 - 1.0, 1.0 - uv[:, 1] * 2.0], axis=-1)
+    clip = jnp.concatenate(
+        [ndc, jnp.zeros_like(ndc[:, :1]), jnp.ones_like(ndc[:, :1])], axis=-1
+    )
+    if resolution <= pixel_tile:
+        pixel_tile = 0
+    return rasterize(
+        clip, faces_uv, (resolution, resolution),
+        face_chunk=face_chunk, pixel_tile=pixel_tile,
+    )
+
+
+def interpolate(
+    attr: jnp.ndarray,
+    rast: Rast,
+    faces: jnp.ndarray,
+    fill: float = 0.0,
+) -> jnp.ndarray:
+    """Interpolate per-vertex attributes over a rast buffer
+    (``dr.interpolate`` equivalent): attr [V, C], faces [F, 3] -> [H, W, C];
+    background pixels get ``fill``."""
+    tri = jnp.maximum(rast.tri, 0)
+    corners = attr[faces[tri]]                    # [H, W, 3, C]
+    out = jnp.einsum("...kc,...k->...c", corners, rast.bary3)
+    return jnp.where(rast.mask[..., None], out, fill)
