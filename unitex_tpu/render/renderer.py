@@ -1,0 +1,192 @@
+"""Forward multi-view renderer (the ``simple_rendering`` capability of
+/root/reference/TextureTools/texturetools/render/nvdiffrast/renderer_base.py:101-350)
+as a single jit-able function over pytrees.
+
+Everything is batched over views with vmap; the rasterizer is the XLA
+tile/chunk kernel from ops/rasterize.  Output conventions match the
+reference: normals/positions lerped to -1 background, alpha in [0, 1],
+no antialiasing on the conditioning path (export_nvdiffrast_video.py:963).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..camera.conversion import c2w_to_w2c, get_mvp
+from ..geometry.mesh import Mesh, compute_vertex_normals
+from ..ops.grid_sample import grid_sample
+from ..ops.rasterize import Rast, interpolate, rasterize
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderOutputs:
+    """Per-view buffers [M, H, W, C]; fields are None unless requested."""
+
+    mask: jnp.ndarray
+    alpha: jnp.ndarray
+    tri: jnp.ndarray
+    world_normal: Optional[jnp.ndarray] = None
+    camera_normal: Optional[jnp.ndarray] = None
+    world_position: Optional[jnp.ndarray] = None
+    z_depth: Optional[jnp.ndarray] = None
+    camera_position: Optional[jnp.ndarray] = None
+    distance: Optional[jnp.ndarray] = None
+    ray_direction: Optional[jnp.ndarray] = None
+    cos_ray_normal: Optional[jnp.ndarray] = None
+    v_attr: Optional[jnp.ndarray] = None
+    uv: Optional[jnp.ndarray] = None
+    map_attr: Optional[jnp.ndarray] = None
+    bary: Optional[jnp.ndarray] = None
+
+
+def _lerp_bg(value, alpha, bg):
+    return value * alpha + bg * (1.0 - alpha)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "render_size",
+        "perspective",
+        "render_world_normal",
+        "render_camera_normal",
+        "render_world_position",
+        "render_z_depth",
+        "render_camera_position",
+        "render_distance",
+        "render_ray_direction",
+        "render_cos_ray_normal",
+        "render_v_attr",
+        "render_uv",
+        "render_map_attr",
+        "face_chunk",
+        "pixel_tile",
+    ),
+)
+def render_views(
+    mesh: Mesh,
+    c2ws: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    render_size: Tuple[int, int],
+    perspective: bool = False,
+    v_attr: Optional[jnp.ndarray] = None,
+    map_attr: Optional[jnp.ndarray] = None,
+    render_world_normal: bool = False,
+    render_camera_normal: bool = False,
+    render_world_position: bool = False,
+    render_z_depth: bool = False,
+    render_camera_position: bool = False,
+    render_distance: bool = False,
+    render_ray_direction: bool = False,
+    render_cos_ray_normal: bool = False,
+    render_v_attr: bool = False,
+    render_uv: bool = False,
+    render_map_attr: bool = False,
+    face_chunk: int = 512,
+    pixel_tile: int = 0,
+) -> RenderOutputs:
+    """Render a mesh from M cameras.
+
+    mesh: Mesh pytree; c2ws [M, 4, 4]; intrinsics [3, 3] or [M, 3, 3]
+    (normalized).  render_size (H, W).
+    """
+    H, W = render_size
+    M = c2ws.shape[0]
+    if intrinsics.ndim == 2:
+        intrinsics = jnp.broadcast_to(intrinsics, (M, 3, 3))
+    mvp = get_mvp(c2ws, intrinsics, perspective=perspective)       # [M, 4, 4]
+    w2cs = c2w_to_w2c(c2ws)
+
+    v = mesh.vertices
+    vh = jnp.concatenate([v, jnp.ones_like(v[:, :1])], axis=-1)
+    faces = mesh.faces.astype(jnp.int32)
+    v_nrm = None
+    if render_world_normal or render_camera_normal or render_cos_ray_normal:
+        v_nrm = compute_vertex_normals(v, faces)
+
+    def one_view(mvp_i, w2c_i, c2w_i):
+        clip = vh @ mvp_i.T
+        rast = rasterize(clip, faces, (H, W), face_chunk=face_chunk, pixel_tile=pixel_tile)
+        mask = rast.mask[..., None]
+        alpha = mask.astype(jnp.float32)
+        out = {"mask": mask, "alpha": alpha, "tri": rast.tri, "bary": rast.bary}
+
+        def interp(attr, fill=0.0):
+            return interpolate(attr, rast, faces, fill=fill)
+
+        if render_world_normal:
+            wn = interp(v_nrm)
+            wn = wn / jnp.maximum(jnp.linalg.norm(wn, axis=-1, keepdims=True), 1e-12)
+            out["world_normal"] = _lerp_bg(wn, alpha, -1.0)
+        if render_camera_normal or render_cos_ray_normal:
+            vn_cam = v_nrm @ c2w_i[:3, :3]
+            vn_cam = vn_cam / jnp.maximum(
+                jnp.linalg.norm(vn_cam, axis=-1, keepdims=True), 1e-12
+            )
+            cn = interp(vn_cam)
+            cn = cn / jnp.maximum(jnp.linalg.norm(cn, axis=-1, keepdims=True), 1e-12)
+            if render_camera_normal:
+                out["camera_normal"] = _lerp_bg(cn, alpha, -1.0)
+        if render_world_position:
+            out["world_position"] = _lerp_bg(interp(v), alpha, -1.0)
+        if render_z_depth:
+            zd = interp(clip[:, 3:4] if perspective else clip[:, 2:3])
+            out["z_depth"] = zd * alpha
+        if (
+            render_camera_position
+            or render_distance
+            or render_ray_direction
+            or render_cos_ray_normal
+        ):
+            v_cam = (vh @ w2c_i.T)[:, :3]
+            cp = interp(v_cam)
+            if render_camera_position:
+                out["camera_position"] = cp * alpha
+            if render_distance:
+                out["distance"] = jnp.linalg.norm(cp, axis=-1, keepdims=True) * alpha
+            rd = cp / jnp.maximum(jnp.linalg.norm(cp, axis=-1, keepdims=True), 1e-12)
+            if render_ray_direction:
+                out["ray_direction"] = _lerp_bg(rd, alpha, -1.0)
+            if render_cos_ray_normal:
+                crn = jnp.sum(cn * rd, axis=-1, keepdims=True)
+                out["cos_ray_normal"] = _lerp_bg(crn, alpha, -1.0)
+        if render_v_attr and v_attr is not None:
+            out["v_attr"] = interp(v_attr) * alpha
+        if (render_uv or render_map_attr) and mesh.uv is not None:
+            uv_ndc = mesh.uv * 2.0 - 1.0
+            tri_safe = jnp.maximum(rast.tri, 0)
+            corners = uv_ndc[mesh.faces_uv.astype(jnp.int32)[tri_safe]]
+            gb_uv = jnp.einsum("...kc,...k->...c", corners, rast.bary3)
+            gb_uv = jnp.where(mask, gb_uv, -1.0)
+            if render_uv:
+                out["uv"] = gb_uv
+            if render_map_attr and map_attr is not None:
+                # uv is v-up; image row 0 = v=1: flip y for grid_sample
+                g = jnp.stack([gb_uv[..., 0], -gb_uv[..., 1]], axis=-1)
+                out["map_attr"] = grid_sample(map_attr, g, padding_mode="border") * alpha
+        return out
+
+    outs = jax.vmap(one_view)(mvp, w2cs, c2ws)
+    return RenderOutputs(
+        mask=outs["mask"],
+        alpha=outs["alpha"],
+        tri=outs["tri"],
+        bary=outs.get("bary"),
+        world_normal=outs.get("world_normal"),
+        camera_normal=outs.get("camera_normal"),
+        world_position=outs.get("world_position"),
+        z_depth=outs.get("z_depth"),
+        camera_position=outs.get("camera_position"),
+        distance=outs.get("distance"),
+        ray_direction=outs.get("ray_direction"),
+        cos_ray_normal=outs.get("cos_ray_normal"),
+        v_attr=outs.get("v_attr"),
+        uv=outs.get("uv"),
+        map_attr=outs.get("map_attr"),
+    )
