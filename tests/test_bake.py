@@ -1,0 +1,173 @@
+"""Stage-2 bake tests, including the texture round-trip oracle the reference
+uses as its de-facto correctness check (renderer_inverse.py test_gt:732-827):
+texture -> render 6 views -> re-bake -> the baked texture must reproduce the
+original on visible texels, and re-rendered views must match."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitex_tpu.geometry.mesh import Mesh
+from unitex_tpu.geometry.primitives import make_icosphere, make_torus
+from unitex_tpu.geometry.uv_atlas import unwrap_atlas
+from unitex_tpu.ops.image_ops import (
+    boundary_mask,
+    dilate_mask,
+    erode_mask,
+    gaussian_blur,
+    pull_push,
+    ring_close_mask,
+)
+from unitex_tpu.render.conditioning import condition_cameras
+from unitex_tpu.render.renderer import render_views
+from unitex_tpu.render.renderer_inverse import (
+    bake_texture,
+    mv_render,
+    uv_render,
+    view_visibility,
+)
+
+UV = 128
+VIEW = 64
+
+
+@pytest.fixture(scope="module")
+def sphere_mesh():
+    m = make_icosphere(3)
+    m = unwrap_atlas(m, size=UV, gutter=2)
+    return Mesh(
+        jnp.asarray(m.vertices * 0.85),
+        jnp.asarray(m.faces),
+        uv=jnp.asarray(m.uv),
+        faces_uv=jnp.asarray(m.faces_uv),
+    )
+
+
+def _procedural_texture(mesh):
+    """Bake a smooth function of 3D position into the UV atlas."""
+    uv_out = uv_render(mesh, UV, pixel_tile=0)
+    pos = uv_out["position"]
+    tex = 0.5 + 0.5 * pos / 0.85  # rgb = normalized position
+    return jnp.where(uv_out["mask"], tex, 0.0), uv_out
+
+
+class TestImageOps:
+    def test_pull_push_fills_holes(self):
+        rng = np.random.default_rng(0)
+        color = jnp.asarray(rng.uniform(0.4, 0.6, (32, 32, 3)).astype(np.float32))
+        mask = np.ones((32, 32, 1), bool)
+        mask[10:20, 10:20] = False
+        out = pull_push(color * mask, jnp.asarray(mask))
+        # valid texels unchanged
+        np.testing.assert_allclose(
+            np.asarray(out)[~mask[..., 0] == False], np.asarray(color)[mask[..., 0]]
+        )
+        # holes filled with something near the surrounding mean
+        hole = np.asarray(out)[10:20, 10:20]
+        assert np.all(hole > 0.3) and np.all(hole < 0.7)
+
+    def test_ring_close(self):
+        mask = np.ones((16, 16, 1), bool)
+        mask[8, 8] = False  # pinhole
+        closed = ring_close_mask(jnp.asarray(mask), (3,))
+        assert bool(np.asarray(closed)[8, 8, 0])
+        # large holes stay open
+        mask[2:7, 2:7] = False
+        closed = ring_close_mask(jnp.asarray(mask), (3,))
+        assert not bool(np.asarray(closed)[4, 4, 0])
+
+    def test_boundary_and_morphology(self):
+        mask = np.zeros((16, 16, 1), bool)
+        mask[4:12, 4:12] = True
+        inner, outer = boundary_mask(jnp.asarray(mask), 3)
+        inner = np.asarray(inner)[..., 0]
+        outer = np.asarray(outer)[..., 0]
+        assert inner[4, 8] and not inner[8, 8]
+        assert outer[3, 8] and not outer[8, 8]
+        er = np.asarray(erode_mask(jnp.asarray(mask), 3))[..., 0]
+        di = np.asarray(dilate_mask(jnp.asarray(mask), 3))[..., 0]
+        assert er.sum() == 6 * 6 and di.sum() == 10 * 10
+
+    def test_gaussian_blur_preserves_mean(self):
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+        out = gaussian_blur(img, 5)
+        assert abs(float(out.mean()) - float(img.mean())) < 0.01
+
+
+class TestVisibility:
+    def test_sphere_every_texel_visible_somewhere(self, sphere_mesh):
+        c2ws, intr = condition_cameras()
+        mv = mv_render(sphere_mesh, c2ws, intr, (VIEW, VIEW))
+        uv = uv_render(sphere_mesh, UV, pixel_tile=0)
+        vis = view_visibility(uv, mv, c2ws, None)
+        mask = np.asarray(uv["mask"])[..., 0]
+        seen = np.asarray(vis["visible"].any(axis=0))[..., 0]
+        # a convex sphere: ~every atlas texel is visible from some box view
+        frac = seen[mask].mean()
+        assert frac > 0.95, frac
+
+    def test_front_view_sees_only_front(self, sphere_mesh):
+        c2ws, intr = condition_cameras()
+        mv = mv_render(sphere_mesh, c2ws, intr, (VIEW, VIEW))
+        uv = uv_render(sphere_mesh, UV, pixel_tile=0)
+        vis = view_visibility(uv, mv, c2ws, None)
+        v0 = np.asarray(vis["visible"][0])[..., 0]  # front view (+z storage)
+        pos = np.asarray(uv["position"])
+        mask = np.asarray(uv["mask"])[..., 0]
+        z = pos[..., 2]
+        # visible-from-front texels are overwhelmingly on the +z hemisphere
+        assert z[v0 & mask].mean() > 0.3
+        # back hemisphere texels (z < -0.3) are not front-visible
+        back = mask & (z < -0.3)
+        assert v0[back].mean() < 0.05
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("method", ["reproject", "kdtree"])
+    def test_texture_roundtrip(self, sphere_mesh, method):
+        tex, uv_out = _procedural_texture(sphere_mesh)
+        c2ws, intr = condition_cameras()
+        out = render_views(
+            sphere_mesh, c2ws, intr, (VIEW, VIEW),
+            map_attr=tex, render_uv=True, render_map_attr=True,
+        )
+        views = out.map_attr  # [6, VIEW, VIEW, 3]
+        baked = bake_texture(
+            sphere_mesh, views, c2ws, intr,
+            uv_size=UV, method=method,
+            knn_max_ref=8192, knn_chunk=2048, uv_pixel_tile=0,
+        )
+        mask = np.asarray(uv_out["mask"])[..., 0]
+        vis_any = np.asarray(baked["mask_visible_any"])[..., 0]
+        orig = np.asarray(tex)
+        rec = np.asarray(baked["texture"])
+        ok = mask & vis_any
+        # ignore seam-boundary blur texels by eroding the comparison region
+        err = np.abs(rec - orig)[ok]
+        mse = float((err**2).mean())
+        psnr = -10 * np.log10(max(mse, 1e-10))
+        assert psnr > 20, f"{method}: roundtrip PSNR {psnr:.1f} dB"
+
+    def test_rerender_matches(self, sphere_mesh):
+        tex, _ = _procedural_texture(sphere_mesh)
+        c2ws, intr = condition_cameras()
+        out = render_views(
+            sphere_mesh, c2ws, intr, (VIEW, VIEW),
+            map_attr=tex, render_uv=True, render_map_attr=True,
+        )
+        baked = bake_texture(
+            sphere_mesh, out.map_attr, c2ws, intr,
+            uv_size=UV, method="reproject",
+            knn_max_ref=8192, knn_chunk=2048, uv_pixel_tile=0,
+        )
+        out2 = render_views(
+            sphere_mesh, c2ws, intr, (VIEW, VIEW),
+            map_attr=baked["texture"], render_uv=True, render_map_attr=True,
+        )
+        a = np.asarray(out.map_attr)
+        b = np.asarray(out2.map_attr)
+        m = np.asarray(out.alpha) > 0.5
+        mse = float(((a - b)[m.repeat(3, -1) if m.shape[-1] == 1 else m] ** 2).mean())
+        psnr = -10 * np.log10(max(mse, 1e-10))
+        assert psnr > 22, f"re-render PSNR {psnr:.1f} dB"
