@@ -1,0 +1,249 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitex_tpu.models.flux.config import FluxConfig
+from unitex_tpu.models.flux.layers import apply_rope, rope_freqs, sinusoidal_embedding
+from unitex_tpu.models.flux.model import flux_forward, init_flux_params
+from unitex_tpu.models.flux.pipeline import (
+    FluxPipelineConfig,
+    denoise,
+    latent_image_ids,
+    pack_latents,
+    run_flux_pipeline,
+    unpack_latents,
+)
+from unitex_tpu.models.flux.scheduler import FlowMatchEulerScheduler, calculate_shift
+from unitex_tpu.models.flux.vae import VAEConfig, init_vae_params, vae_decode, vae_encode
+
+
+class TestPacking:
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.default_rng(0)
+        lat = jnp.asarray(rng.normal(size=(2, 8, 12, 4)).astype(np.float32))
+        packed = pack_latents(lat)
+        assert packed.shape == (2, 4 * 6, 16)
+        back = unpack_latents(packed, 8, 12)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(lat))
+
+    def test_pack_matches_torch_reference(self):
+        """Spec check against the reference's packing
+        (texturing/pipeline.py:240-249, NCHW view/permute)."""
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(1)
+        lat_nchw = rng.normal(size=(1, 4, 8, 12)).astype(np.float32)
+        t = torch.from_numpy(lat_nchw)
+        B, C, H, W = t.shape
+        ref = t.view(B, C, H // 2, 2, W // 2, 2)
+        ref = ref.permute(0, 2, 4, 1, 3, 5)
+        ref = ref.reshape(B, (H // 2) * (W // 2), C * 4).numpy()
+        ours = pack_latents(jnp.asarray(lat_nchw.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=0)
+
+    def test_image_ids_offsets(self):
+        ids = latent_image_ids(3, 4)
+        assert ids.shape == (12, 3)
+        np.testing.assert_array_equal(np.asarray(ids[0]), [0, 0, 0])
+        np.testing.assert_array_equal(np.asarray(ids[-1]), [0, 2, 3])
+        ids_off = latent_image_ids(2, 2, offset_x=5, offset_y=7)
+        np.testing.assert_array_equal(np.asarray(ids_off[0]), [0, 7, 5])
+
+
+class TestScheduler:
+    def test_shift_formula(self):
+        # 6144-token noise sequence of the texture pass
+        mu = calculate_shift(6144, 256, 4096, 0.5, 1.15)
+        expect = 6144 * (1.15 - 0.5) / (4096 - 256) + (0.5 - 256 * (1.15 - 0.5) / (4096 - 256))
+        assert abs(mu - expect) < 1e-9
+
+    def test_sigmas_monotone_terminal_zero(self):
+        s = FlowMatchEulerScheduler.create(28, 6144)
+        sig = np.asarray(s.sigmas)
+        assert sig.shape == (29,)
+        assert sig[-1] == 0.0
+        assert (np.diff(sig) < 0).all()
+        assert abs(float(s.timesteps[0]) - sig[0] * 1000) < 1e-4
+
+    def test_matches_diffusers_if_available(self):
+        diffusers = pytest.importorskip("diffusers")
+        import torch
+
+        from diffusers import FlowMatchEulerDiscreteScheduler
+
+        sched = FlowMatchEulerDiscreteScheduler(
+            base_image_seq_len=256, max_image_seq_len=4096,
+            base_shift=0.5, max_shift=1.15, use_dynamic_shifting=True, shift=3.0,
+        )
+        n = 28
+        sigmas = np.linspace(1.0, 1.0 / n, n)
+        mu = calculate_shift(6144)
+        sched.set_timesteps(sigmas=sigmas.tolist(), mu=mu)
+        ours = FlowMatchEulerScheduler.create(n, 6144)
+        np.testing.assert_allclose(
+            np.asarray(ours.sigmas), sched.sigmas.numpy(), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.timesteps), sched.timesteps.numpy(), atol=1e-2
+        )
+
+    def test_euler_step_linear_model(self):
+        """With v = eps - x0 constant, integrating from sigma=1 to 0 must
+        land exactly on x0."""
+        s = FlowMatchEulerScheduler.create(8, 1024)
+        x0 = jnp.asarray([3.0])
+        eps = jnp.asarray([-1.0])
+        x = 1.0 * eps + 0.0 * x0  # at sigma=1, z = eps
+        v = eps - x0
+        for i in range(8):
+            x = s.step(v, i, x)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-5)
+
+
+class TestRoPE:
+    def test_rope_rotation_preserves_norm(self):
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, 64, (10, 3)), jnp.float32)
+        cos, sin = rope_freqs(ids, (8, 12, 12))
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 10, 4, 32)).astype(np.float32))
+        y = apply_rope(x, cos, sin)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(y), axis=-1),
+            np.linalg.norm(np.asarray(x), axis=-1),
+            rtol=1e-5,
+        )
+
+    def test_rope_zero_ids_identity(self):
+        ids = jnp.zeros((5, 3))
+        cos, sin = rope_freqs(ids, (8, 12, 12))
+        x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 5, 2, 32)).astype(np.float32))
+        y = apply_rope(x, cos, sin)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_rope_relative_shift_invariance(self):
+        """Attention logits depend only on relative positions."""
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.normal(size=(1, 6, 1, 32)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 6, 1, 32)).astype(np.float32))
+
+        def logits(offset):
+            ids = jnp.stack(
+                [jnp.zeros(6), jnp.arange(6) + offset, jnp.zeros(6)], axis=-1
+            )
+            cos, sin = rope_freqs(ids, (8, 12, 12))
+            qr = apply_rope(q, cos, sin)[0, :, 0]
+            kr = apply_rope(k, cos, sin)[0, :, 0]
+            return np.asarray(qr @ kr.T)
+
+        np.testing.assert_allclose(logits(0.0), logits(17.0), atol=1e-3)
+
+    def test_sinusoidal_matches_diffusers(self):
+        diffusers = pytest.importorskip("diffusers")
+        import torch
+        from diffusers.models.embeddings import get_timestep_embedding
+
+        t = np.asarray([0.5, 0.9], dtype=np.float32)
+        ref = get_timestep_embedding(
+            torch.from_numpy(t * 1000), 256, flip_sin_to_cos=True,
+            downscale_freq_shift=0.0,
+        ).numpy()
+        ours = np.asarray(sinusoidal_embedding(jnp.asarray(t), 256))
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+class TestModel:
+    def test_forward_shapes_and_finite(self):
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), cfg)
+        B, S_img, S_txt = 2, 24, 8
+        hidden = jnp.asarray(
+            np.random.default_rng(0).normal(size=(B, S_img, cfg.in_channels)),
+            jnp.float32,
+        )
+        ctx = jnp.zeros((B, S_txt, cfg.joint_attention_dim))
+        img_ids = latent_image_ids(4, 6)
+        txt_ids = jnp.zeros((S_txt, 3))
+        out = flux_forward(
+            params, cfg, hidden, ctx,
+            jnp.full((B,), 0.5), jnp.zeros((B, cfg.pooled_projection_dim)),
+            img_ids, txt_ids, guidance=jnp.full((B,), 3.5),
+        )
+        assert out.shape == (B, S_img, cfg.in_channels)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_timestep_changes_output(self):
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), cfg)
+        hidden = jnp.ones((1, 8, cfg.in_channels))
+        ctx = jnp.zeros((1, 4, cfg.joint_attention_dim))
+        ids = latent_image_ids(2, 4)
+        tids = jnp.zeros((4, 3))
+        pooled = jnp.zeros((1, cfg.pooled_projection_dim))
+        o1 = flux_forward(params, cfg, hidden, ctx, jnp.asarray([0.1]), pooled, ids, tids, jnp.asarray([3.5]))
+        o2 = flux_forward(params, cfg, hidden, ctx, jnp.asarray([0.9]), pooled, ids, tids, jnp.asarray([3.5]))
+        assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-4
+
+
+class TestVAE:
+    def test_encode_decode_shapes(self):
+        cfg = VAEConfig.tiny()
+        params = init_vae_params(jax.random.key(0), cfg)
+        img = jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)
+        )
+        lat = vae_encode(params, cfg, img)
+        assert lat.shape == (1, 8, 8, cfg.latent_channels)
+        out = vae_decode(params, cfg, lat)
+        assert out.shape == (1, 16, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestPipeline:
+    def test_end_to_end_tiny(self):
+        """Smoke the whole conditioned pipeline at toy scale: control +
+        dual images, 4 steps, check output range/shape and determinism."""
+        flux_cfg = FluxConfig.tiny()
+        vae_cfg = VAEConfig.tiny()
+        tparams = init_flux_params(jax.random.key(0), flux_cfg)
+        vparams = init_vae_params(jax.random.key(1), vae_cfg)
+        pipe_cfg = FluxPipelineConfig(
+            height=16, width=32, num_inference_steps=3, max_sequence_length=8
+        )
+        rng = np.random.default_rng(0)
+        control = jnp.asarray(rng.uniform(0, 1, (16, 32, 3)).astype(np.float32))
+        dual = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+        img = run_flux_pipeline(
+            tparams, flux_cfg, vparams, vae_cfg,
+            jax.random.key(63), pipe_cfg,
+            control_image=control, dual_image=dual,
+        )
+        assert img.shape == (16, 32, 3)
+        assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+        img2 = run_flux_pipeline(
+            tparams, flux_cfg, vparams, vae_cfg,
+            jax.random.key(63), pipe_cfg,
+            control_image=control, dual_image=dual,
+        )
+        np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+
+    def test_condition_tokens_pinned(self):
+        """The returned sequence must only contain the denoised noise slice:
+        with a model that returns zeros, output == input noise tokens."""
+        flux_cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), flux_cfg)
+
+        zero_params = jax.tree.map(jnp.zeros_like, params)
+        noise = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 8, flux_cfg.in_channels)),
+            jnp.float32,
+        )
+        cond = jnp.ones((1, 4, flux_cfg.in_channels))
+        ids = jnp.concatenate([latent_image_ids(2, 4), latent_image_ids(1, 4, offset_y=2)])
+        sched = FlowMatchEulerScheduler.create(4, 8)
+        out = denoise(
+            zero_params, flux_cfg, noise, ids, jnp.zeros((4, 3)),
+            jnp.zeros((1, 4, flux_cfg.joint_attention_dim)),
+            jnp.zeros((1, flux_cfg.pooled_projection_dim)),
+            sched, 3.5, cond,
+        )
+        assert out.shape == noise.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(noise), atol=1e-6)

@@ -1,0 +1,248 @@
+"""FLUX MMDiT transformer in functional JAX.
+
+Re-implements the FluxTransformer2DModel the reference drives through
+diffusers (/root/reference/pipeline.py:96-104; joint attention semantics per
+flux_piplines/texturing/attention_processor.py:24-110): 19 dual-stream +
+38 single-stream blocks, AdaLN-Zero conditioning from
+timestep+guidance+pooled embeddings, 3-axis RoPE over token position ids,
+QK RMS-norm, GELU-tanh MLPs.
+
+Params are nested dicts of f32 arrays (cast to the compute dtype at use),
+laid out for tensor parallelism: attention/MLP projection kernels are
+[d_model, d_out] with d_out shardable over the 'model' mesh axis (see
+parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import FluxConfig
+from .layers import (
+    Params,
+    apply_rope,
+    gelu_tanh,
+    layer_norm,
+    linear,
+    linear_init,
+    mlp_embedder,
+    mlp_embedder_init,
+    rms_norm,
+    rope_freqs,
+    sdpa,
+    sinusoidal_embedding,
+)
+
+
+# ------------------------------------------------------------------ init
+
+
+def _attn_init(key, dim: int, heads: int, head_dim: int, with_context: bool):
+    ks = jax.random.split(key, 12)
+    inner = heads * head_dim
+    p = {
+        "to_q": linear_init(ks[0], dim, inner),
+        "to_k": linear_init(ks[1], dim, inner),
+        "to_v": linear_init(ks[2], dim, inner),
+        "norm_q": jnp.ones((head_dim,), jnp.float32),
+        "norm_k": jnp.ones((head_dim,), jnp.float32),
+    }
+    if with_context:
+        p.update(
+            {
+                "add_q_proj": linear_init(ks[3], dim, inner),
+                "add_k_proj": linear_init(ks[4], dim, inner),
+                "add_v_proj": linear_init(ks[5], dim, inner),
+                "norm_added_q": jnp.ones((head_dim,), jnp.float32),
+                "norm_added_k": jnp.ones((head_dim,), jnp.float32),
+                "to_out": linear_init(ks[6], inner, dim),
+                "to_add_out": linear_init(ks[7], inner, dim),
+            }
+        )
+    return p
+
+
+def _dual_block_init(key, cfg: FluxConfig):
+    ks = jax.random.split(key, 8)
+    d = cfg.hidden_size
+    return {
+        "norm1": {"lin": linear_init(ks[0], d, 6 * d)},
+        "norm1_context": {"lin": linear_init(ks[1], d, 6 * d)},
+        "attn": _attn_init(ks[2], d, cfg.num_attention_heads, cfg.attention_head_dim, True),
+        "ff": {
+            "in": linear_init(ks[3], d, cfg.mlp_dim),
+            "out": linear_init(ks[4], cfg.mlp_dim, d),
+        },
+        "ff_context": {
+            "in": linear_init(ks[5], d, cfg.mlp_dim),
+            "out": linear_init(ks[6], cfg.mlp_dim, d),
+        },
+    }
+
+
+def _single_block_init(key, cfg: FluxConfig):
+    ks = jax.random.split(key, 6)
+    d = cfg.hidden_size
+    return {
+        "norm": {"lin": linear_init(ks[0], d, 3 * d)},
+        "attn": _attn_init(ks[1], d, cfg.num_attention_heads, cfg.attention_head_dim, False),
+        "proj_mlp": linear_init(ks[2], d, cfg.mlp_dim),
+        "proj_out": linear_init(ks[3], d + cfg.mlp_dim, d),
+    }
+
+
+def init_flux_params(key, cfg: FluxConfig) -> Params:
+    ks = jax.random.split(key, 8 + cfg.num_layers + cfg.num_single_layers)
+    d = cfg.hidden_size
+    params: Params = {
+        "x_embedder": linear_init(ks[0], cfg.in_channels, d),
+        "context_embedder": linear_init(ks[1], cfg.joint_attention_dim, d),
+        "time_embed": mlp_embedder_init(ks[2], 256, d),
+        "pooled_embed": mlp_embedder_init(ks[3], cfg.pooled_projection_dim, d),
+        "norm_out": {"lin": linear_init(ks[5], d, 2 * d)},
+        "proj_out": linear_init(ks[6], d, cfg.in_channels),
+    }
+    if cfg.guidance_embeds:
+        params["guidance_embed"] = mlp_embedder_init(ks[4], 256, d)
+    params["dual_blocks"] = [
+        _dual_block_init(ks[8 + i], cfg) for i in range(cfg.num_layers)
+    ]
+    params["single_blocks"] = [
+        _single_block_init(ks[8 + cfg.num_layers + i], cfg)
+        for i in range(cfg.num_single_layers)
+    ]
+    return params
+
+
+# --------------------------------------------------------------- forward
+
+
+def _heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    B, S, _ = x.shape
+    return x.reshape(B, S, heads, -1)
+
+
+def _joint_attention(
+    p: Params,
+    cfg: FluxConfig,
+    hidden: jnp.ndarray,
+    context: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dual-stream joint attention: text tokens first in the sequence
+    (attention_processor.py:74-80)."""
+    H = cfg.num_attention_heads
+    q = _heads(linear(p["to_q"], hidden), H)
+    k = _heads(linear(p["to_k"], hidden), H)
+    v = _heads(linear(p["to_v"], hidden), H)
+    q = rms_norm(q, p["norm_q"])
+    k = rms_norm(k, p["norm_k"])
+    cq = _heads(linear(p["add_q_proj"], context), H)
+    ck = _heads(linear(p["add_k_proj"], context), H)
+    cv = _heads(linear(p["add_v_proj"], context), H)
+    cq = rms_norm(cq, p["norm_added_q"])
+    ck = rms_norm(ck, p["norm_added_k"])
+    q = jnp.concatenate([cq, q], axis=1)
+    k = jnp.concatenate([ck, k], axis=1)
+    v = jnp.concatenate([cv, v], axis=1)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    out = sdpa(q, k, v)
+    out = out.reshape(out.shape[0], out.shape[1], -1)
+    S_txt = context.shape[1]
+    ctx_out, img_out = out[:, :S_txt], out[:, S_txt:]
+    return linear(p["to_out"], img_out), linear(p["to_add_out"], ctx_out)
+
+
+def _single_attention(
+    p: Params, cfg: FluxConfig, x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    H = cfg.num_attention_heads
+    q = rms_norm(_heads(linear(p["to_q"], x), H), p["norm_q"])
+    k = rms_norm(_heads(linear(p["to_k"], x), H), p["norm_k"])
+    v = _heads(linear(p["to_v"], x), H)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    out = sdpa(q, k, v)
+    return out.reshape(out.shape[0], out.shape[1], -1)
+
+
+def _ada_ln_zero(p, temb, n=6):
+    mods = linear(p["lin"], jax.nn.silu(temb))
+    return jnp.split(mods[:, None, :], n, axis=-1)
+
+
+def _dual_block(p, cfg, hidden, context, temb, cos, sin):
+    sh_a, sc_a, g_a, sh_m, sc_m, g_m = _ada_ln_zero(p["norm1"], temb, 6)
+    csh_a, csc_a, cg_a, csh_m, csc_m, cg_m = _ada_ln_zero(p["norm1_context"], temb, 6)
+    h_norm = layer_norm(hidden) * (1 + sc_a) + sh_a
+    c_norm = layer_norm(context) * (1 + csc_a) + csh_a
+    h_attn, c_attn = _joint_attention(p["attn"], cfg, h_norm, c_norm, cos, sin)
+    hidden = hidden + g_a * h_attn
+    context = context + cg_a * c_attn
+    h_mlp = layer_norm(hidden) * (1 + sc_m) + sh_m
+    hidden = hidden + g_m * linear(p["ff"]["out"], gelu_tanh(linear(p["ff"]["in"], h_mlp)))
+    c_mlp = layer_norm(context) * (1 + csc_m) + csh_m
+    context = context + cg_m * linear(
+        p["ff_context"]["out"], gelu_tanh(linear(p["ff_context"]["in"], c_mlp))
+    )
+    return hidden, context
+
+
+def _single_block(p, cfg, x, temb, cos, sin):
+    sh, sc, gate = _ada_ln_zero(p["norm"], temb, 3)
+    x_norm = layer_norm(x) * (1 + sc) + sh
+    attn_out = _single_attention(p["attn"], cfg, x_norm, cos, sin)
+    mlp_out = gelu_tanh(linear(p["proj_mlp"], x_norm))
+    merged = jnp.concatenate([attn_out, mlp_out], axis=-1)
+    return x + gate * linear(p["proj_out"], merged)
+
+
+def flux_forward(
+    params: Params,
+    cfg: FluxConfig,
+    hidden_states: jnp.ndarray,
+    encoder_hidden_states: jnp.ndarray,
+    timestep: jnp.ndarray,
+    pooled_projections: jnp.ndarray,
+    img_ids: jnp.ndarray,
+    txt_ids: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Velocity prediction for the packed token sequence.
+
+    hidden_states [B, S_img, C_in], encoder_hidden_states [B, S_txt, D_t5],
+    timestep [B] (already divided by 1000), pooled [B, D_clip],
+    img_ids [S_img, 3], txt_ids [S_txt, 3], guidance [B] (raw cfg scale).
+    Returns [B, S_img, C_in].
+    """
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    hidden = linear(params["x_embedder"], hidden_states.astype(dtype))
+    context = linear(params["context_embedder"], encoder_hidden_states.astype(dtype))
+
+    temb = mlp_embedder(params["time_embed"], sinusoidal_embedding(timestep).astype(dtype))
+    if cfg.guidance_embeds and guidance is not None:
+        temb = temb + mlp_embedder(
+            params["guidance_embed"], sinusoidal_embedding(guidance).astype(dtype)
+        )
+    temb = temb + mlp_embedder(params["pooled_embed"], pooled_projections.astype(dtype))
+
+    ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+    cos, sin = rope_freqs(ids, cfg.axes_dims_rope, cfg.rope_theta)
+
+    for blk in params["dual_blocks"]:
+        hidden, context = _dual_block(blk, cfg, hidden, context, temb, cos, sin)
+
+    x = jnp.concatenate([context, hidden], axis=1)
+    for blk in params["single_blocks"]:
+        x = _single_block(blk, cfg, x, temb, cos, sin)
+    x = x[:, context.shape[1]:]
+
+    # AdaLayerNormContinuous chunks (scale, shift) in that order
+    sc, sh = _ada_ln_zero(params["norm_out"], temb, 2)
+    x = layer_norm(x) * (1 + sc) + sh
+    return linear(params["proj_out"], x).astype(jnp.float32)

@@ -1,0 +1,216 @@
+"""PBR FLUX pipeline: multi-image latent-token conditioned generation.
+
+TPU-native equivalent of ``PBRFluxPipeline``
+(/root/reference/flux_piplines/texturing/pipeline.py:406-700): packs noise
+latents with a 2x2 pixel shuffle into 64-channel tokens, VAE-encodes the
+control (geometry grid) and dual (reference) images into extra token streams
+with offset RoPE position ids (control at y+HL/2; dual at x+WL/2, y+HL/2 —
+pipeline.py:363-402), concatenates [noise ‖ control ‖ dual] into one
+sequence, and runs the flow-match Euler loop re-pinning the condition tokens
+each step (:644-645) — here as a single ``lax.scan`` jitted end-to-end.
+
+Inference uses null text conditioning: zero CLIP-pooled [B, 768] and zero T5
+[B, 512, 4096] embeddings (:538-543), so no text encoders are required on
+the main path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import FluxConfig
+from .model import flux_forward
+from .scheduler import FlowMatchEulerScheduler
+from .vae import VAEConfig, vae_decode, vae_encode
+
+
+def pack_latents(latents: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/2*W/2, C*4] 2x2 pixel shuffle
+    (_pack_latents, texturing/pipeline.py:240-249).  Channel order matches
+    the torch NCHW reference: token = [c0p00..cNp00? -> actually
+    (C, 2, 2) flattened C-major: channel varies slowest]."""
+    B, H, W, C = latents.shape
+    x = latents.reshape(B, H // 2, 2, W // 2, 2, C)
+    # -> [B, H/2, W/2, C, 2, 2] so the flattened last dim is (C, ph, pw)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(B, (H // 2) * (W // 2), C * 4)
+
+
+def unpack_latents(packed: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """[B, H/2*W/2, C*4] -> [B, H, W, C]."""
+    B, S, C4 = packed.shape
+    C = C4 // 4
+    x = packed.reshape(B, H // 2, W // 2, C, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(B, H, W, C)
+
+
+def latent_image_ids(
+    h_tokens: int, w_tokens: int, offset_x: int = 0, offset_y: int = 0, offset_z: int = 0
+) -> jnp.ndarray:
+    """[h*w, 3] (z, y, x) position ids (_prepare_latent_image_ids,
+    texturing/pipeline.py:267-276)."""
+    ys = jnp.arange(offset_y, offset_y + h_tokens, dtype=jnp.float32)
+    xs = jnp.arange(offset_x, offset_x + w_tokens, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    gz = jnp.full_like(gy, float(offset_z))
+    return jnp.stack([gz, gy, gx], axis=-1).reshape(-1, 3)
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxPipelineConfig:
+    height: int = 512
+    width: int = 3072
+    num_inference_steps: int = 28
+    guidance_scale: float = 3.5
+    max_sequence_length: int = 512
+    base_image_seq_len: int = 256
+    max_image_seq_len: int = 4096
+    base_shift: float = 0.5
+    max_shift: float = 1.15
+
+
+def denoise(
+    transformer_params,
+    flux_cfg: FluxConfig,
+    noise: jnp.ndarray,
+    img_ids: jnp.ndarray,
+    txt_ids: jnp.ndarray,
+    prompt_embeds: jnp.ndarray,
+    pooled_embeds: jnp.ndarray,
+    scheduler: FlowMatchEulerScheduler,
+    guidance_scale: float,
+    condition_latents: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Flow-match Euler denoise loop over the packed sequence as a
+    ``lax.scan``.  noise [B, S_noise, C]; condition_latents [B, S_cond, C]
+    appended and re-pinned every step.  Returns denoised noise-tokens."""
+    B, S_noise, C = noise.shape
+    guidance = (
+        jnp.full((B,), guidance_scale, jnp.float32)
+        if flux_cfg.guidance_embeds
+        else None
+    )
+
+    if condition_latents is not None:
+        latents0 = jnp.concatenate([noise, condition_latents], axis=1)
+    else:
+        latents0 = noise
+
+    def body(latents, i):
+        if condition_latents is not None:
+            latents = jnp.concatenate(
+                [latents[:, :S_noise], condition_latents], axis=1
+            )
+        t = scheduler.timesteps[i]
+        timestep = jnp.full((B,), t / 1000.0, jnp.float32)
+        v = flux_forward(
+            transformer_params,
+            flux_cfg,
+            latents,
+            prompt_embeds,
+            timestep,
+            pooled_embeds,
+            img_ids,
+            txt_ids,
+            guidance=guidance,
+        )
+        latents = scheduler.step(v, i, latents)
+        return latents, None
+
+    latents, _ = jax.lax.scan(
+        body, latents0, jnp.arange(scheduler.num_steps)
+    )
+    return latents[:, :S_noise]
+
+
+def run_flux_pipeline(
+    transformer_params,
+    flux_cfg: FluxConfig,
+    vae_params,
+    vae_cfg: VAEConfig,
+    key: jax.Array,
+    pipe_cfg: FluxPipelineConfig,
+    control_image: Optional[jnp.ndarray] = None,
+    dual_image: Optional[jnp.ndarray] = None,
+    prompt_embeds: Optional[jnp.ndarray] = None,
+    pooled_embeds: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Full text-free conditioned generation.
+
+    control_image / dual_image: [H, W, 3] / [Hd, Wd, 3] in [0, 1].
+    Returns the generated image [H, W, 3] in [0, 1].
+    """
+    H, W = pipe_cfg.height, pipe_cfg.width
+    vs = vae_cfg.downscale
+    HL, WL = 2 * (H // (vs * 2)), 2 * (W // (vs * 2))
+    C_lat = vae_cfg.latent_channels
+    B = 1
+
+    k_noise, k_vae = jax.random.split(key)
+    noise = jax.random.normal(k_noise, (B, HL, WL, C_lat), jnp.float32)
+    noise_tokens = pack_latents(noise)
+    noise_ids = latent_image_ids(HL // 2, WL // 2)
+
+    cond_tokens = []
+    cond_ids = []
+    if control_image is not None:
+        ctrl = control_image[None] * 2.0 - 1.0
+        lat = vae_encode(vae_params, vae_cfg, ctrl)
+        cond_tokens.append(pack_latents(lat))
+        cond_ids.append(
+            latent_image_ids(lat.shape[1] // 2, lat.shape[2] // 2, offset_y=HL // 2)
+        )
+    if dual_image is not None:
+        dual = dual_image[None] * 2.0 - 1.0
+        lat = vae_encode(vae_params, vae_cfg, dual)
+        cond_tokens.append(pack_latents(lat))
+        cond_ids.append(
+            latent_image_ids(
+                lat.shape[1] // 2, lat.shape[2] // 2,
+                offset_x=WL // 2, offset_y=HL // 2,
+            )
+        )
+    condition_latents = (
+        jnp.concatenate(cond_tokens, axis=1) if cond_tokens else None
+    )
+    img_ids = jnp.concatenate([noise_ids] + cond_ids, axis=0)
+
+    if prompt_embeds is None:
+        prompt_embeds = jnp.zeros(
+            (B, pipe_cfg.max_sequence_length, flux_cfg.joint_attention_dim),
+            jnp.float32,
+        )
+    if pooled_embeds is None:
+        pooled_embeds = jnp.zeros((B, flux_cfg.pooled_projection_dim), jnp.float32)
+    txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
+
+    scheduler = FlowMatchEulerScheduler.create(
+        pipe_cfg.num_inference_steps,
+        noise_tokens.shape[1],
+        pipe_cfg.base_image_seq_len,
+        pipe_cfg.max_image_seq_len,
+        pipe_cfg.base_shift,
+        pipe_cfg.max_shift,
+    )
+
+    out_tokens = denoise(
+        transformer_params,
+        flux_cfg,
+        noise_tokens,
+        img_ids,
+        txt_ids,
+        prompt_embeds,
+        pooled_embeds,
+        scheduler,
+        pipe_cfg.guidance_scale,
+        condition_latents,
+    )
+    latents = unpack_latents(out_tokens, HL, WL)
+    image = vae_decode(vae_params, vae_cfg, latents)[0]
+    return jnp.clip(image * 0.5 + 0.5, 0.0, 1.0)
