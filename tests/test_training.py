@@ -1,0 +1,154 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from unitex_tpu.models.flux.config import FluxConfig
+from unitex_tpu.models.flux.lora import init_lora_params, merge_lora
+from unitex_tpu.models.flux.model import flux_forward, init_flux_params
+from unitex_tpu.models.flux.pipeline import latent_image_ids, pack_latents
+from unitex_tpu.parallel.mesh import make_mesh
+from unitex_tpu.parallel.sharding import (
+    data_sharding,
+    flux_param_shardings,
+    shard_params,
+)
+from unitex_tpu.training.flux_lora import (
+    FluxLoraTrainConfig,
+    create_train_state,
+    flow_match_loss,
+    train_step,
+)
+
+
+def _tiny_batch(cfg, B=2, H=8, W=8, rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    C = cfg.in_channels // 4
+    return {
+        "latents": jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32)),
+        "prompt_embeds": jnp.zeros((B, 8, cfg.joint_attention_dim)),
+        "pooled_embeds": jnp.zeros((B, cfg.pooled_projection_dim)),
+    }
+
+
+class TestLora:
+    def test_zero_lora_is_identity(self):
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), cfg)
+        lora = init_lora_params(jax.random.key(1), params, rank=4)
+        merged = merge_lora(params, [(lora, 1.0)])
+        # b is zero-init so merge must be a no-op
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), params, merged
+        )
+        assert max(jax.tree.leaves(diff)) == 0.0
+
+    def test_lora_changes_kernels_only_targets(self):
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), cfg)
+        lora = init_lora_params(jax.random.key(1), params, rank=4)
+        # make b nonzero
+        lora = jax.tree.map(lambda x: x + 0.1, lora)
+        merged = merge_lora(params, [(lora, 1.0)])
+        q0 = params["dual_blocks"][0]["attn"]["to_q"]["kernel"]
+        q1 = merged["dual_blocks"][0]["attn"]["to_q"]["kernel"]
+        assert float(jnp.abs(q1 - q0).max()) > 0
+        # non-target (x_embedder) untouched
+        np.testing.assert_array_equal(
+            np.asarray(params["x_embedder"]["kernel"]),
+            np.asarray(merged["x_embedder"]["kernel"]),
+        )
+        # dual-adapter weighted merge: [1,0] keeps only adapter one
+        lora2 = init_lora_params(jax.random.key(2), params, rank=4)
+        m2 = merge_lora(params, [(lora, 1.0), (lora2, 0.0)])
+        np.testing.assert_allclose(
+            np.asarray(m2["dual_blocks"][0]["attn"]["to_q"]["kernel"]),
+            np.asarray(q1),
+            atol=1e-6,
+        )
+
+
+class TestTraining:
+    def test_loss_finite_and_decreases(self):
+        cfg = FluxConfig.tiny()
+        tcfg = FluxLoraTrainConfig(rank=4, learning_rate=1e-2)
+        base = init_flux_params(jax.random.key(0), cfg)
+        state, tx = create_train_state(jax.random.key(1), base, tcfg)
+        batch = _tiny_batch(cfg)
+        losses = []
+        for i in range(5):
+            state, loss = train_step(
+                state, base, batch, jax.random.key(100), cfg, tcfg, tx
+            )
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        # same batch + same key: loss must strictly decrease over steps
+        assert losses[-1] < losses[0]
+
+    def test_grad_only_on_lora(self):
+        cfg = FluxConfig.tiny()
+        tcfg = FluxLoraTrainConfig(rank=4)
+        base = init_flux_params(jax.random.key(0), cfg)
+        lora = init_lora_params(jax.random.key(1), base, rank=4)
+        batch = _tiny_batch(cfg)
+        g = jax.grad(flow_match_loss)(lora, base, cfg, tcfg, batch, jax.random.key(0))
+        # gradient pytree matches lora structure and is finite
+        assert jax.tree.structure(g) == jax.tree.structure(lora)
+        assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+        # b-gradients nonzero (a @ db path active even with b=0)
+        gb = g["dual_blocks"][0]["attn"]["to_q"]["b"]
+        assert float(jnp.abs(gb).max()) > 0
+
+
+class TestSharding:
+    def test_tp_matches_single_device(self):
+        """TP-sharded forward must equal the unsharded result."""
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), cfg)
+        B, S_img, S_txt = 2, 16, 8
+        hidden = jnp.asarray(
+            np.random.default_rng(0).normal(size=(B, S_img, cfg.in_channels)),
+            jnp.float32,
+        )
+        ctx = jnp.zeros((B, S_txt, cfg.joint_attention_dim))
+        ids = latent_image_ids(4, 4)
+        tids = jnp.zeros((S_txt, 3))
+        pooled = jnp.zeros((B, cfg.pooled_projection_dim))
+        t = jnp.full((B,), 0.5)
+        g = jnp.full((B,), 3.5)
+
+        ref = flux_forward(params, cfg, hidden, ctx, t, pooled, ids, tids, g)
+
+        mesh = make_mesh(data=2, model=4)
+        shardings = flux_param_shardings(params, mesh)
+        sharded = shard_params(params, shardings)
+        with jax.set_mesh(mesh):
+            out = jax.jit(
+                lambda p, h: flux_forward(p, cfg, h, ctx, t, pooled, ids, tids, g)
+            )(sharded, jax.device_put(hidden, data_sharding(mesh, 3)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_dp_tp_train_step(self):
+        """One LoRA training step over a 4x2 (data x model) mesh — the
+        multi-chip dryrun configuration."""
+        cfg = FluxConfig.tiny()
+        tcfg = FluxLoraTrainConfig(rank=4)
+        base = init_flux_params(jax.random.key(0), cfg)
+        state, tx = create_train_state(jax.random.key(1), base, tcfg)
+        mesh = make_mesh(data=4, model=2)
+        shardings = flux_param_shardings(base, mesh)
+        base_s = shard_params(base, shardings)
+        batch = _tiny_batch(cfg, B=4)
+        batch = {k: jax.device_put(v, data_sharding(mesh, v.ndim)) for k, v in batch.items()}
+        with jax.set_mesh(mesh):
+            state2, loss = train_step(
+                state, base_s, batch, jax.random.key(0), cfg, tcfg, tx
+            )
+        assert np.isfinite(float(loss))
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.lora, state2.lora
+        )
+        assert max(jax.tree.leaves(moved)) > 0
