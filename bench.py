@@ -1,0 +1,115 @@
+"""Benchmark: FLUX denoise-step throughput per chip at the pipeline's real
+operating point.
+
+The pipeline's hot loop is 56 MMDiT forward passes over a 14,336-token
+joint sequence (6144 noise + 6144 control + 1024 dual + 512 text,
+SURVEY.md §3.2).  The full 12B model is tensor-parallel over 8 chips in
+production; on the single bench chip we run a depth-reduced model with the
+REAL sequence length and hidden size — identical per-layer kernels — and
+scale by the parameter ratio to report 12B-equivalent steps/sec/chip.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+
+vs_baseline is measured against 1.0 step/s/GPU — the reference's
+CUDA operating point implied by its ~30 s / 28-step texture pass on a
+datacenter GPU (no published numbers exist; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_default_prng_impl", "rbg")  # fast init of GB-scale params
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from unitex_tpu.models.flux.config import FluxConfig
+    from unitex_tpu.models.flux.model import flux_forward, init_flux_params
+    from unitex_tpu.models.flux.pipeline import latent_image_ids
+
+    full = FluxConfig.flux1_dev()
+    # depth-reduced: same width/heads/seq -> identical per-layer kernels,
+    # ~1/4 the layers (12B bf16 = 24 GB exceeds the single bench chip's HBM;
+    # production runs TP over 8 chips)
+    cfg = FluxConfig(
+        num_layers=4,
+        num_single_layers=8,
+        dtype="bfloat16",
+    )
+
+    def n_params(c: FluxConfig) -> float:
+        d, m = c.hidden_size, c.mlp_dim
+        dual = 2 * (d * 6 * d) + 8 * d * d + 2 * 2 * d * m
+        single = d * 3 * d + 3 * d * d + d * m + (d + m) * d
+        head = d * (c.in_channels + c.joint_attention_dim + 2 * d + 256 * 0)
+        return c.num_layers * dual + c.num_single_layers * single + head
+
+    scale = n_params(cfg) / n_params(full)
+
+    # init on host CPU (f32 12B-scale temporaries would blow the 16 GB HBM),
+    # cast to bf16, then transfer
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_flux_params(jax.random.key(0), cfg)
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+
+    B = 1
+    noise_ids = latent_image_ids(32, 192)                       # 6144
+    ctrl_ids = latent_image_ids(32, 192, offset_y=32)           # 6144
+    dual_ids = latent_image_ids(32, 32, offset_x=192, offset_y=32)  # 1024
+    img_ids = jnp.concatenate([noise_ids, ctrl_ids, dual_ids], axis=0)
+    S_img = img_ids.shape[0]
+    S_txt = 512
+    hidden = jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, S_img, cfg.in_channels)),
+        jnp.bfloat16,
+    )
+    ctx = jnp.zeros((B, S_txt, cfg.joint_attention_dim), jnp.bfloat16)
+    txt_ids = jnp.zeros((S_txt, 3), jnp.float32)
+    t = jnp.full((B,), 0.5, jnp.float32)
+    pooled = jnp.zeros((B, cfg.pooled_projection_dim), jnp.bfloat16)
+    guidance = jnp.full((B,), 3.5, jnp.float32)
+
+    step = jax.jit(
+        lambda p, h: flux_forward(p, cfg, h, ctx, t, pooled, img_ids, txt_ids, guidance)
+    )
+    out = step(params, hidden)
+    out.block_until_ready()  # compile + warm
+
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = step(params, hidden)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iter
+
+    # 12B-equivalent step time on this chip
+    full_step_s = dt / scale
+    steps_per_sec = 1.0 / full_step_s
+    # baseline: the CUDA reference's implied speed for the same 12B model at
+    # 14336 tokens on an A100 at ~45% MFU: 344 TFLOP / (312 TF/s * 0.45)
+    # ~= 2.45 s/step -> 0.41 steps/s (no published numbers exist; BASELINE.md)
+    baseline_steps_per_sec = 0.41
+    print(
+        json.dumps(
+            {
+                "metric": "flux_denoise_steps_per_sec_per_chip_12B_equiv_seq14336",
+                "value": round(steps_per_sec, 4),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / baseline_steps_per_sec, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""Pallas flash-attention parity vs the jnp reference (interpret mode on
+CPU — the dual-implementation test pattern of SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from unitex_tpu.ops.attention import attention_reference, flash_attention
+
+
+@pytest.mark.parametrize("shape", [(1, 512, 2, 128), (2, 1024, 3, 128)])
+def test_flash_matches_reference(shape):
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=shape).astype(np.float32)) for _ in range(3)
+    )
+    ref = attention_reference(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, block_q=256, block_k=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_awkward_length_falls_back():
+    rng = np.random.default_rng(1)
+    shape = (1, 100, 2, 64)  # not blockable -> reference fallback
+    q, k, v = (
+        jnp.asarray(rng.normal(size=shape).astype(np.float32)) for _ in range(3)
+    )
+    out = flash_attention(q, k, v)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_softmax_scale_invariance():
+    """Adding a constant to all logits (q shifted along a constant k
+    direction) must not change attention output."""
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(1, 256, 1, 128)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 256, 1, 128)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 256, 1, 128)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        a = flash_attention(q, k, v, block_q=128, block_k=128)
+        b = flash_attention(q * 1.0, k, v, block_q=256, block_k=256)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -53,8 +53,8 @@ class TestLora:
         # make b nonzero
         lora = jax.tree.map(lambda x: x + 0.1, lora)
         merged = merge_lora(params, [(lora, 1.0)])
-        q0 = params["dual_blocks"][0]["attn"]["to_q"]["kernel"]
-        q1 = merged["dual_blocks"][0]["attn"]["to_q"]["kernel"]
+        q0 = params["dual_blocks"]["attn"]["to_q"]["kernel"]
+        q1 = merged["dual_blocks"]["attn"]["to_q"]["kernel"]
         assert float(jnp.abs(q1 - q0).max()) > 0
         # non-target (x_embedder) untouched
         np.testing.assert_array_equal(
@@ -65,7 +65,7 @@ class TestLora:
         lora2 = init_lora_params(jax.random.key(2), params, rank=4)
         m2 = merge_lora(params, [(lora, 1.0), (lora2, 0.0)])
         np.testing.assert_allclose(
-            np.asarray(m2["dual_blocks"][0]["attn"]["to_q"]["kernel"]),
+            np.asarray(m2["dual_blocks"]["attn"]["to_q"]["kernel"]),
             np.asarray(q1),
             atol=1e-6,
         )
@@ -99,7 +99,7 @@ class TestTraining:
         assert jax.tree.structure(g) == jax.tree.structure(lora)
         assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
         # b-gradients nonzero (a @ db path active even with b=0)
-        gb = g["dual_blocks"][0]["attn"]["to_q"]["b"]
+        gb = g["dual_blocks"]["attn"]["to_q"]["b"]
         assert float(jnp.abs(gb).max()) > 0
 
 

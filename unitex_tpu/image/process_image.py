@@ -1,0 +1,71 @@
+"""Reference-image preprocessing: crop to the alpha bbox, recenter on a
+colored square canvas (/root/reference/TextureTools/texturetools/image/
+process_image.py:31-74 and pipeline.py:182-196): scale 0.95 on 1024², grey
+background, saved as ``rembg_image.png`` + 512² ``processed_image.png``."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageOps
+
+COLORS = {
+    "white": (255, 255, 255),
+    "black": (0, 0, 0),
+    "grey": (127, 127, 127),
+    "gray": (127, 127, 127),
+}
+
+
+def get_alpha_bbox(alpha: np.ndarray, threshold: int = 0) -> Tuple[int, int, int, int]:
+    """(x1, y1, x2, y2) bbox of alpha > threshold."""
+    ys, xs = np.nonzero(alpha > threshold)
+    if len(ys) == 0:
+        return 0, 0, alpha.shape[1], alpha.shape[0]
+    return int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1
+
+
+def preprocess_reference_image(
+    image: Image.Image,
+    alpha: Optional[Image.Image] = None,
+    H: int = 1024,
+    W: int = 1024,
+    scale: float = 0.95,
+    color: str = "grey",
+    background_remover=None,
+) -> Image.Image:
+    """Returns an RGBA image with the subject recentered and rescaled so its
+    bbox occupies ``scale`` of the canvas, composited on ``color``."""
+    image = ImageOps.exif_transpose(image)
+    rgb = image.convert("RGB")
+    if alpha is None:
+        a_np = None
+        if image.mode == "RGBA":
+            a = np.array(image.getchannel("A"))
+            # reference only trusts an alpha that actually masks something
+            if (a > 0).sum() < image.size[0] * image.size[1] - 8:
+                a_np = a
+        if a_np is None:
+            if background_remover is not None:
+                a_np = np.array(background_remover(rgb))
+            else:
+                a_np = np.full((image.size[1], image.size[0]), 255, np.uint8)
+        alpha = Image.fromarray(a_np, mode="L")
+
+    x1, y1, x2, y2 = get_alpha_bbox(np.array(alpha))
+    dy, dx = y2 - y1, x2 - x1
+    s = min(H * scale / dy, W * scale / dx)
+    Ht, Wt = int(dy * s), int(dx * s)
+    ox, oy = (W - Wt) // 2, (H - Ht) // 2
+
+    rgbc = rgb.crop((x1, y1, x2, y2)).resize((Wt, Ht))
+    alphac = alpha.crop((x1, y1, x2, y2)).resize((Wt, Ht))
+    alphat = Image.new("L", (W, H))
+    alphat.paste(alphac, (ox, oy))
+
+    bg = COLORS.get(color, COLORS["grey"])
+    out = Image.new("RGBA", (W, H), bg + (255,))
+    out.paste(rgbc, (ox, oy), alphac)
+    out.putalpha(alphat)
+    return out

@@ -135,10 +135,11 @@ def sdpa(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Scaled dot-product attention over [B, S, H, D] tensors.
+    """Scaled dot-product attention over [B, S, H, D] tensors: Pallas
+    flash attention on TPU (O(S·D) memory for the 13.8k-token joint
+    sequence), jnp reference on CPU."""
+    from ...ops.attention import attention
 
-    Delegates to jax.nn.dot_product_attention, which XLA lowers to a fused
-    flash-attention kernel on TPU; the Pallas kernel in ops/attention.py can
-    be swapped in behind the same signature.
-    """
-    return jax.nn.dot_product_attention(q, k, v, mask=mask)
+    if mask is not None:
+        return jax.nn.dot_product_attention(q, k, v, mask=mask)
+    return attention(q, k, v)

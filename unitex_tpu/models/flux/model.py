@@ -95,6 +95,10 @@ def _single_block_init(key, cfg: FluxConfig):
 
 
 def init_flux_params(key, cfg: FluxConfig) -> Params:
+    """Block params are STACKED along a leading layer axis (dual_blocks is
+    one pytree with [num_layers, ...] leaves) so the forward pass scans one
+    compiled block body instead of unrolling 19+38 copies — compile time
+    and HLO size stay constant in depth."""
     ks = jax.random.split(key, 8 + cfg.num_layers + cfg.num_single_layers)
     d = cfg.hidden_size
     params: Params = {
@@ -107,14 +111,25 @@ def init_flux_params(key, cfg: FluxConfig) -> Params:
     }
     if cfg.guidance_embeds:
         params["guidance_embed"] = mlp_embedder_init(ks[4], 256, d)
-    params["dual_blocks"] = [
-        _dual_block_init(ks[8 + i], cfg) for i in range(cfg.num_layers)
-    ]
-    params["single_blocks"] = [
+    dual = [_dual_block_init(ks[8 + i], cfg) for i in range(cfg.num_layers)]
+    single = [
         _single_block_init(ks[8 + cfg.num_layers + i], cfg)
         for i in range(cfg.num_single_layers)
     ]
+    params["dual_blocks"] = stack_blocks(dual)
+    params["single_blocks"] = stack_blocks(single)
     return params
+
+
+def stack_blocks(blocks):
+    """List of per-layer param trees -> one tree with stacked [L, ...] leaves."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
+def unstack_blocks(stacked):
+    """Inverse of :func:`stack_blocks`."""
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    return [jax.tree.map(lambda x: x[i], stacked) for i in range(n)]
 
 
 # --------------------------------------------------------------- forward
@@ -234,12 +249,21 @@ def flux_forward(
     ids = jnp.concatenate([txt_ids, img_ids], axis=0)
     cos, sin = rope_freqs(ids, cfg.axes_dims_rope, cfg.rope_theta)
 
-    for blk in params["dual_blocks"]:
-        hidden, context = _dual_block(blk, cfg, hidden, context, temb, cos, sin)
+    def dual_body(carry, blk):
+        h, c = carry
+        h, c = _dual_block(blk, cfg, h, c, temb, cos, sin)
+        return (h, c), None
+
+    (hidden, context), _ = jax.lax.scan(
+        dual_body, (hidden, context), params["dual_blocks"]
+    )
 
     x = jnp.concatenate([context, hidden], axis=1)
-    for blk in params["single_blocks"]:
-        x = _single_block(blk, cfg, x, temb, cos, sin)
+
+    def single_body(x, blk):
+        return _single_block(blk, cfg, x, temb, cos, sin), None
+
+    x, _ = jax.lax.scan(single_body, x, params["single_blocks"])
     x = x[:, context.shape[1]:]
 
     # AdaLayerNormContinuous chunks (scale, shift) in that order

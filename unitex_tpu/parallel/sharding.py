@@ -32,14 +32,22 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def _linear_spec(mesh, kind: str) -> Dict[str, NamedSharding]:
+def _linear_spec(mesh, kind: str, stacked: bool = False) -> Dict[str, NamedSharding]:
     """kind: 'col' shards the output dim, 'row' shards the input dim,
-    'rep' replicates."""
+    'rep' replicates.  ``stacked`` prepends the layer axis (block params
+    are stacked [L, ...] for the scan-over-layers forward)."""
+    lead = (None,) if stacked else ()
     if kind == "col":
-        return {"kernel": _ns(mesh, None, "model"), "bias": _ns(mesh, "model")}
+        return {
+            "kernel": _ns(mesh, *lead, None, "model"),
+            "bias": _ns(mesh, *lead, "model"),
+        }
     if kind == "row":
-        return {"kernel": _ns(mesh, "model", None), "bias": _ns(mesh, None)}
-    return {"kernel": _ns(mesh, None, None), "bias": _ns(mesh, None)}
+        return {
+            "kernel": _ns(mesh, *lead, "model", None),
+            "bias": _ns(mesh, *lead, None),
+        }
+    return {"kernel": _ns(mesh, *lead, None, None), "bias": _ns(mesh, *lead, None)}
 
 
 def _match_linear(p: Dict[str, Any], spec: Dict[str, NamedSharding]):
@@ -52,9 +60,9 @@ def _match_linear(p: Dict[str, Any], spec: Dict[str, NamedSharding]):
 def flux_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Build a NamedSharding pytree matching ``init_flux_params`` output."""
     rep = lambda p: _match_linear(p, _linear_spec(mesh, "rep"))
-    col = lambda p: _match_linear(p, _linear_spec(mesh, "col"))
-    row = lambda p: _match_linear(p, _linear_spec(mesh, "row"))
-    vec = _ns(mesh, None)
+    col = lambda p: _match_linear(p, _linear_spec(mesh, "col", stacked=True))
+    row = lambda p: _match_linear(p, _linear_spec(mesh, "row", stacked=True))
+    vec = _ns(mesh, None, None)  # stacked [L, head_dim] norm weights
 
     def attn_spec(p):
         out = {
@@ -108,8 +116,8 @@ def flux_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         "pooled_embed": embed_spec(params["pooled_embed"]),
         "norm_out": {"lin": rep(params["norm_out"]["lin"])},
         "proj_out": rep(params["proj_out"]),
-        "dual_blocks": [dual_spec(b) for b in params["dual_blocks"]],
-        "single_blocks": [single_spec(b) for b in params["single_blocks"]],
+        "dual_blocks": dual_spec(params["dual_blocks"]),
+        "single_blocks": single_spec(params["single_blocks"]),
     }
     if "guidance_embed" in params:
         spec["guidance_embed"] = embed_spec(params["guidance_embed"])

@@ -1,0 +1,327 @@
+"""End-to-end texture generation pipeline.
+
+API-compatible equivalent of ``CustomRGBTextureFullPipeline``
+(/root/reference/pipeline.py:141-632): one RGB reference image + an
+untextured mesh -> a textured GLB, through
+
+  step_1_1        mesh preprocess -> reference-image matting -> 6-view
+                  geometry conditioning renders -> FLUX texture pass ->
+                  FLUX delight pass (-> optional TSD-SR upscale)
+  step_2_ablition multi-view back-projection bake -> textured_mesh.glb
+                  (the released no-LTM path, pipeline.py:620-632)
+
+Artifact names match the reference so downstream tooling ports unchanged:
+``processed_mesh.obj``, ``rembg_image.png``, ``processed_image.png``,
+``mv_alpha/ccm/normal.png``, ``camera_info.npz``, ``mv_rgb_w_light.png``,
+``mv_rgb.png``, ``textured_mesh.glb``, ``visable_uv_mask.png``,
+``valid_uv_mask.png``, ``completed_uv.png``.
+
+Unlike the reference, the filesystem is not the inter-stage bus: stages
+pass in-memory arrays and *also* dump the artifacts for inspection/parity.
+
+Weights: ``pretrain_models`` points at a root containing
+``flux/transformer`` + ``flux/vae`` safetensors and the two LoRAs
+(``texture_lora.safetensors`` / ``delight_lora.safetensors``).  Without
+weights, ``require_weights=False`` substitutes a documented geometry-shaded
+stand-in for the diffusion output so the geometry/bake stack still runs
+end-to-end (CI, smoke tests).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .geometry.io.mesh_io import HostMesh, load_mesh, save_mesh, save_obj
+from .geometry.mesh import Mesh
+from .geometry.uv_atlas import preprocess_blank_mesh
+from .image.process_image import preprocess_reference_image
+from .image.rembg import build_background_remover
+from .models.flux.config import FluxConfig
+from .models.flux.pipeline import FluxPipelineConfig, run_flux_pipeline
+from .models.flux.vae import VAEConfig
+from .render.conditioning import (
+    grid_to_strip,
+    grid_to_views,
+    render_geometry_condition,
+    strip_to_grid,
+)
+from .render.renderer_inverse import bake_texture
+from .utils.image_io import load_image, save_image, to_uint8
+from .utils.timer import CPUTimer
+
+
+class RGBTextureFullPipelineBase:
+    """Owns the models + renderers (reference pipeline.py:141-166)."""
+
+    def __init__(
+        self,
+        pretrain_models: Optional[str] = None,
+        super_resolutions: bool = False,
+        seed: int = 63,
+        config: PipelineConfig = DEFAULT_CONFIG,
+        require_weights: bool = False,
+    ):
+        self.config = config
+        self.seed = seed
+        self.super_resolutions = super_resolutions
+        self.pretrain_models = pretrain_models
+        self.rembg = build_background_remover(pretrain_models)
+        self.flux_cfg = FluxConfig.flux1_dev()
+        self.vae_cfg = VAEConfig.flux()
+        self._flux_loaded = False
+        self.transformer_params = None
+        self.vae_params = None
+        self.texture_lora = None
+        self.delight_lora = None
+        self.sr_pipeline = None
+        if pretrain_models is not None:
+            self._try_load_weights(require_weights)
+        elif require_weights:
+            raise FileNotFoundError("pretrain_models is required")
+        if super_resolutions:
+            from .models.sd3.sr_pipeline import TSDSRPipeline
+
+            self.sr_pipeline = TSDSRPipeline(pretrain_models)
+
+    def _try_load_weights(self, require: bool) -> None:
+        from .models.flux.loader import load_flux_transformer, load_vae
+        from .models.flux.lora import load_lora_safetensors
+
+        root = self.pretrain_models
+        tdir = os.path.join(root, "flux", "transformer")
+        vdir = os.path.join(root, "flux", "vae")
+        try:
+            self.transformer_params = load_flux_transformer(tdir, self.flux_cfg)
+            self.vae_params = load_vae(vdir, self.vae_cfg)
+            for name in ("texture", "delight"):
+                p = os.path.join(root, f"{name}_lora.safetensors")
+                if os.path.exists(p):
+                    lora = load_lora_safetensors(
+                        p, self.flux_cfg.num_layers, self.flux_cfg.num_single_layers
+                    )
+                    setattr(self, f"{name}_lora", lora)
+            self._flux_loaded = True
+        except (FileNotFoundError, OSError) as e:
+            if require:
+                raise
+            print(f"[pipeline] FLUX weights not found ({e}); running weightless")
+
+    # ------------------------------------------------------------ stages
+
+    @CPUTimer("preprocess_blank_mesh")
+    def preprocess_blank_mesh_stage(self, save_dir: str, mesh_path: str) -> HostMesh:
+        mesh = load_mesh(mesh_path)
+        mesh = preprocess_blank_mesh(
+            mesh,
+            min_faces=self.config.mesh.min_faces,
+            max_faces=self.config.mesh.max_faces,
+            uv_size=self.config.mesh.uv_size,
+            gutter=self.config.mesh.uv_gutter,
+        )
+        save_obj(os.path.join(save_dir, "processed_mesh.obj"), mesh)
+        return mesh
+
+    @CPUTimer("preprocess_reference_image")
+    def preprocess_reference_image_stage(self, save_dir: str, image_path: str):
+        from PIL import Image
+
+        img = Image.open(image_path).convert("RGB").resize((1024, 1024))
+        out = preprocess_reference_image(
+            img, H=1024, W=1024, scale=0.95, color="grey",
+            background_remover=self.rembg,
+        )
+        out.save(os.path.join(save_dir, "rembg_image.png"))
+        small = out.convert("RGB").resize((512, 512))
+        small.save(os.path.join(save_dir, "processed_image.png"))
+        return np.asarray(small, np.float32) / 255.0
+
+    @CPUTimer("render_geometry_images")
+    def render_geometry_images_stage(
+        self, save_dir: str, mesh: HostMesh
+    ) -> Dict[str, jnp.ndarray]:
+        cam = self.config.camera
+        device_mesh = Mesh(
+            jnp.asarray(mesh.vertices * self.config.mesh.scale_to),
+            jnp.asarray(mesh.faces),
+            uv=jnp.asarray(mesh.uv) if mesh.uv is not None else None,
+            faces_uv=jnp.asarray(mesh.faces_uv) if mesh.faces_uv is not None else None,
+        )
+        out = render_geometry_condition(
+            device_mesh,
+            view_size=cam.view_size,
+            radius=cam.radius,
+            ortho_scale=cam.ortho_scale,
+            background=0.5,
+            rows=cam.rows,
+            cols=cam.cols,
+        )
+        save_image(os.path.join(save_dir, "mv_alpha.png"), out["alpha"])
+        save_image(os.path.join(save_dir, "mv_ccm.png"), out["ccm"])
+        save_image(os.path.join(save_dir, "mv_normal.png"), out["normal"])
+        np.savez(
+            os.path.join(save_dir, "camera_info.npz"),
+            c2ws=np.asarray(out["c2ws"]),
+            intrinsics=np.asarray(out["intrinsics"]),
+            perspective=np.asarray(self.config.camera.perspective),
+        )
+        out["mesh"] = device_mesh
+        return out
+
+    @CPUTimer("infer_mv")
+    def infer_mv_stage(
+        self,
+        save_dir: str,
+        reference_image: np.ndarray,
+        condition: Dict[str, jnp.ndarray],
+    ) -> jnp.ndarray:
+        """Texture + delight FLUX passes over the 1x6 strip
+        (pipeline.py:231-289).  Returns the delighted 2x3 grid [0,1]."""
+        dcfg = self.config.diffusion
+        # control = 0.5*normal + 0.5*ccm, grid -> strip with down-view flip
+        control_grid = 0.5 * condition["normal"] + 0.5 * condition["ccm"]
+        control_strip = grid_to_strip(control_grid)
+
+        if self._flux_loaded:
+            from .models.flux.lora import merge_lora
+
+            pipe_cfg = FluxPipelineConfig(
+                height=dcfg.height,
+                width=dcfg.width,
+                num_inference_steps=dcfg.num_inference_steps,
+                guidance_scale=dcfg.guidance_scale,
+                max_sequence_length=dcfg.max_sequence_length,
+            )
+            # texture pass: adapters [1, 0]
+            params_tex = merge_lora(
+                self.transformer_params,
+                [(self.texture_lora, 1.0), (self.delight_lora, 0.0)],
+            )
+            strip_w_light = run_flux_pipeline(
+                params_tex, self.flux_cfg, self.vae_params, self.vae_cfg,
+                jax.random.key(self.seed), pipe_cfg,
+                control_image=control_strip,
+                dual_image=jnp.asarray(reference_image),
+            )
+            save_image(os.path.join(save_dir, "mv_rgb_w_light.png"), strip_w_light)
+            # delight pass: adapters [0, 1], control = stage-1 output, no dual
+            params_del = merge_lora(
+                self.transformer_params, [(self.delight_lora, 1.0)]
+            )
+            strip_delight = run_flux_pipeline(
+                params_del, self.flux_cfg, self.vae_params, self.vae_cfg,
+                jax.random.key(self.seed), pipe_cfg,
+                control_image=strip_w_light,
+            )
+        else:
+            # weightless stand-in: the control strip itself (geometry-shaded)
+            strip_w_light = control_strip
+            save_image(os.path.join(save_dir, "mv_rgb_w_light.png"), strip_w_light)
+            strip_delight = strip_w_light
+
+        mv_rgb = strip_to_grid(strip_delight)
+        if self.sr_pipeline is not None:
+            save_image(os.path.join(save_dir, "mv_rgb_lr.png"), mv_rgb)
+            mv_rgb = self.sr_pipeline(mv_rgb)
+        save_image(os.path.join(save_dir, "mv_rgb.png"), mv_rgb)
+        return mv_rgb
+
+    @CPUTimer("reproject_and_query_field")
+    def reproject_stage(
+        self,
+        save_dir: str,
+        mesh: Mesh,
+        mv_rgb_grid: jnp.ndarray,
+        condition: Dict[str, jnp.ndarray],
+        processed_mesh: HostMesh,
+    ) -> str:
+        bcfg = self.config.bake
+        views = grid_to_views(mv_rgb_grid, self.config.camera.rows, self.config.camera.cols)
+        out = bake_texture(
+            mesh,
+            views,
+            condition["c2ws"],
+            condition["intrinsics"],
+            uv_size=bcfg.uv_size,
+            perspective=self.config.camera.perspective,
+            method="reproject",
+            grad_norm_threshold=bcfg.grad_norm_threshold,
+            ray_normal_angle_threshold=bcfg.ray_normal_angle_threshold,
+            depth_eps=bcfg.depth_eps,
+        )
+        save_image(
+            os.path.join(save_dir, "visable_uv_mask.png"),
+            out["mask_visible_any"].astype(jnp.float32),
+        )
+        save_image(
+            os.path.join(save_dir, "valid_uv_mask.png"),
+            out["mask_2d"].astype(jnp.float32),
+        )
+        save_image(os.path.join(save_dir, "completed_uv.png"), out["texture"])
+
+        textured = HostMesh(
+            processed_mesh.vertices,
+            processed_mesh.faces,
+            uv=processed_mesh.uv,
+            faces_uv=processed_mesh.faces_uv,
+            texture=to_uint8(np.asarray(out["texture"])),
+        )
+        glb_path = os.path.join(save_dir, "textured_mesh.glb")
+        save_mesh(glb_path, textured)
+        return glb_path
+
+    @CPUTimer("export_video")
+    def export_video_stage(self, save_dir: str, glb_path: str, name: str) -> None:
+        from .render.video import export_orbit_video
+
+        export_orbit_video(
+            glb_path,
+            os.path.join(save_dir, os.path.splitext(name)[0] + ".mp4"),
+            n_frames=self.config.orbit_frames,
+            size=self.config.orbit_size,
+            fps=self.config.orbit_fps,
+        )
+
+
+class CustomRGBTextureFullPipeline(RGBTextureFullPipelineBase):
+    """The shipped entry point (pipeline.py:620-632): step_1_1 +
+    step_2_ablition (no-LTM bake)."""
+
+    def __call__(
+        self,
+        save_dir: str,
+        image_path: str,
+        mesh_path: str,
+        clear_cache: bool = False,
+        export_video: bool = False,
+    ) -> Tuple[str, str]:
+        cache = os.path.join(save_dir, "cache")
+        os.makedirs(cache, exist_ok=True)
+
+        # step_1_1
+        processed_mesh = self.preprocess_blank_mesh_stage(cache, mesh_path)
+        ref_image = self.preprocess_reference_image_stage(cache, image_path)
+        condition = self.render_geometry_images_stage(cache, processed_mesh)
+        mv_rgb = self.infer_mv_stage(cache, ref_image, condition)
+
+        # step_2_ablition
+        glb_path = self.reproject_stage(
+            cache, condition["mesh"], mv_rgb, condition, processed_mesh
+        )
+        if export_video:
+            self.export_video_stage(cache, glb_path, "textured_mesh.mp4")
+
+        import shutil
+
+        rembg_out = os.path.join(save_dir, "rembg_image.png")
+        glb_out = os.path.join(save_dir, "textured_mesh.glb")
+        shutil.copy(os.path.join(cache, "rembg_image.png"), rembg_out)
+        shutil.copy(glb_path, glb_out)
+        if clear_cache:
+            shutil.rmtree(cache)
+        return rembg_out, glb_out
