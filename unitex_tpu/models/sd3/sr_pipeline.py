@@ -1,0 +1,270 @@
+"""TSD-SR: one-step SD3 x4 super-resolution with tiled latents + tiled VAE.
+
+Equivalent of ``TSDSRPipeline`` (/root/reference/TSD_SR/sr_pipeline.py:169-277):
+bicubic x4 upscale -> (LoRA'd) VAE encode -> ONE SD3 transformer step at
+t=1000 over gaussian-weighted latent tiles (64² latent tiles, overlap 8,
+:68-165) -> latent = input - velocity -> tiled VAE decode -> wavelet/adain
+color fix.  Prompt conditioning is a precomputed fixed embedding loaded
+from disk (:220-222) or zeros.
+
+The tiled VAE replaces the reference's VAEHook task-queue
+(TSD_SR/utils/vaehook.py) with overlap-blended tiles: each tile is
+encoded/decoded independently and feathered together — same
+memory-bounding purpose, simpler and fully jit-able per tile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..flux.vae import VAEConfig, vae_decode, vae_encode
+from .color_fix import adain_color_fix, wavelet_color_fix
+from .config import SD3Config
+from .model import sd3_forward
+
+
+def gaussian_tile_weights(tile: int, var: float = 0.01) -> jnp.ndarray:
+    """[tile, tile] gaussian blend mask (sr_pipeline.py:51-66)."""
+    mid = (tile - 1) / 2.0
+    x = np.arange(tile, dtype=np.float64)
+    g = np.exp(-((x - mid) ** 2) / (tile * tile) / (2 * var)) / np.sqrt(2 * np.pi * var)
+    w = np.outer(g, g)
+    # floor keeps edge weights out of f32-denormal territory (the division
+    # by the contributor sum would otherwise lose precision at tile borders)
+    w = np.maximum(w, w.max() * 1e-6)
+    return jnp.asarray(w, jnp.float32)
+
+
+def _tile_offsets(size: int, tile: int, overlap: int):
+    """Start offsets covering [0, size) with the reference's grid walk:
+    stride (tile - overlap), last tile clamped to the end."""
+    if size <= tile:
+        return [0]
+    stride = tile - overlap
+    offs = list(range(0, size - tile, stride))
+    offs.append(size - tile)
+    return offs
+
+
+def tiled_apply(
+    fn,
+    x: jnp.ndarray,
+    tile: int,
+    overlap: int,
+    out_scale: int = 1,
+    out_channels: Optional[int] = None,
+):
+    """Apply ``fn`` ([1, t, t, C] -> [1, t*s, t*s, C']) over overlapping
+    tiles of x [1, H, W, C], gaussian-blending the results."""
+    _, H, W, C = x.shape
+    if H <= tile and W <= tile:
+        return fn(x)
+    Co = out_channels if out_channels is not None else C
+    s = out_scale
+    out = jnp.zeros((1, H * s, W * s, Co), jnp.float32)
+    cnt = jnp.zeros((1, H * s, W * s, 1), jnp.float32)
+    w = gaussian_tile_weights(tile * s)[None, :, :, None]
+    for oy in _tile_offsets(H, tile, overlap):
+        for ox in _tile_offsets(W, tile, overlap):
+            t_in = jax.lax.dynamic_slice(
+                x, (0, oy, ox, 0), (1, min(tile, H), min(tile, W), C)
+            )
+            t_out = fn(t_in).astype(jnp.float32)
+            out = jax.lax.dynamic_update_slice(
+                out,
+                jax.lax.dynamic_slice(
+                    out, (0, oy * s, ox * s, 0), t_out.shape
+                )
+                + t_out * w,
+                (0, oy * s, ox * s, 0),
+            )
+            cnt = jax.lax.dynamic_update_slice(
+                cnt,
+                jax.lax.dynamic_slice(cnt, (0, oy * s, ox * s, 0), (1,) + t_out.shape[1:3] + (1,))
+                + w,
+                (0, oy * s, ox * s, 0),
+            )
+    return out / jnp.maximum(cnt, 1e-8)
+
+
+@dataclasses.dataclass
+class TSDSRConfig:
+    upscale: int = 4
+    process_size: int = 512
+    latent_tile: int = 64
+    latent_overlap: int = 8
+    vae_encoder_tile: int = 512
+    vae_decoder_tile: int = 128
+    timestep: float = 1000.0
+    align_method: str = "wavelet"      # wavelet | adain | nofix
+
+
+class TSDSRPipeline:
+    """Callable: [H, W, 3] float image in [0,1] -> x4 upscaled image.
+
+    With ``pretrain_root`` pointing at SD3 + TSD-SR LoRA weights it runs the
+    real model; weightless (None) it degrades to bicubic + identity (for
+    pipeline plumbing tests)."""
+
+    def __init__(
+        self,
+        pretrain_root: Optional[str] = None,
+        cfg: TSDSRConfig = TSDSRConfig(),
+        sd3_cfg: SD3Config = SD3Config.sd3_medium(),
+        transformer_params: Optional[Dict[str, Any]] = None,
+        vae_params: Optional[Dict[str, Any]] = None,
+        prompt_embeds: Optional[jnp.ndarray] = None,
+        pooled_embeds: Optional[jnp.ndarray] = None,
+    ):
+        self.cfg = cfg
+        self.sd3_cfg = sd3_cfg
+        self.vae_cfg = VAEConfig.sd3()
+        self.transformer_params = transformer_params
+        self.vae_params = vae_params
+        self.prompt_embeds = prompt_embeds
+        self.pooled_embeds = pooled_embeds
+        if pretrain_root is not None and transformer_params is None:
+            self._try_load(pretrain_root)
+
+    def _try_load(self, root: str) -> None:
+        from ..flux.loader import iter_safetensors, vae_params_from_state_dict
+        from .loader import sd3_params_from_state_dict
+
+        tdir = os.path.join(root, "sd3", "transformer")
+        vdir = os.path.join(root, "sd3", "vae")
+        try:
+            self.transformer_params = sd3_params_from_state_dict(
+                iter_safetensors(tdir), self.sd3_cfg
+            )
+            self.vae_params = vae_params_from_state_dict(
+                iter_safetensors(vdir), self.vae_cfg
+            )
+            emb = os.path.join(root, "tsdsr", "prompt_embeds.npz")
+            if os.path.exists(emb):
+                z = np.load(emb)
+                self.prompt_embeds = jnp.asarray(z["prompt_embeds"])
+                self.pooled_embeds = jnp.asarray(z["pooled_embeds"])
+        except (FileNotFoundError, OSError) as e:
+            print(f"[tsdsr] SD3 weights not found ({e}); bicubic fallback")
+
+    # ---------------------------------------------------------------- ops
+
+    def _upscale(self, image: jnp.ndarray) -> jnp.ndarray:
+        H, W, C = image.shape
+        s = self.cfg.upscale
+        return jax.image.resize(image, (H * s, W * s, C), method="bicubic")
+
+    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+        image = jnp.asarray(image, jnp.float32)
+        up = jnp.clip(self._upscale(image), 0.0, 1.0)
+        if self.transformer_params is None or self.vae_params is None:
+            return up
+
+        x = up[None] * 2.0 - 1.0
+        cfg = self.cfg
+
+        if max(x.shape[1:3]) > cfg.vae_encoder_tile:
+            lq_latent = self._tiled_encode(x)
+        else:
+            lq_latent = vae_encode(self.vae_params, self.vae_cfg, x)
+
+        B = 1
+        S_txt = 154 if self.prompt_embeds is None else self.prompt_embeds.shape[-2]
+        prompt = (
+            self.prompt_embeds
+            if self.prompt_embeds is not None
+            else jnp.zeros((B, S_txt, self.sd3_cfg.joint_attention_dim))
+        )
+        if prompt.ndim == 2:
+            prompt = prompt[None]
+        pooled = (
+            self.pooled_embeds
+            if self.pooled_embeds is not None
+            else jnp.zeros((B, self.sd3_cfg.pooled_projection_dim))
+        )
+        if pooled.ndim == 1:
+            pooled = pooled[None]
+        t = jnp.full((B,), cfg.timestep, jnp.float32)
+
+        def step(lat_tile):
+            return sd3_forward(
+                self.transformer_params, self.sd3_cfg, lat_tile, prompt, t, pooled
+            )
+
+        pred = tiled_apply(
+            step, lq_latent, cfg.latent_tile, cfg.latent_overlap,
+            out_channels=self.vae_cfg.latent_channels,
+        )
+        latent_stu = lq_latent - pred
+
+        out = self._tiled_decode(latent_stu)
+        out = jnp.clip(out[0] * 0.5 + 0.5, 0.0, 1.0)
+
+        if cfg.align_method == "wavelet":
+            out = wavelet_color_fix(out, up)
+        elif cfg.align_method == "adain":
+            out = adain_color_fix(out, up)
+        return jnp.clip(out, 0.0, 1.0)
+
+    def _tiled_encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        ds = self.vae_cfg.downscale
+        tile = cfg.vae_encoder_tile
+        _, H, W, _ = x.shape
+        lat = jnp.zeros((1, H // ds, W // ds, self.vae_cfg.latent_channels), jnp.float32)
+        cnt = jnp.zeros((1, H // ds, W // ds, 1), jnp.float32)
+        w = gaussian_tile_weights(tile // ds)[None, :, :, None]
+        for oy in _tile_offsets(H, tile, tile // 4):
+            for ox in _tile_offsets(W, tile, tile // 4):
+                t_out = vae_encode(
+                    self.vae_params, self.vae_cfg,
+                    jax.lax.dynamic_slice(x, (0, oy, ox, 0), (1, tile, tile, x.shape[-1])),
+                )
+                ly, lx = oy // ds, ox // ds
+                lat = jax.lax.dynamic_update_slice(
+                    lat,
+                    jax.lax.dynamic_slice(lat, (0, ly, lx, 0), t_out.shape) + t_out * w,
+                    (0, ly, lx, 0),
+                )
+                cnt = jax.lax.dynamic_update_slice(
+                    cnt,
+                    jax.lax.dynamic_slice(cnt, (0, ly, lx, 0), (1, tile // ds, tile // ds, 1)) + w,
+                    (0, ly, lx, 0),
+                )
+        return lat / jnp.maximum(cnt, 1e-8)
+
+    def _tiled_decode(self, lat: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        ds = self.vae_cfg.downscale
+        tile = cfg.vae_decoder_tile
+        _, h, w_, C = lat.shape
+        if h <= tile and w_ <= tile:
+            return vae_decode(self.vae_params, self.vae_cfg, lat)
+        out = jnp.zeros((1, h * ds, w_ * ds, 3), jnp.float32)
+        cnt = jnp.zeros((1, h * ds, w_ * ds, 1), jnp.float32)
+        wgt = gaussian_tile_weights(tile * ds)[None, :, :, None]
+        for oy in _tile_offsets(h, tile, tile // 4):
+            for ox in _tile_offsets(w_, tile, tile // 4):
+                t_out = vae_decode(
+                    self.vae_params, self.vae_cfg,
+                    jax.lax.dynamic_slice(lat, (0, oy, ox, 0), (1, tile, tile, C)),
+                )
+                py, px = oy * ds, ox * ds
+                out = jax.lax.dynamic_update_slice(
+                    out,
+                    jax.lax.dynamic_slice(out, (0, py, px, 0), t_out.shape) + t_out * wgt,
+                    (0, py, px, 0),
+                )
+                cnt = jax.lax.dynamic_update_slice(
+                    cnt,
+                    jax.lax.dynamic_slice(cnt, (0, py, px, 0), (1, tile * ds, tile * ds, 1)) + wgt,
+                    (0, py, px, 0),
+                )
+        return out / jnp.maximum(cnt, 1e-8)
