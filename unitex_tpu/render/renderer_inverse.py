@@ -344,6 +344,62 @@ def bake_reproject_blur(
     }
 
 
+def bake_reproject_blending(
+    uv_out: Dict[str, jnp.ndarray],
+    vis_out: Dict[str, jnp.ndarray],
+    priority: Tuple[int, ...] = VIEW_PRIORITY,
+    n_blend_iters: int = 100,
+    n_outpaint_iters: int = 50,
+    knn_max_ref: int = 65536,
+    knn_chunk: int = 4096,
+) -> Dict[str, jnp.ndarray]:
+    """Priority paste + per-view Poisson blending + KNN fill
+    (renderer_inverse.py:480-572, bake_mv_to_uv_reproject_blending): after
+    the base paste, each view's visible colors are seamlessly cloned over
+    the accumulated texture (the reference round-trips through
+    cv2.seamlessClone per view; here it's an on-device Jacobi solve), with
+    the chart exterior diffusion-outpainted so blend boundaries see valid
+    colors."""
+    from ..ops.poisson import diffusion_inpaint, poisson_blend
+
+    mask_2d = uv_out["mask"]
+    visible = vis_out["visible"]
+    colors = vis_out["colors"]
+    H2, W2 = mask_2d.shape[:2]
+    C = colors.shape[-1]
+
+    color_cur = jnp.zeros((H2, W2, C), colors.dtype)
+    mask_cur = jnp.zeros((H2, W2, 1), bool)
+    for i in priority:
+        extra = (~mask_cur) & visible[i]
+        color_cur = jnp.where(extra, colors[i], color_cur)
+        mask_cur = mask_cur | extra
+
+    pos_flat = uv_out["position"].reshape(-1, 3)
+    vis_flat = mask_cur.reshape(-1)
+    invis_flat = (mask_2d & ~mask_cur).reshape(-1)
+    color_flat = _fill_invisible_knn(
+        pos_flat, color_cur.reshape(-1, C), vis_flat, invis_flat,
+        k=1, max_ref=knn_max_ref, chunk=knn_chunk,
+    )
+    color_cur = color_flat.reshape(H2, W2, C)
+
+    # per-view seamless cloning, lowest priority first so the highest
+    # priority views dominate the final gradients (reference iterates
+    # self.index reversed, renderer_inverse.py:533)
+    for i in reversed(priority):
+        color_cur = diffusion_inpaint(color_cur, ~mask_2d, n_outpaint_iters)
+        color_cur = poisson_blend(colors[i], color_cur, visible[i], n_blend_iters)
+
+    color_cur = jnp.where(mask_2d, color_cur, 0.0)
+    texture = pull_push(color_cur, mask_2d)
+    return {
+        "texture": texture,
+        "mask_2d": mask_2d,
+        "mask_visible_any": visible.any(axis=0),
+    }
+
+
 def bake_kdtree(
     uv_out: Dict[str, jnp.ndarray],
     vis_out: Dict[str, jnp.ndarray],
@@ -452,7 +508,7 @@ def bake_texture(
     renderer_inverse.py:635-726): view_images [M, H, W, C] (C = 3 RGB or 9
     PBR albedo/MR/bump), returns the baked texture [uv_size, uv_size, C] and
     diagnostic masks."""
-    assert method in ("reproject", "kdtree")
+    assert method in ("reproject", "kdtree", "reproject_blending")
     M, H, W, C = view_images.shape
     assert C in (3, 9)
     mv_out = mv_render(
@@ -473,6 +529,11 @@ def bake_texture(
     )
     if method == "reproject":
         out = bake_reproject_blur(
+            uv_out, vis_out,
+            knn_max_ref=knn_max_ref, knn_chunk=knn_chunk, **bake_kwargs,
+        )
+    elif method == "reproject_blending":
+        out = bake_reproject_blending(
             uv_out, vis_out,
             knn_max_ref=knn_max_ref, knn_chunk=knn_chunk, **bake_kwargs,
         )
