@@ -1,0 +1,90 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitex_tpu.geometry.primitives import make_icosphere
+from unitex_tpu.geometry.uv_atlas import unwrap_atlas
+from unitex_tpu.render.volume import (
+    discretize_3d,
+    grid_sample_3d,
+    splat_points_to_grid,
+    triplane_query,
+    undiscretize_3d,
+)
+from unitex_tpu.texture.remapping import remap_texture
+
+
+class TestVolume:
+    def test_grid_sample_3d_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as TF
+
+        rng = np.random.default_rng(0)
+        vol = rng.uniform(0, 1, (5, 6, 7, 2)).astype(np.float32)
+        coords = rng.uniform(-1.2, 1.2, (40, 3)).astype(np.float32)
+        ours = grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords))
+        t_vol = torch.from_numpy(vol).permute(3, 0, 1, 2)[None]  # [1,C,D,H,W]
+        t_grid = torch.from_numpy(coords)[None, :, None, None, :]
+        ref = TF.grid_sample(
+            t_vol, t_grid, mode="bilinear", padding_mode="zeros", align_corners=False
+        )[0, :, :, 0, 0].T.numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+    def test_triplane_sum_vs_concat(self):
+        rng = np.random.default_rng(1)
+        planes = jnp.asarray(rng.uniform(0, 1, (3, 8, 8, 4)).astype(np.float32))
+        coords = jnp.asarray(rng.uniform(-1, 1, (10, 3)).astype(np.float32))
+        s = triplane_query(planes, coords, "sum")
+        c = triplane_query(planes, coords, "concat")
+        assert s.shape == (10, 4) and c.shape == (10, 12)
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(c[:, :4] + c[:, 4:8] + c[:, 8:]), atol=1e-6
+        )
+
+    def test_discretize_3d_roundtrip(self):
+        coords = jnp.asarray([[0.3, -0.5, 0.9]])
+        vox = discretize_3d(coords, 64)
+        back = undiscretize_3d(jnp.floor(vox), 64)
+        assert np.abs(np.asarray(back) - np.asarray(coords)).max() < 2.0 / 64
+
+    def test_splat_points(self):
+        pts = jnp.asarray([[-0.9, -0.9, -0.9], [0.9, 0.9, 0.9]])
+        vals = jnp.asarray([[1.0], [3.0]])
+        grid = splat_points_to_grid(pts, vals, 4)
+        assert float(grid[0, 0, 0, 0]) == 1.0
+        assert float(grid[3, 3, 3, 0]) == 3.0
+        assert float(grid[1, 1, 1, 0]) == 0.0
+
+
+class TestRemap:
+    def test_remap_between_unwraps(self):
+        """Same sphere, two different UV layouts: colors must survive the
+        transfer (position-dependent texture)."""
+        sphere = make_icosphere(3)
+        src = unwrap_atlas(sphere, size=128, gutter=2)
+        # paint source texture from a position-based function via its charts
+        import jax.numpy as jnp
+        from unitex_tpu.geometry.mesh import Mesh
+        from unitex_tpu.render.renderer_inverse import uv_render
+
+        src_mesh = Mesh(
+            jnp.asarray(src.vertices), jnp.asarray(src.faces),
+            uv=jnp.asarray(src.uv), faces_uv=jnp.asarray(src.faces_uv),
+        )
+        uv_out = uv_render(src_mesh, 128, pixel_tile=0)
+        tex = 0.5 + 0.5 * uv_out["position"]
+        src.texture = (np.clip(np.asarray(tex), 0, 1) * 255).astype(np.uint8)
+
+        # target: different chart layout (finer mesh -> different unwrap)
+        dst = unwrap_atlas(make_icosphere(3), size=64, gutter=1)
+        out = remap_texture(src, dst, uv_size=64, n_samples=20000, k=3, knn_chunk=2048)
+        # verify: for target texels, baked color == positional function
+        dst_mesh = Mesh(
+            jnp.asarray(dst.vertices), jnp.asarray(dst.faces),
+            uv=jnp.asarray(dst.uv), faces_uv=jnp.asarray(dst.faces_uv),
+        )
+        dst_uv = uv_render(dst_mesh, 64, pixel_tile=0)
+        mask = np.asarray(dst_uv["mask"])[..., 0]
+        expect = np.clip(0.5 + 0.5 * np.asarray(dst_uv["position"]), 0, 1)
+        err = np.abs(out - expect)[mask]
+        assert err.mean() < 0.05, err.mean()

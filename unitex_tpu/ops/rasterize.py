@@ -164,21 +164,36 @@ def _rasterize_tile(
     )
 
 
-@partial(jax.jit, static_argnames=("resolution", "face_chunk", "pixel_tile"))
+@partial(
+    jax.jit,
+    static_argnames=("resolution", "face_chunk", "pixel_tile", "binned_threshold"),
+)
 def rasterize(
     verts_clip: jnp.ndarray,
     faces: jnp.ndarray,
     resolution: Tuple[int, int],
     face_chunk: int = 512,
     pixel_tile: int = 0,
+    binned_threshold: int = 8192,
 ) -> Rast:
     """Rasterize clip-space triangles into a z-buffered id/barycentric buffer.
 
     verts_clip [V, 4] (after MVP), faces [F, 3] int32, resolution (H, W).
     ``pixel_tile`` > 0 processes the image in square tiles of that size to
-    bound memory (needed at 2048^2); 0 = whole image at once.
+    bound memory; above ``binned_threshold`` faces the tile-binned kernel
+    (ops/rasterize_binned.py) takes over — O(pixels·bin) instead of
+    O(pixels·faces).
     """
     H, W = resolution
+    if (
+        binned_threshold > 0
+        and faces.shape[0] > binned_threshold
+        and H % 32 == 0
+        and W % 32 == 0
+    ):
+        from .rasterize_binned import rasterize_binned
+
+        return rasterize_binned(verts_clip, faces, resolution)
     pix, z_ndc, w_clip, valid = _triangle_setup(verts_clip, faces, H, W)
     if pixel_tile <= 0 or (pixel_tile >= H and pixel_tile >= W):
         bary, z, tri = _rasterize_tile(

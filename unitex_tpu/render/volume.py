@@ -1,0 +1,112 @@
+"""Volume / neural-field sampling: 3D grids, triplanes, and coordinate
+(un)discretization.
+
+Equivalent of the reference's field-query toolkit
+(/root/reference/TextureTools/texturetools/render/volume/query.py:93-233) —
+the infrastructure the LTM texture-function VAE plugs into, also used by the
+renderer's voxel_attr path (renderer_base.py:205-230).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_sample_3d(
+    volume: jnp.ndarray, coords: jnp.ndarray, align_corners: bool = False
+) -> jnp.ndarray:
+    """Trilinear sampling: volume [D, H, W, C], coords [..., 3] in [-1, 1]
+    as (x, y, z) indexing (W, H, D) — torch grid_sample 3D convention."""
+    D, H, W = volume.shape[:3]
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+
+    def to_pix(g, S):
+        if align_corners:
+            return (g + 1.0) * 0.5 * (S - 1)
+        return (g + 1.0) * 0.5 * S - 0.5
+
+    fx, fy, fz = to_pix(x, W), to_pix(y, H), to_pix(z, D)
+    x0, y0, z0 = jnp.floor(fx), jnp.floor(fy), jnp.floor(fz)
+    wx, wy, wz = fx - x0, fy - y0, fz - z0
+    x0, y0, z0 = x0.astype(jnp.int32), y0.astype(jnp.int32), z0.astype(jnp.int32)
+
+    def fetch(xi, yi, zi):
+        xc = jnp.clip(xi, 0, W - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        zc = jnp.clip(zi, 0, D - 1)
+        val = volume[zc, yc, xc]
+        inb = (
+            (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & (zi >= 0) & (zi < D)
+        )[..., None]
+        return jnp.where(inb, val, 0.0)
+
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = (
+                    (wx if dx else 1 - wx)
+                    * (wy if dy else 1 - wy)
+                    * (wz if dz else 1 - wz)
+                )[..., None]
+                out = out + w * fetch(x0 + dx, y0 + dy, z0 + dz)
+    return out
+
+
+def triplane_query(
+    planes: jnp.ndarray, coords: jnp.ndarray, mode: str = "sum"
+) -> jnp.ndarray:
+    """Triplane field query: planes [3, H, W, C] (xy, xz, yz), coords
+    [..., 3] in [-1, 1].  ``mode``: 'sum' or 'concat'."""
+    from ..ops.grid_sample import grid_sample
+
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    f_xy = grid_sample(planes[0], jnp.stack([x, y], axis=-1), padding_mode="border")
+    f_xz = grid_sample(planes[1], jnp.stack([x, z], axis=-1), padding_mode="border")
+    f_yz = grid_sample(planes[2], jnp.stack([y, z], axis=-1), padding_mode="border")
+    if mode == "sum":
+        return f_xy + f_xz + f_yz
+    return jnp.concatenate([f_xy, f_xz, f_yz], axis=-1)
+
+
+def discretize_3d(
+    coords_ndc: jnp.ndarray, resolution: int, align_corners: bool = False
+) -> jnp.ndarray:
+    """NDC [-1,1]^3 -> continuous voxel coordinates."""
+    u = coords_ndc * 0.5 + 0.5
+    if align_corners:
+        return u * (resolution - 1) + 0.5
+    return u * resolution
+
+
+def undiscretize_3d(
+    voxels: jnp.ndarray, resolution: int, align_corners: bool = False
+) -> jnp.ndarray:
+    if align_corners:
+        u = voxels / (resolution - 1)
+    else:
+        u = (voxels + 0.5) / resolution
+    return u * 2.0 - 1.0
+
+
+def splat_points_to_grid(
+    points: jnp.ndarray,
+    values: jnp.ndarray,
+    resolution: int,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Average-splat point values into a [R, R, R, C] grid (the
+    discretize_3d scatter path of query.py) via segment-sum — static
+    shapes, TPU-friendly."""
+    import jax
+
+    R = resolution
+    vox = jnp.clip(jnp.floor((points * 0.5 + 0.5) * R), 0, R - 1).astype(jnp.int32)
+    idx = (vox[:, 2] * R + vox[:, 1]) * R + vox[:, 0]
+    if valid is not None:
+        idx = jnp.where(valid, idx, R * R * R)  # dropped bucket
+    ones = jnp.ones((points.shape[0], 1), values.dtype)
+    num = jax.ops.segment_sum(values, idx, num_segments=R * R * R + 1)[:-1]
+    den = jax.ops.segment_sum(ones, idx, num_segments=R * R * R + 1)[:-1]
+    grid = num / jnp.maximum(den, 1.0)
+    return grid.reshape(R, R, R, values.shape[-1])
