@@ -1,0 +1,88 @@
+"""Ring attention: sequence-parallel exact attention over a device mesh.
+
+The reference has no sequence parallelism (SURVEY.md §5) — its 13.8k-token
+joint attention fits one GPU.  For higher view counts / resolutions (the
+sequence grows with views x (res/16)^2; 12 views at 1024² is ~100k tokens)
+this provides the TPU-native scheme: shard the sequence over a mesh axis,
+keep Q local, and rotate K/V blocks around the ring with
+``jax.lax.ppermute`` while maintaining online-softmax statistics — exact
+attention in n_devices steps, each overlapping an ICI transfer with local
+compute.  Pure jnp + shard_map; composes with the Pallas flash kernel for
+the local block product.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _block_attention(q, k, v, scale):
+    """Partial attention stats for one K/V block.
+
+    q [B, Sq, H, D], k/v [B, Sk, H, D] ->
+    (unnormalized out [B, Sq, H, D], row max m [B, Sq, H, 1],
+     row sum l [B, Sq, H, 1])."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    m = logits.max(axis=-1, keepdims=True)                      # [B,H,Sq,1]
+    p = jnp.exp(logits - m)
+    l = p.sum(axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+    # rearrange stats to [B, Sq, H, 1]
+    m = jnp.moveaxis(m, 1, 2)
+    l = jnp.moveaxis(l, 1, 2)
+    return out.astype(jnp.float32), m, l
+
+
+def ring_attention_local(q, k, v, axis_name: str, scale: Optional[float] = None):
+    """The per-shard body: q/k/v are the LOCAL sequence blocks
+    [B, S_local, H, D]; must run inside shard_map over ``axis_name``."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    n_dev = jax.lax.axis_size(axis_name)
+
+    out0, m0, l0 = _block_attention(q, k, v, scale)
+
+    def body(i, carry):
+        out, m, l, kc, vc = carry
+        perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        out_i, m_i, l_i = _block_attention(q, kc, vc, scale)
+        m_new = jnp.maximum(m, m_i)
+        alpha = jnp.exp(m - m_new)
+        beta = jnp.exp(m_i - m_new)
+        out = out * alpha + out_i * beta
+        l = l * alpha + l_i * beta
+        return out, m_new, l, kc, vc
+
+    out, m, l, _, _ = jax.lax.fori_loop(0, n_dev - 1, body, (out0, m0, l0, k, v))
+    return (out / jnp.maximum(l, 1e-20)).astype(q.dtype)
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """Exact attention with q/k/v [B, S, H, D] sequence-sharded over
+    ``axis_name``.  S must divide by the axis size."""
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    spec = P(None, axis_name, None, None)
+    fn = shard_map(
+        partial(ring_attention_local, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)

@@ -272,9 +272,21 @@ def _fill_invisible_knn(
     k: int = 1,
     max_ref: int = 65536,
     chunk: int = 4096,
+    query_field=None,
 ) -> jnp.ndarray:
     """Fill masked target texels with the (mean of) k nearest visible texels
-    in 3D (renderer_inverse.py:611-616).  All arrays flat over texels."""
+    in 3D (renderer_inverse.py:611-616).  All arrays flat over texels.
+
+    ``query_field(vertices_visible, colors_visible, vertices_invisible)``
+    replaces the KNN fill when registered — the LTM inpainting hook
+    (register_query_field, renderer_inverse.py:93-105); it receives the
+    dense arrays plus validity masks via keyword for static shapes."""
+    if query_field is not None:
+        field_colors = query_field(
+            pos_flat, color_flat, pos_flat,
+            visible_mask=visible_flat, query_mask=target_mask_flat,
+        )
+        return jnp.where(target_mask_flat[:, None], field_colors, color_flat)
     ref_pts, ref_vals, ref_valid = _select_masked_points(
         pos_flat, color_flat, visible_flat, max_ref
     )
@@ -293,9 +305,12 @@ def bake_reproject_blur(
     priority: Tuple[int, ...] = VIEW_PRIORITY,
     knn_max_ref: int = 65536,
     knn_chunk: int = 4096,
+    query_field=None,
 ) -> Dict[str, jnp.ndarray]:
     """Priority paste + seam blur + KNN fill + pull_push (the shipped
-    default bake, renderer_inverse.py:574-633)."""
+    default bake, renderer_inverse.py:574-633).  ``query_field`` swaps the
+    KNN fill for a learned texture-function (the LTM inpainting path,
+    ``reproject_inpainting=True``)."""
     assert method in ("gaussian", "lens")
     mask_2d = uv_out["mask"]
     visible = vis_out["visible"]
@@ -324,7 +339,7 @@ def bake_reproject_blur(
     invis_flat = (mask_2d & ~mask_cur).reshape(-1)
     color_flat = _fill_invisible_knn(
         pos_flat, color_flat, vis_flat, invis_flat,
-        k=1, max_ref=knn_max_ref, chunk=knn_chunk,
+        k=1, max_ref=knn_max_ref, chunk=knn_chunk, query_field=query_field,
     )
     color_cur = color_flat.reshape(H2, W2, C)
 
