@@ -54,12 +54,17 @@ def _flash_kernel(
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale           # [BQ, D]
-    k = k_ref[0].astype(jnp.float32)                   # [BK, D]
-    v = v_ref[0].astype(jnp.float32)
-    logits = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    # keep MXU inputs in the storage dtype (bf16 runs at 2x f32 throughput);
+    # accumulation and softmax statistics stay f32
+    q = q_ref[0]                                       # [BQ, D]
+    k = k_ref[0]                                       # [BK, D]
+    v = v_ref[0]
+    logits = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
     )                                                  # [BQ, BK]
     m_prev = m_ref[:]
     l_prev = l_ref[:]
@@ -69,7 +74,7 @@ def _flash_kernel(
     alpha = jnp.exp(m_prev - m_new)
     l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     acc_ref[:] = acc_ref[:] * alpha + pv
