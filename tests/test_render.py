@@ -131,3 +131,21 @@ class TestConditioning:
         # normals on the sphere: front view center pixel normal ~ +z -> 0.5*(n+1)
         normal = np.asarray(out["normal_views"])
         np.testing.assert_allclose(normal[0, 16, 16], [0.5, 0.5, 1.0], atol=0.05)
+
+
+class TestVisibility:
+    def test_visible_faces_sphere(self):
+        from unitex_tpu.render.renderer import get_visible_faces, get_visible_vertices
+
+        mesh = _sphere_mesh(2)
+        c2ws, intr = condition_cameras()
+        fvis = np.asarray(get_visible_faces(mesh, c2ws, intr, (64, 64)))
+        assert fvis.shape == (6, mesh.faces.shape[0])
+        # each view sees roughly a hemisphere's worth of faces
+        frac = fvis.mean(axis=1)
+        assert (frac > 0.2).all() and (frac < 0.7).all()
+        # every face of a convex sphere is visible from some view
+        assert fvis.any(axis=0).mean() > 0.99
+        vvis = np.asarray(get_visible_vertices(mesh, c2ws, intr, (64, 64)))
+        assert vvis.shape == (6, mesh.vertices.shape[0])
+        assert vvis.any(axis=0).mean() > 0.99

@@ -49,6 +49,47 @@ def _lerp_bg(value, alpha, bg):
     return value * alpha + bg * (1.0 - alpha)
 
 
+def get_visible_faces(
+    mesh: Mesh,
+    c2ws: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    render_size: Tuple[int, int],
+    perspective: bool = False,
+) -> jnp.ndarray:
+    """Per-view face visibility [M, F] bool from rasterized triangle ids
+    (renderer_base.py get_visible_faces:66-87), via a scatter instead of
+    masked unique."""
+    out = render_views(mesh, c2ws, intrinsics, render_size, perspective=perspective)
+    F = mesh.faces.shape[0]
+    tri = out.tri.reshape(out.tri.shape[0], -1)
+
+    def one(t):
+        seen = jnp.zeros((F + 1,), bool)
+        return seen.at[jnp.where(t >= 0, t, F)].set(True)[:F]
+
+    return jax.vmap(one)(tri)
+
+
+def get_visible_vertices(
+    mesh: Mesh,
+    c2ws: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    render_size: Tuple[int, int],
+    perspective: bool = False,
+) -> jnp.ndarray:
+    """Per-view vertex visibility [M, V] bool (renderer_base.py:89-103):
+    a vertex is visible when any face using it is."""
+    fvis = get_visible_faces(mesh, c2ws, intrinsics, render_size, perspective)
+    V = mesh.vertices.shape[0]
+    faces = mesh.faces.astype(jnp.int32)
+
+    def one(fv):
+        idx = jnp.where(fv[:, None], faces, V)
+        return jnp.zeros((V + 1,), bool).at[idx.reshape(-1)].set(True)[:V]
+
+    return jax.vmap(one)(fvis)
+
+
 @partial(
     jax.jit,
     static_argnames=(
