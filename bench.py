@@ -22,16 +22,13 @@ import json
 import time
 
 import jax
-
-jax.config.update("jax_default_prng_impl", "rbg")  # fast init of GB-scale params
-
 import jax.numpy as jnp
 import numpy as np
 
 
 def main() -> None:
     from unitex_tpu.models.flux.config import FluxConfig
-    from unitex_tpu.models.flux.model import flux_forward, init_flux_params
+    from unitex_tpu.models.flux.model import flux_forward, init_flux_params_numpy
     from unitex_tpu.models.flux.pipeline import latent_image_ids
 
     full = FluxConfig.flux1_dev()
@@ -53,11 +50,11 @@ def main() -> None:
 
     scale = n_params(cfg) / n_params(full)
 
-    # init on host CPU (f32 12B-scale temporaries would blow the 16 GB HBM),
-    # cast to bf16, then transfer
+    # init on host CPU with numpy (f32 12B-scale temporaries would blow the
+    # 16 GB HBM and jax.random is minutes-slow on CPU), cast bf16, transfer
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        params = init_flux_params(jax.random.key(0), cfg)
+        params = init_flux_params_numpy(cfg, seed=0)
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)

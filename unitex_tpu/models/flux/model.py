@@ -121,6 +121,33 @@ def init_flux_params(key, cfg: FluxConfig) -> Params:
     return params
 
 
+def init_flux_params_numpy(cfg: FluxConfig, seed: int = 0, dtype="float32"):
+    """Fast host-side initialization with numpy's PCG (GB-scale params init
+    in seconds; jax.random's counter-based PRNGs cost minutes on CPU at 12B
+    scale).  Same tree structure as :func:`init_flux_params`; distribution
+    differs (benchmarks / smoke tests, not training reproducibility)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    orig_uniform = jax.random.uniform
+    orig_normal = jax.random.normal
+    orig_split = jax.random.split
+    np_dtype = np.dtype(dtype)
+    try:
+        jax.random.uniform = lambda k, shape, dt, lo, hi: jnp.asarray(
+            rng.uniform(lo, hi, shape).astype(np_dtype)
+        )
+        jax.random.normal = lambda k, shape, dt=None: jnp.asarray(
+            rng.standard_normal(shape).astype(np_dtype)
+        )
+        jax.random.split = lambda k, n=2: [None] * n
+        return init_flux_params(None, cfg)
+    finally:
+        jax.random.uniform = orig_uniform
+        jax.random.normal = orig_normal
+        jax.random.split = orig_split
+
+
 def stack_blocks(blocks):
     """List of per-layer param trees -> one tree with stacked [L, ...] leaves."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)

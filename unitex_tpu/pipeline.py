@@ -75,6 +75,7 @@ class RGBTextureFullPipelineBase:
         self.flux_cfg = FluxConfig.flux1_dev()
         self.vae_cfg = VAEConfig.flux()
         self._flux_loaded = False
+        self.device_mesh = None
         self.transformer_params = None
         self.vae_params = None
         self.texture_lora = None
@@ -106,6 +107,24 @@ class RGBTextureFullPipelineBase:
                         p, self.flux_cfg.num_layers, self.flux_cfg.num_single_layers
                     )
                     setattr(self, f"{name}_lora", lora)
+            # bf16 weights; tensor-parallel over all chips when >1 (the 12B
+            # model needs >=2 v5e chips; a v5e-8 holds ~3 GB/chip)
+            self.transformer_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), self.transformer_params
+            )
+            if jax.device_count() > 1:
+                from .parallel.mesh import make_mesh
+                from .parallel.sharding import flux_param_shardings, shard_params
+
+                self.device_mesh = make_mesh(
+                    data=self.config.parallel.data_size, model=-1
+                )
+                shardings = flux_param_shardings(
+                    self.transformer_params, self.device_mesh
+                )
+                self.transformer_params = shard_params(
+                    self.transformer_params, shardings
+                )
             self._flux_loaded = True
         except (FileNotFoundError, OSError) as e:
             if require:

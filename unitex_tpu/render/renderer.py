@@ -49,6 +49,41 @@ def _lerp_bg(value, alpha, bg):
     return value * alpha + bg * (1.0 - alpha)
 
 
+def render_uv_attributes(
+    mesh: Mesh,
+    uv_size: int,
+    v_attr: Optional[jnp.ndarray] = None,
+    render_world_normal: bool = False,
+    render_world_position: bool = False,
+    face_chunk: int = 512,
+    pixel_tile: int = 512,
+):
+    """Inverse (UV-space) rendering: bake per-vertex attributes into the UV
+    atlas (``simple_inverse_rendering``/``global_inverse_rendering``,
+    renderer_base.py:352, :562).  Returns dict with 'mask' [S, S, 1] and the
+    requested attribute images."""
+    from ..ops.rasterize import interpolate, rasterize_uv
+
+    rast = rasterize_uv(
+        mesh.uv, mesh.faces_uv.astype(jnp.int32), uv_size,
+        face_chunk=face_chunk,
+        pixel_tile=pixel_tile if uv_size > pixel_tile else 0,
+    )
+    faces = mesh.faces.astype(jnp.int32)
+    out = {"mask": rast.mask[..., None]}
+    if v_attr is not None:
+        out["v_attr"] = interpolate(v_attr, rast, faces)
+    if render_world_position:
+        out["world_position"] = interpolate(mesh.vertices, rast, faces)
+    if render_world_normal:
+        nrm = compute_vertex_normals(mesh.vertices, faces)
+        wn = interpolate(nrm, rast, faces)
+        out["world_normal"] = wn / jnp.maximum(
+            jnp.linalg.norm(wn, axis=-1, keepdims=True), 1e-12
+        )
+    return out
+
+
 def get_visible_faces(
     mesh: Mesh,
     c2ws: jnp.ndarray,
