@@ -26,6 +26,10 @@ class FluxConfig:
     rope_theta: float = 10000.0
     mlp_ratio: float = 4.0
     dtype: str = "bfloat16"
+    # rematerialize block bodies under grad: activations are recomputed in
+    # the backward pass instead of stored per layer — required to fit LoRA
+    # training of the 12B model in 16 GB/chip HBM
+    remat: bool = False
 
     @property
     def hidden_size(self) -> int:

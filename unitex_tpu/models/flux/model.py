@@ -281,15 +281,18 @@ def flux_forward(
         h, c = _dual_block(blk, cfg, h, c, temb, cos, sin)
         return (h, c), None
 
+    def single_body(x, blk):
+        return _single_block(blk, cfg, x, temb, cos, sin), None
+
+    if cfg.remat:
+        dual_body = jax.checkpoint(dual_body)
+        single_body = jax.checkpoint(single_body)
+
     (hidden, context), _ = jax.lax.scan(
         dual_body, (hidden, context), params["dual_blocks"]
     )
 
     x = jnp.concatenate([context, hidden], axis=1)
-
-    def single_body(x, blk):
-        return _single_block(blk, cfg, x, temb, cos, sin), None
-
     x, _ = jax.lax.scan(single_body, x, params["single_blocks"])
     x = x[:, context.shape[1]:]
 
