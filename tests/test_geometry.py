@@ -198,3 +198,28 @@ def test_unwrap_atlas(maker):
     assert _uv_overlap_fraction(out) < 0.02
     # decent coverage of the atlas: uv area is a reasonable fraction
     assert (out.uv.max(0) - out.uv.min(0)).min() > 0.2
+
+
+def test_sample_pbr_attribute():
+    import jax.numpy as jnp
+    from unitex_tpu.geometry.mesh import PBRMesh, sample_pbr_attribute
+
+    cube = make_cube()
+    mesh = PBRMesh(
+        jnp.asarray(cube.vertices), jnp.asarray(cube.faces),
+        uv=jnp.asarray(cube.uv), faces_uv=jnp.asarray(cube.faces_uv),
+    )
+    face_idx = jnp.asarray([0, 5])
+    bary = jnp.asarray([[1.0, 0.0, 0.0], [0.2, 0.3, 0.5]])
+    # [V, C] vertex form: sampling vertex positions reproduces the surface point
+    pts = sample_pbr_attribute(mesh, mesh.vertices, face_idx, bary)
+    tri = np.asarray(cube.vertices)[np.asarray(cube.faces)[np.asarray(face_idx)]]
+    expect = np.einsum("nkc,nk->nc", tri, np.asarray(bary))
+    np.testing.assert_allclose(np.asarray(pts), expect, atol=1e-6)
+    # [C] constant form broadcasts
+    const = sample_pbr_attribute(mesh, jnp.asarray([0.5, 0.25, 0.125]), face_idx, bary)
+    np.testing.assert_allclose(np.asarray(const), [[0.5, 0.25, 0.125]] * 2)
+    # [H, W, C] map form samples through the UV layer
+    tex = jnp.ones((8, 8, 3)) * 0.75
+    mapped = sample_pbr_attribute(mesh, tex, face_idx, bary)
+    np.testing.assert_allclose(np.asarray(mapped), 0.75, atol=1e-6)

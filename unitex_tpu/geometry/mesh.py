@@ -151,6 +151,25 @@ def mesh_edges(faces: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def sample_pbr_attribute(
+    mesh: "PBRMesh", attr: jnp.ndarray, face_idx: jnp.ndarray, bary: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample a PBR attribute at surface points given (face, barycentric)
+    — ``PBRMesh.__call__`` (mesh/structure_v2.py:105-135).  ``attr`` may be
+    a [H, W, C] texture map (sampled through the UV layer), a [V, C]
+    per-vertex table, or a [C] constant."""
+    if attr.ndim == 3:
+        assert mesh.uv is not None and mesh.faces_uv is not None
+        uv_tri = mesh.uv[mesh.faces_uv[face_idx]]
+        uv = jnp.einsum("...kc,...k->...c", uv_tri, bary)
+        from ..ops.grid_sample import sample_texture
+
+        return sample_texture(attr, uv)
+    if attr.ndim == 2:
+        return interpolate_attributes(attr, mesh.faces, face_idx, bary)
+    return jnp.broadcast_to(attr, bary.shape[:-1] + attr.shape)
+
+
 def interpolate_attributes(
     attr: jnp.ndarray, faces: jnp.ndarray, face_idx: jnp.ndarray, bary: jnp.ndarray
 ) -> jnp.ndarray:
