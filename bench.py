@@ -32,12 +32,14 @@ def main() -> None:
     from unitex_tpu.models.flux.pipeline import latent_image_ids
 
     full = FluxConfig.flux1_dev()
-    # depth-reduced: same width/heads/seq -> identical per-layer kernels,
-    # ~1/4 the layers (12B bf16 = 24 GB exceeds the single bench chip's HBM;
-    # production runs TP over 8 chips)
+    # depth-reduced: same width/heads/seq -> identical per-layer kernels
+    # (blocks are scanned, so per-layer cost is depth-independent); the full
+    # 12B bf16 = 24 GB exceeds the single bench chip's HBM — production runs
+    # TP over 8 chips.  Small depth keeps init/transfer/compile short for
+    # the driver.
     cfg = FluxConfig(
-        num_layers=4,
-        num_single_layers=8,
+        num_layers=2,
+        num_single_layers=4,
         dtype="bfloat16",
     )
 
@@ -82,7 +84,7 @@ def main() -> None:
     out = step(params, hidden)
     out.block_until_ready()  # compile + warm
 
-    n_iter = 5
+    n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = step(params, hidden)
