@@ -1,0 +1,101 @@
+"""Training data pipeline.
+
+The reference trainers consume pre-rendered multi-view datasets (keys
+``training_image``/``rgbs``/``native_normals``/ccm per
+flux_piplines/{texturing,delight}/trainer.py data paths; the dataset code
+lives in the external UniTEX-FLUX repo).  This module provides:
+
+* ``SyntheticTextureDataset`` — renders (control, target) training pairs on
+  the fly from procedural meshes + procedural textures, exercising the full
+  geometry/render stack; the shape contract matches what
+  ``training.flux_lora.flow_match_loss`` consumes.
+* ``iterate_host_sharded`` — per-host data sharding for multi-host meshes
+  (each host yields its slice of the global batch; jax.make_array_from
+  single-device arrays composes them).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class SyntheticTextureDataset:
+    """Procedural (control grid, textured target grid) pairs at toy or full
+    resolution."""
+
+    view_size: int = 64
+    rows: int = 2
+    cols: int = 3
+    seed: int = 0
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from ..geometry.mesh import Mesh
+        from ..geometry.primitives import make_icosphere, make_torus
+        from ..geometry.uv_atlas import unwrap_atlas
+        from ..render.conditioning import render_geometry_condition
+        from ..render.renderer import render_views
+        from ..render.renderer_inverse import uv_render
+
+        rng = np.random.default_rng(self.seed)
+        makers = [lambda: make_icosphere(3), make_torus]
+        while True:
+            host = unwrap_atlas(
+                makers[int(rng.integers(len(makers)))](), size=128, gutter=2
+            )
+            mesh = Mesh(
+                jnp.asarray(host.vertices * 0.9),
+                jnp.asarray(host.faces),
+                uv=jnp.asarray(host.uv),
+                faces_uv=jnp.asarray(host.faces_uv),
+            )
+            cond = render_geometry_condition(
+                mesh, view_size=self.view_size, rows=self.rows, cols=self.cols
+            )
+            # procedural "ground-truth" texture: random low-frequency color
+            # field of 3D position
+            w = rng.normal(size=(3, 3)).astype(np.float32)
+            uv_out = uv_render(mesh, 128, pixel_tile=0)
+            pos = np.asarray(uv_out["position"])
+            tex = 0.5 + 0.4 * np.tanh(pos @ w.T)
+            tex = jnp.asarray(np.where(np.asarray(uv_out["mask"]), tex, 0.0))
+            target = render_views(
+                mesh, cond["c2ws"], cond["intrinsics"],
+                (self.view_size, self.view_size),
+                map_attr=tex, render_uv=True, render_map_attr=True,
+            )
+            from ..render.conditioning import views_to_grid
+
+            target_grid = views_to_grid(target.map_attr, self.rows, self.cols)
+            control_grid = 0.5 * cond["normal"] + 0.5 * cond["ccm"]
+            yield {
+                "target": np.asarray(target_grid),
+                "control": np.asarray(control_grid),
+            }
+
+
+def iterate_host_sharded(
+    iterator: Iterator[Dict[str, np.ndarray]],
+    global_batch: int,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Batch an example stream, yielding this host's slice of each global
+    batch (the per-host data sharding the reference gets from accelerate's
+    DistributedSampler)."""
+    n_hosts = jax.process_count()
+    host = jax.process_index()
+    per_host = global_batch // max(n_hosts, 1)
+    buf: list = []
+    for ex in iterator:
+        buf.append(ex)
+        if len(buf) == global_batch:
+            sl = buf[host * per_host : (host + 1) * per_host]
+            yield {
+                k: np.stack([e[k] for e in sl]) for k in sl[0].keys()
+            }
+            buf = []
