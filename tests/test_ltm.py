@@ -1,0 +1,81 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from unitex_tpu.models.ltm import (
+    LTMConfig,
+    decode_field,
+    encode_geometry,
+    fourier_features,
+    init_ltm_params,
+    ltm_vae_loss,
+    make_query_field,
+)
+
+
+def test_fourier_shapes():
+    x = jnp.zeros((5, 3))
+    f = fourier_features(x, 4)
+    assert f.shape == (5, 3 + 6 * 4)
+
+
+def test_encode_decode_shapes():
+    cfg = LTMConfig.tiny()
+    params = init_ltm_params(jax.random.key(0), cfg)
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (100, 3)), jnp.float32)
+    cols = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (100, 3)), jnp.float32)
+    valid = jnp.ones((100,), bool)
+    z, mean, logvar = encode_geometry(params, cfg, pts, cols, valid)
+    assert z.shape == (cfg.n_latents, cfg.kl_latent_dim)
+    out = decode_field(params, cfg, z, pts[:17])
+    assert out.shape == (17, 3)
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+
+def test_masked_points_ignored():
+    cfg = LTMConfig.tiny()
+    params = init_ltm_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.uniform(-1, 1, (50, 3)), jnp.float32)
+    cols = jnp.asarray(rng.uniform(0, 1, (50, 3)), jnp.float32)
+    valid = jnp.asarray([True] * 25 + [False] * 25)
+    z1, _, _ = encode_geometry(params, cfg, pts, cols, valid)
+    # mutate only the masked points: encoding must not change
+    pts2 = pts.at[25:].add(10.0)
+    cols2 = cols.at[25:].set(0.0)
+    z2, _, _ = encode_geometry(params, cfg, pts2, cols2, valid)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
+
+
+def test_query_field_contract():
+    cfg = LTMConfig.tiny()
+    params = init_ltm_params(jax.random.key(0), cfg)
+    qf = make_query_field(params, cfg)
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+    cols = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
+    out = qf(pts, cols, pts[:10], visible_mask=jnp.ones((64,), bool))
+    assert out.shape == (10, 3)
+
+
+def test_vae_overfits_one_field():
+    """Train on a single smooth color field: reconstruction must improve."""
+    cfg = LTMConfig.tiny()
+    params = init_ltm_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(rng.uniform(-1, 1, (128, 3)), jnp.float32)
+    cols = jnp.clip(0.5 + 0.5 * pts, 0, 1)
+    valid = jnp.ones((128,), bool)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+    loss_fn = lambda p, k: ltm_vae_loss(p, cfg, pts, cols, valid, pts, cols, k)
+    l0 = float(loss_fn(params, jax.random.key(1)))
+    step = jax.jit(
+        lambda p, o, k: (lambda g: (optax.apply_updates(p, tx.update(g, o, p)[0]),
+                                    tx.update(g, o, p)[1]))(jax.grad(loss_fn)(p, k))
+    )
+    for i in range(60):
+        params, opt = step(params, opt, jax.random.key(i))
+    l1 = float(loss_fn(params, jax.random.key(999)))
+    assert l1 < l0 * 0.5, (l0, l1)

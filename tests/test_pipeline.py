@@ -244,3 +244,25 @@ class TestLoaders:
             lambda x, y: float(jnp.abs(x - y).max()), ref, loaded
         )
         assert max(jax.tree.leaves(diff)) == 0.0
+
+
+class TestLTMPipeline:
+    def test_step_2_2_with_field(self, assets, tmp_path):
+        """RGBTextureFullPipeline with a (random-weight) LTM query_field:
+        the inpainting hook must drive the invisible-texel fill end-to-end."""
+        from unitex_tpu.models.ltm import LTMConfig, init_ltm_params
+        from unitex_tpu.pipeline import RGBTextureFullPipeline
+
+        mesh_path, img_path = assets
+        cfg = LTMConfig.tiny()
+        params = init_ltm_params(jax.random.key(0), cfg)
+        pipe = RGBTextureFullPipeline(
+            pretrain_models=None, seed=63, config=small_config(),
+            ltm_params=params, ltm_cfg=cfg,
+        )
+        rembg_out, glb_out = pipe(str(tmp_path), img_path, mesh_path)
+        assert os.path.exists(glb_out)
+        from unitex_tpu.geometry.io.mesh_io import load_mesh
+
+        back = load_mesh(glb_out)
+        assert back.texture is not None

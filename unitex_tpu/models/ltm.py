@@ -1,0 +1,201 @@
+"""LTM — a texture-function VAE (RGBFieldVAE capability).
+
+The reference's stage-2.5 inpainting calls an unreleased ``LTM`` package
+(``build_ltm`` -> LTM.rgb_field.RGBFieldVAE, /root/reference/pipeline.py:131-137;
+the call surface is recoverable from pipeline.py:463-559: ``encode_geometry``
+consumes per-view alpha/ccm/albedo tensors + FPS surface samples and
+``decode_field`` maps query points to colors).  This module provides a
+TPU-native architecture with that exact interface:
+
+* ``encode_geometry`` — a perceiver-style set encoder: visible surface
+  points (position + color, Fourier-featurized) are cross-attended into a
+  fixed set of latent tokens, then self-attended (posterior mean/logvar —
+  it is a VAE).
+* ``decode_field``   — query points cross-attend the latents through a
+  small MLP head to predict colors.
+
+With trained weights this is the learned inpainting field; untrained it
+still functions as the ``query_field`` hook contract for the bake
+(renderer_inverse.register_query_field).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .flux.layers import Params, layer_norm, linear, linear_init
+
+
+@dataclasses.dataclass(frozen=True)
+class LTMConfig:
+    n_latents: int = 256
+    latent_dim: int = 256
+    n_heads: int = 8
+    n_self_layers: int = 4
+    n_fourier: int = 8           # position Fourier bands
+    color_dim: int = 3
+    kl_latent_dim: int = 64      # bottleneck channel per latent token
+
+    @classmethod
+    def tiny(cls) -> "LTMConfig":
+        return cls(n_latents=16, latent_dim=32, n_heads=2, n_self_layers=1,
+                   n_fourier=4, kl_latent_dim=8)
+
+
+def fourier_features(x: jnp.ndarray, n_bands: int) -> jnp.ndarray:
+    """[., 3] -> [., 3 + 6*n_bands] positional encoding."""
+    freqs = 2.0 ** jnp.arange(n_bands, dtype=jnp.float32) * math.pi
+    ang = x[..., None] * freqs                      # [., 3, B]
+    enc = jnp.concatenate(
+        [jnp.sin(ang), jnp.cos(ang)], axis=-1
+    ).reshape(*x.shape[:-1], -1)
+    return jnp.concatenate([x, enc], axis=-1)
+
+
+def _mha_init(key, d, d_kv=None):
+    d_kv = d_kv or d
+    ks = jax.random.split(key, 4)
+    return {
+        "q": linear_init(ks[0], d, d),
+        "k": linear_init(ks[1], d_kv, d),
+        "v": linear_init(ks[2], d_kv, d),
+        "o": linear_init(ks[3], d, d),
+    }
+
+
+def _mha(p, cfg, q_in, kv_in, kv_mask=None):
+    H = cfg.n_heads
+    B = 1 if q_in.ndim == 2 else q_in.shape[0]
+
+    def heads(x):
+        return x.reshape(*x.shape[:-1], H, -1)
+
+    q = heads(linear(p["q"], q_in))
+    k = heads(linear(p["k"], kv_in))
+    v = heads(linear(p["v"], kv_in))
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("...qhd,...khd->...hqk", q, k) * scale
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[..., None, None, :], logits, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
+    return linear(p["o"], out.reshape(*q_in.shape[:-1], -1))
+
+
+def _block_init(key, cfg):
+    ks = jax.random.split(key, 3)
+    d = cfg.latent_dim
+    return {
+        "attn": _mha_init(ks[0], d),
+        "ff_in": linear_init(ks[1], d, 4 * d),
+        "ff_out": linear_init(ks[2], 4 * d, d),
+    }
+
+
+def _block(p, cfg, x):
+    x = x + _mha(p["attn"], cfg, layer_norm(x), layer_norm(x))
+    h = layer_norm(x)
+    return x + linear(p["ff_out"], jax.nn.gelu(linear(p["ff_in"], h)))
+
+
+def init_ltm_params(key, cfg: LTMConfig) -> Params:
+    ks = jax.random.split(key, 10 + cfg.n_self_layers)
+    d = cfg.latent_dim
+    in_dim = 3 + 6 * cfg.n_fourier + cfg.color_dim
+    q_dim = 3 + 6 * cfg.n_fourier
+    params: Params = {
+        "latents": jax.random.normal(ks[0], (cfg.n_latents, d), jnp.float32) * 0.02,
+        "point_embed": linear_init(ks[1], in_dim, d),
+        "query_embed": linear_init(ks[2], q_dim, d),
+        "cross_in": _mha_init(ks[3], d),
+        "to_mean": linear_init(ks[4], d, cfg.kl_latent_dim),
+        "to_logvar": linear_init(ks[5], d, cfg.kl_latent_dim),
+        "from_latent": linear_init(ks[6], cfg.kl_latent_dim, d),
+        "cross_out": _mha_init(ks[7], d),
+        "head_in": linear_init(ks[8], d, d),
+        "head_out": linear_init(ks[9], d, cfg.color_dim),
+        "self_blocks": [
+            _block_init(ks[10 + i], cfg) for i in range(cfg.n_self_layers)
+        ],
+    }
+    return params
+
+
+def encode_geometry(
+    params: Params,
+    cfg: LTMConfig,
+    points: jnp.ndarray,
+    colors: jnp.ndarray,
+    valid: jnp.ndarray,
+    sample_key=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Visible colored surface points -> latent tokens.
+
+    points [N, 3], colors [N, C], valid [N] -> (latents [L, D_kl],
+    mean, logvar).  Deterministic (mean) unless a PRNG key is given."""
+    feats = jnp.concatenate([fourier_features(points, cfg.n_fourier), colors], -1)
+    tokens = linear(params["point_embed"], feats)
+    lat = params["latents"]
+    lat = lat + _mha(params["cross_in"], cfg, layer_norm(lat), layer_norm(tokens), valid)
+    for blk in params["self_blocks"]:
+        lat = _block(blk, cfg, lat)
+    mean = linear(params["to_mean"], layer_norm(lat))
+    logvar = jnp.clip(linear(params["to_logvar"], layer_norm(lat)), -30.0, 20.0)
+    z = mean
+    if sample_key is not None:
+        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+            sample_key, mean.shape
+        )
+    return z, mean, logvar
+
+
+def decode_field(
+    params: Params, cfg: LTMConfig, z: jnp.ndarray, queries: jnp.ndarray
+) -> jnp.ndarray:
+    """Latents [L, D_kl] + query points [M, 3] -> colors [M, C]."""
+    lat = linear(params["from_latent"], z)
+    q = linear(params["query_embed"], fourier_features(queries, cfg.n_fourier))
+    h = q + _mha(params["cross_out"], cfg, layer_norm(q), layer_norm(lat))
+    h = jax.nn.gelu(linear(params["head_in"], layer_norm(h)))
+    return jax.nn.sigmoid(linear(params["head_out"], h))
+
+
+def make_query_field(params: Params, cfg: LTMConfig, chunk: int = 65536):
+    """Build the ``query_field`` callable the bake consumes
+    (renderer_inverse.register_query_field semantics): encode the visible
+    colored points once, decode colors at the query points."""
+
+    def query_field(vertices_visible, colors_visible, vertices_query,
+                    visible_mask=None, query_mask=None):
+        if visible_mask is None:
+            visible_mask = jnp.ones(vertices_visible.shape[0], bool)
+        z, _, _ = encode_geometry(
+            params, cfg, vertices_visible, colors_visible, visible_mask
+        )
+        return decode_field(params, cfg, z, vertices_query)
+
+    return query_field
+
+
+def ltm_vae_loss(
+    params: Params,
+    cfg: LTMConfig,
+    points: jnp.ndarray,
+    colors: jnp.ndarray,
+    valid: jnp.ndarray,
+    query_points: jnp.ndarray,
+    query_colors: jnp.ndarray,
+    key,
+    kl_weight: float = 1e-4,
+) -> jnp.ndarray:
+    """Reconstruction + KL training objective of the texture-function VAE."""
+    z, mean, logvar = encode_geometry(params, cfg, points, colors, valid, key)
+    pred = decode_field(params, cfg, z, query_points)
+    rec = jnp.mean((pred - query_colors) ** 2)
+    kl = -0.5 * jnp.mean(1 + logvar - mean**2 - jnp.exp(logvar))
+    return rec + kl_weight * kl

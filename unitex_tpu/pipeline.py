@@ -307,6 +307,78 @@ class RGBTextureFullPipelineBase:
         )
 
 
+class RGBTextureFullPipeline(RGBTextureFullPipelineBase):
+    """The LTM-enabled driver (reference pipeline.py:568-617):
+    ``step_seq=['step_1_1', 'step_2_1']``; ``step_2_2`` is the LTM-
+    inpainting variant — invisible texels are filled by the texture-function
+    VAE instead of KNN (``infer_field``/``reproject_and_query_field``
+    inpainting=True, pipeline.py:410-564)."""
+
+    def __init__(self, *args, ltm_params=None, ltm_cfg=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.ltm_params = ltm_params
+        self.ltm_cfg = ltm_cfg
+
+    def reproject_with_field(
+        self, save_dir, mesh, mv_rgb_grid, condition, processed_mesh
+    ) -> str:
+        """step_2_2: bake with the LTM query_field as the inpainting hook."""
+        from .models.ltm import make_query_field
+        from .render.conditioning import grid_to_views
+        from .render.renderer_inverse import bake_texture
+
+        assert self.ltm_params is not None, "step_2_2 needs LTM weights"
+        bcfg = self.config.bake
+        views = grid_to_views(
+            mv_rgb_grid, self.config.camera.rows, self.config.camera.cols
+        )
+        out = bake_texture(
+            mesh, views, condition["c2ws"], condition["intrinsics"],
+            uv_size=bcfg.uv_size,
+            perspective=self.config.camera.perspective,
+            method="reproject",
+            grad_norm_threshold=bcfg.grad_norm_threshold,
+            ray_normal_angle_threshold=bcfg.ray_normal_angle_threshold,
+            depth_eps=bcfg.depth_eps,
+            filt_gradient_points=True,   # inpainting path filters gradients
+            query_field=make_query_field(self.ltm_params, self.ltm_cfg),
+        )
+        save_image(os.path.join(save_dir, "completed_uv.png"), out["texture"])
+        textured = HostMesh(
+            processed_mesh.vertices, processed_mesh.faces,
+            uv=processed_mesh.uv, faces_uv=processed_mesh.faces_uv,
+            texture=to_uint8(np.asarray(out["texture"])),
+        )
+        glb_path = os.path.join(save_dir, "textured_mesh.glb")
+        save_mesh(glb_path, textured)
+        return glb_path
+
+    def __call__(self, save_dir, image_path, mesh_path, clear_cache=False):
+        cache = os.path.join(save_dir, "cache")
+        os.makedirs(cache, exist_ok=True)
+        processed_mesh = self.preprocess_blank_mesh_stage(cache, mesh_path)
+        ref_image = self.preprocess_reference_image_stage(cache, image_path)
+        condition = self.render_geometry_images_stage(cache, processed_mesh)
+        mv_rgb = self.infer_mv_stage(cache, ref_image, condition)
+        if self.ltm_params is not None:
+            glb_path = self.reproject_with_field(
+                cache, condition["mesh"], mv_rgb, condition, processed_mesh
+            )
+        else:
+            glb_path = self.reproject_stage(
+                cache, condition["mesh"], mv_rgb, condition, processed_mesh
+            )
+        import shutil
+
+        rembg_out = os.path.join(save_dir, "rembg_image.png")
+        glb_out = os.path.join(save_dir, "textured_mesh.glb")
+        shutil.copy(os.path.join(cache, "rembg_image.png"), rembg_out)
+        shutil.copy(glb_path, glb_out)
+        if clear_cache:
+            shutil.rmtree(cache)
+        return rembg_out, glb_out
+
+
 class CustomRGBTextureFullPipeline(RGBTextureFullPipelineBase):
     """The shipped entry point (pipeline.py:620-632): step_1_1 +
     step_2_ablition (no-LTM bake)."""
