@@ -248,7 +248,10 @@ def render_views(
                 out["map_attr"] = grid_sample(map_attr, g, padding_mode="border") * alpha
         return out
 
-    outs = jax.vmap(one_view)(mvp, w2cs, c2ws)
+    # sequential map over views: one compiled body (batching the binned
+    # rasterizer's sort/scatter through vmap inflates the HLO and compile
+    # time enormously; M is only 6-10 so sequential execution is cheap)
+    outs = jax.lax.map(lambda args: one_view(*args), (mvp, w2cs, c2ws))
     return RenderOutputs(
         mask=outs["mask"],
         alpha=outs["alpha"],
