@@ -152,3 +152,64 @@ class TestSharding:
             lambda a, b: float(jnp.abs(a - b).max()), state.lora, state2.lora
         )
         assert max(jax.tree.leaves(moved)) > 0
+
+
+class TestTokenDrop:
+    def test_drop_rate_loss_finite(self):
+        cfg = FluxConfig.tiny()
+        tcfg = FluxLoraTrainConfig(rank=4, drop_rate=0.5)
+        base = init_flux_params(jax.random.key(0), cfg)
+        state, tx = create_train_state(jax.random.key(1), base, tcfg)
+        batch = _tiny_batch(cfg)
+        state2, loss = train_step(
+            state, base, batch, jax.random.key(0), cfg, tcfg, tx
+        )
+        assert np.isfinite(float(loss))
+
+    def test_kv_keep_idx_full_is_identity(self):
+        """Keeping every kv token must equal the unrestricted forward."""
+        from unitex_tpu.models.flux.pipeline import latent_image_ids
+
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), cfg)
+        hidden = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 8, cfg.in_channels)),
+            jnp.float32,
+        )
+        ctx = jnp.zeros((1, 4, cfg.joint_attention_dim))
+        ids = latent_image_ids(2, 4)
+        tids = jnp.zeros((4, 3))
+        pooled = jnp.zeros((1, cfg.pooled_projection_dim))
+        t = jnp.asarray([0.5])
+        g = jnp.asarray([3.5])
+        from unitex_tpu.models.flux.model import flux_forward
+
+        full = flux_forward(params, cfg, hidden, ctx, t, pooled, ids, tids, g)
+        idx = jnp.arange(4 + 8)  # S_txt + S_img
+        same = flux_forward(
+            params, cfg, hidden, ctx, t, pooled, ids, tids, g, kv_keep_idx=idx
+        )
+        np.testing.assert_allclose(np.asarray(full), np.asarray(same), atol=1e-5)
+
+    def test_kv_subset_changes_output(self):
+        from unitex_tpu.models.flux.pipeline import latent_image_ids
+        from unitex_tpu.models.flux.model import flux_forward
+
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), cfg)
+        hidden = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 8, cfg.in_channels)),
+            jnp.float32,
+        )
+        ctx = jnp.zeros((1, 4, cfg.joint_attention_dim))
+        ids = latent_image_ids(2, 4)
+        tids = jnp.zeros((4, 3))
+        pooled = jnp.zeros((1, cfg.pooled_projection_dim))
+        t = jnp.asarray([0.5])
+        g = jnp.asarray([3.5])
+        full = flux_forward(params, cfg, hidden, ctx, t, pooled, ids, tids, g)
+        sub = flux_forward(
+            params, cfg, hidden, ctx, t, pooled, ids, tids, g,
+            kv_keep_idx=jnp.arange(4 + 4),  # text + half the image tokens
+        )
+        assert np.abs(np.asarray(full) - np.asarray(sub)).max() > 1e-5

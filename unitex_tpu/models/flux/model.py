@@ -174,9 +174,13 @@ def _joint_attention(
     context: jnp.ndarray,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
+    kv_keep_idx: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dual-stream joint attention: text tokens first in the sequence
-    (attention_processor.py:74-80)."""
+    (attention_processor.py:74-80).  ``kv_keep_idx`` [S_kept] subselects the
+    joint K/V sequence (queries stay full) — the training-time random token
+    dropping of RandomDropFluxAttnProcessor2_0
+    (attention_processor.py:114-233)."""
     H = cfg.num_attention_heads
     q = _heads(linear(p["to_q"], hidden), H)
     k = _heads(linear(p["to_k"], hidden), H)
@@ -193,6 +197,9 @@ def _joint_attention(
     v = jnp.concatenate([cv, v], axis=1)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    if kv_keep_idx is not None:
+        k = k[:, kv_keep_idx]
+        v = v[:, kv_keep_idx]
     out = sdpa(q, k, v)
     out = out.reshape(out.shape[0], out.shape[1], -1)
     S_txt = context.shape[1]
@@ -201,7 +208,12 @@ def _joint_attention(
 
 
 def _single_attention(
-    p: Params, cfg: FluxConfig, x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+    p: Params,
+    cfg: FluxConfig,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    kv_keep_idx: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     H = cfg.num_attention_heads
     q = rms_norm(_heads(linear(p["to_q"], x), H), p["norm_q"])
@@ -209,6 +221,9 @@ def _single_attention(
     v = _heads(linear(p["to_v"], x), H)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    if kv_keep_idx is not None:
+        k = k[:, kv_keep_idx]
+        v = v[:, kv_keep_idx]
     out = sdpa(q, k, v)
     return out.reshape(out.shape[0], out.shape[1], -1)
 
@@ -218,12 +233,14 @@ def _ada_ln_zero(p, temb, n=6):
     return jnp.split(mods[:, None, :], n, axis=-1)
 
 
-def _dual_block(p, cfg, hidden, context, temb, cos, sin):
+def _dual_block(p, cfg, hidden, context, temb, cos, sin, kv_keep_idx=None):
     sh_a, sc_a, g_a, sh_m, sc_m, g_m = _ada_ln_zero(p["norm1"], temb, 6)
     csh_a, csc_a, cg_a, csh_m, csc_m, cg_m = _ada_ln_zero(p["norm1_context"], temb, 6)
     h_norm = layer_norm(hidden) * (1 + sc_a) + sh_a
     c_norm = layer_norm(context) * (1 + csc_a) + csh_a
-    h_attn, c_attn = _joint_attention(p["attn"], cfg, h_norm, c_norm, cos, sin)
+    h_attn, c_attn = _joint_attention(
+        p["attn"], cfg, h_norm, c_norm, cos, sin, kv_keep_idx
+    )
     hidden = hidden + g_a * h_attn
     context = context + cg_a * c_attn
     h_mlp = layer_norm(hidden) * (1 + sc_m) + sh_m
@@ -235,10 +252,10 @@ def _dual_block(p, cfg, hidden, context, temb, cos, sin):
     return hidden, context
 
 
-def _single_block(p, cfg, x, temb, cos, sin):
+def _single_block(p, cfg, x, temb, cos, sin, kv_keep_idx=None):
     sh, sc, gate = _ada_ln_zero(p["norm"], temb, 3)
     x_norm = layer_norm(x) * (1 + sc) + sh
-    attn_out = _single_attention(p["attn"], cfg, x_norm, cos, sin)
+    attn_out = _single_attention(p["attn"], cfg, x_norm, cos, sin, kv_keep_idx)
     mlp_out = gelu_tanh(linear(p["proj_mlp"], x_norm))
     merged = jnp.concatenate([attn_out, mlp_out], axis=-1)
     return x + gate * linear(p["proj_out"], merged)
@@ -254,6 +271,7 @@ def flux_forward(
     img_ids: jnp.ndarray,
     txt_ids: jnp.ndarray,
     guidance: Optional[jnp.ndarray] = None,
+    kv_keep_idx: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Velocity prediction for the packed token sequence.
 
@@ -278,11 +296,11 @@ def flux_forward(
 
     def dual_body(carry, blk):
         h, c = carry
-        h, c = _dual_block(blk, cfg, h, c, temb, cos, sin)
+        h, c = _dual_block(blk, cfg, h, c, temb, cos, sin, kv_keep_idx)
         return (h, c), None
 
     def single_body(x, blk):
-        return _single_block(blk, cfg, x, temb, cos, sin), None
+        return _single_block(blk, cfg, x, temb, cos, sin, kv_keep_idx), None
 
     if cfg.remat:
         dual_body = jax.checkpoint(dual_body)

@@ -116,9 +116,24 @@ def flow_match_loss(
 
     tokens = pack_latents(zt)
     noise_ids = latent_image_ids(H // 2, W // 2)
+    S_noise = tokens.shape[1]
+    target = pack_latents(noise - x)
+
+    if tcfg.drop_rate > 0.0:
+        # random token dropping (trainer.py:1022-1065 + the RandomDrop
+        # attention processor): a static-size random subset of the noise
+        # tokens enters the sequence — condition/text tokens are kept —
+        # and the loss is taken on the kept tokens only
+        n_keep = max(1, int(S_noise * (1.0 - tcfg.drop_rate)))
+        perm = jax.random.permutation(k_drop, S_noise)
+        keep_idx = jnp.sort(perm[:n_keep])
+        tokens = tokens[:, keep_idx]
+        noise_ids = noise_ids[keep_idx]
+        target = target[:, keep_idx]
+        S_noise = n_keep
+
     img_ids = noise_ids
     hidden = tokens
-    S_noise = tokens.shape[1]
     if "cond_tokens" in batch and batch["cond_tokens"] is not None:
         hidden = jnp.concatenate([tokens, batch["cond_tokens"]], axis=1)
         img_ids = jnp.concatenate([noise_ids, batch["cond_ids"]], axis=0)
@@ -135,17 +150,9 @@ def flow_match_loss(
         batch["pooled_embeds"], img_ids, txt_ids, guidance=guidance,
     )
     pred_noise = pred[:, :S_noise]
-    target = pack_latents(noise - x)
 
     w = loss_weighting(tcfg.weighting_scheme, sigmas)[:, None, None]
     err = (pred_noise.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
-    if tcfg.drop_rate > 0.0:
-        keep = jax.random.bernoulli(
-            k_drop, 1.0 - tcfg.drop_rate, (B, S_noise, 1)
-        )
-        err = err * keep
-        denom = jnp.maximum(keep.sum(), 1.0) * err.shape[-1]
-        return jnp.sum(w * err) / denom
     return jnp.mean(w * err)
 
 
