@@ -27,6 +27,10 @@ import numpy as np
 
 
 def main() -> None:
+    from unitex_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from unitex_tpu.models.flux.config import FluxConfig
     from unitex_tpu.models.flux.model import flux_forward, init_flux_params_numpy
     from unitex_tpu.models.flux.pipeline import latent_image_ids

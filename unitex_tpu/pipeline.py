@@ -67,6 +67,9 @@ class RGBTextureFullPipelineBase:
         config: PipelineConfig = DEFAULT_CONFIG,
         require_weights: bool = False,
     ):
+        from .utils import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config
         self.seed = seed
         self.super_resolutions = super_resolutions
