@@ -39,6 +39,13 @@ class FluxLoraTrainConfig:
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
     max_grad_norm: float = 1.0
+    # optimizer + schedule (trainer.py:322-408: AdamW / 8-bit / Prodigy;
+    # get_scheduler constant/cosine/linear with warmup)
+    optimizer: str = "adamw"             # adamw | prodigy
+    lr_scheduler: str = "constant"       # constant | constant_with_warmup |
+                                         # cosine | linear
+    warmup_steps: int = 0
+    max_train_steps: int = 10_000
     # timestep sampling (trainer.py:832-838)
     weighting_scheme: str = "none"       # none | sigma_sqrt | logit_normal
     logit_mean: float = 0.0
@@ -156,22 +163,56 @@ def flow_match_loss(
     return jnp.mean(w * err)
 
 
+def make_lr_schedule(tcfg: FluxLoraTrainConfig):
+    lr = tcfg.learning_rate
+    if tcfg.lr_scheduler == "constant":
+        return lr
+    if tcfg.lr_scheduler == "constant_with_warmup":
+        return optax.schedules.warmup_constant_schedule(0.0, lr, tcfg.warmup_steps)
+    if tcfg.lr_scheduler == "cosine":
+        return optax.schedules.warmup_cosine_decay_schedule(
+            0.0, lr, tcfg.warmup_steps, tcfg.max_train_steps
+        )
+    if tcfg.lr_scheduler == "linear":
+        return optax.schedules.join_schedules(
+            [
+                optax.schedules.linear_schedule(0.0, lr, max(tcfg.warmup_steps, 1)),
+                optax.schedules.linear_schedule(
+                    lr, 0.0, max(tcfg.max_train_steps - tcfg.warmup_steps, 1)
+                ),
+            ],
+            [tcfg.warmup_steps],
+        )
+    raise ValueError(f"unknown lr_scheduler {tcfg.lr_scheduler!r}")
+
+
+def make_optimizer(tcfg: FluxLoraTrainConfig) -> optax.GradientTransformation:
+    sched = make_lr_schedule(tcfg)
+    if tcfg.optimizer == "prodigy":
+        opt = optax.contrib.prodigy(
+            learning_rate=sched if not isinstance(sched, float) else sched,
+            betas=(tcfg.adam_b1, tcfg.adam_b2),
+            eps=tcfg.adam_eps,
+            weight_decay=tcfg.weight_decay,
+        )
+    else:
+        opt = optax.adamw(
+            sched,
+            b1=tcfg.adam_b1,
+            b2=tcfg.adam_b2,
+            eps=tcfg.adam_eps,
+            weight_decay=tcfg.weight_decay,
+        )
+    return optax.chain(optax.clip_by_global_norm(tcfg.max_grad_norm), opt)
+
+
 def create_train_state(
     key: jax.Array,
     base_params: Dict[str, Any],
     tcfg: FluxLoraTrainConfig,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     lora = init_lora_params(key, base_params, rank=tcfg.rank)
-    tx = optax.chain(
-        optax.clip_by_global_norm(tcfg.max_grad_norm),
-        optax.adamw(
-            tcfg.learning_rate,
-            b1=tcfg.adam_b1,
-            b2=tcfg.adam_b2,
-            eps=tcfg.adam_eps,
-            weight_decay=tcfg.weight_decay,
-        ),
-    )
+    tx = make_optimizer(tcfg)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         lora=lora,
