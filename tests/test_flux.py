@@ -247,3 +247,47 @@ class TestPipeline:
         )
         assert out.shape == noise.shape
         np.testing.assert_allclose(np.asarray(out), np.asarray(noise), atol=1e-6)
+
+
+class TestRedux:
+    def test_projection_shapes(self):
+        from unitex_tpu.models.flux.redux import (
+            init_redux_params,
+            redux_image_ids,
+            redux_project,
+        )
+
+        params = init_redux_params(jax.random.key(0), siglip_dim=32, t5_dim=64)
+        feats = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 9, 32)).astype(np.float32)
+        )
+        out = redux_project(params, feats)
+        assert out.shape == (2, 9, 64)
+        assert np.isfinite(np.asarray(out)).all()
+        ids = redux_image_ids(9)
+        assert ids.shape == (9, 3)
+        np.testing.assert_array_equal(np.asarray(ids), 0)
+
+    def test_redux_feeds_pipeline(self):
+        """Redux embeds slot into the denoise loop as the prompt stream."""
+        from unitex_tpu.models.flux.redux import init_redux_params, redux_project
+
+        flux_cfg = FluxConfig.tiny()
+        tparams = init_flux_params(jax.random.key(0), flux_cfg)
+        rparams = init_redux_params(
+            jax.random.key(1), siglip_dim=16, t5_dim=flux_cfg.joint_attention_dim
+        )
+        feats = jnp.asarray(
+            np.random.default_rng(2).normal(size=(1, 6, 16)).astype(np.float32)
+        )
+        embeds = redux_project(rparams, feats)
+        out = flux_forward(
+            tparams, flux_cfg,
+            jnp.ones((1, 8, flux_cfg.in_channels)),
+            embeds,
+            jnp.asarray([0.5]),
+            jnp.zeros((1, flux_cfg.pooled_projection_dim)),
+            latent_image_ids(2, 4), jnp.zeros((6, 3)),
+            jnp.asarray([3.5]),
+        )
+        assert out.shape == (1, 8, flux_cfg.in_channels)
