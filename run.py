@@ -1,0 +1,33 @@
+"""Product entry point — the reference's 10-line run.py equivalent
+(/root/reference/run.py:1-11): one image + one mesh -> textured GLB."""
+
+import argparse
+
+from unitex_tpu.pipeline import CustomRGBTextureFullPipeline
+
+
+def main():
+    ap = argparse.ArgumentParser(description="UniTEX-TPU texture generation")
+    ap.add_argument("--image", required=True, help="reference RGB image")
+    ap.add_argument("--mesh", required=True, help="untextured mesh (obj/ply/glb)")
+    ap.add_argument("--out", default="output", help="output directory")
+    ap.add_argument("--pretrain-models", default=None,
+                    help="checkpoint root (flux/{transformer,vae} + LoRAs)")
+    ap.add_argument("--seed", type=int, default=63)
+    ap.add_argument("--super-resolution", action="store_true")
+    ap.add_argument("--export-video", action="store_true")
+    args = ap.parse_args()
+
+    pipeline = CustomRGBTextureFullPipeline(
+        pretrain_models=args.pretrain_models,
+        super_resolutions=args.super_resolution,
+        seed=args.seed,
+    )
+    rembg_png, textured_glb = pipeline(
+        args.out, args.image, args.mesh, export_video=args.export_video
+    )
+    print(f"wrote {rembg_png}\nwrote {textured_glb}")
+
+
+if __name__ == "__main__":
+    main()

