@@ -15,3 +15,21 @@ jax.sharding meshes with pjit-inserted collectives over ICI.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps ``import unitex_tpu`` free of jax/device
+    initialization side effects)."""
+    if name == "CustomRGBTextureFullPipeline":
+        from .pipeline import CustomRGBTextureFullPipeline
+
+        return CustomRGBTextureFullPipeline
+    if name == "RGBTextureFullPipeline":
+        from .pipeline import RGBTextureFullPipeline
+
+        return RGBTextureFullPipeline
+    if name == "PipelineConfig":
+        from .config import PipelineConfig
+
+        return PipelineConfig
+    raise AttributeError(name)
