@@ -28,10 +28,15 @@ def render_orbit_frames(
     height: float = 0.0,
     background: float = 1.0,
     batch: int = 10,
+    video_type: str = "rgb",
 ) -> np.ndarray:
-    """-> [n_frames, size, size, 3] uint8 frames."""
+    """-> [n_frames, size, size, 3] uint8 frames.  ``video_type``:
+    'rgb' (textured), 'normal', or 'ccm' (export_video's video_type
+    variants, export_nvdiffrast_video.py:37-139)."""
+    assert video_type in ("rgb", "normal", "ccm")
     c2ws = generate_orbit_views_c2ws(n_frames + 1, radius=radius, height=height)[:n_frames]
     intr = generate_intrinsics(fov_deg, fov_deg, fov=True, degree=True)
+    want_tex = video_type == "rgb" and texture is not None
     frames = []
     for i in range(0, n_frames, batch):
         chunk = c2ws[i : i + batch]
@@ -41,12 +46,15 @@ def render_orbit_frames(
             intr,
             (size, size),
             perspective=True,
-            map_attr=texture,
-            render_uv=texture is not None,
-            render_map_attr=texture is not None,
-            render_world_normal=texture is None,
+            map_attr=texture if want_tex else None,
+            render_uv=want_tex,
+            render_map_attr=want_tex,
+            render_world_normal=video_type == "normal" or not want_tex,
+            render_world_position=video_type == "ccm",
         )
-        if texture is not None:
+        if video_type == "ccm":
+            rgb = out.world_position * 0.5 + 0.5
+        elif want_tex:
             rgb = out.map_attr
         else:
             rgb = out.world_normal * 0.5 + 0.5
@@ -63,6 +71,8 @@ def export_orbit_video(
     fps: int = 15,
     radius: float = 2.8,
     fov_deg: float = 49.1,
+    video_type: str = "rgb",
+    save_camera: bool = False,
 ) -> str:
     host = load_mesh(mesh_path)
     tex = None
@@ -75,9 +85,28 @@ def export_orbit_video(
         faces_uv=jnp.asarray(host.faces_uv) if host.faces_uv is not None else None,
     )
     frames = render_orbit_frames(
-        mesh, tex, n_frames=n_frames, size=size, radius=radius, fov_deg=fov_deg
+        mesh, tex, n_frames=n_frames, size=size, radius=radius,
+        fov_deg=fov_deg, video_type=video_type,
     )
     import imageio.v2 as imageio
 
-    imageio.mimwrite(out_path, list(frames), fps=fps, quality=8)
+    try:
+        imageio.mimwrite(out_path, list(frames), fps=fps, quality=8)
+    except (ValueError, ImportError):
+        # no ffmpeg backend in this environment: fall back to GIF
+        import os
+
+        out_path = os.path.splitext(out_path)[0] + ".gif"
+        imageio.mimwrite(out_path, list(frames), duration=1000.0 / fps, loop=0)
+    if save_camera:
+        import os
+
+        c2ws = generate_orbit_views_c2ws(n_frames + 1, radius=radius)[:n_frames]
+        intr = generate_intrinsics(fov_deg, fov_deg, fov=True, degree=True)
+        np.savez(
+            os.path.splitext(out_path)[0] + "_camera.npz",
+            c2ws=np.asarray(c2ws),
+            intrinsics=np.asarray(intr),
+            perspective=np.asarray(True),
+        )
     return out_path
