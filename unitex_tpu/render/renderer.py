@@ -143,6 +143,7 @@ def get_visible_vertices(
         "render_map_attr",
         "face_chunk",
         "pixel_tile",
+        "supersample",
     ),
 )
 def render_views(
@@ -166,12 +167,50 @@ def render_views(
     render_map_attr: bool = False,
     face_chunk: int = 512,
     pixel_tile: int = 0,
+    supersample: int = 1,
 ) -> RenderOutputs:
     """Render a mesh from M cameras.
 
     mesh: Mesh pytree; c2ws [M, 4, 4]; intrinsics [3, 3] or [M, 3, 3]
-    (normalized).  render_size (H, W).
+    (normalized).  render_size (H, W).  ``supersample`` > 1 renders at NxN
+    the resolution and box-filters float outputs back down — the
+    anti-aliasing capability standing in for ``dr.antialias`` (which the
+    reference's main conditioning path disables anyway,
+    export_nvdiffrast_video.py:963); integer buffers (tri) keep the
+    top-left sample.
     """
+    if supersample > 1:
+        H0, W0 = render_size
+        hi = render_views(
+            mesh, c2ws, intrinsics, (H0 * supersample, W0 * supersample),
+            perspective=perspective, v_attr=v_attr, map_attr=map_attr,
+            render_world_normal=render_world_normal,
+            render_camera_normal=render_camera_normal,
+            render_world_position=render_world_position,
+            render_z_depth=render_z_depth,
+            render_camera_position=render_camera_position,
+            render_distance=render_distance,
+            render_ray_direction=render_ray_direction,
+            render_cos_ray_normal=render_cos_ray_normal,
+            render_v_attr=render_v_attr,
+            render_uv=render_uv,
+            render_map_attr=render_map_attr,
+            face_chunk=face_chunk, pixel_tile=pixel_tile, supersample=1,
+        )
+        s = supersample
+
+        def down(x):
+            if x is None:
+                return None
+            M_, Hs, Ws = x.shape[:3]
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                r = x.reshape(M_, Hs // s, s, Ws // s, s, *x.shape[3:])
+                return r.mean(axis=(2, 4))
+            return x[:, ::s, ::s]
+
+        return jax.tree.map(
+            down, hi, is_leaf=lambda v: v is None or isinstance(v, jnp.ndarray)
+        )
     H, W = render_size
     M = c2ws.shape[0]
     if intrinsics.ndim == 2:
