@@ -140,10 +140,15 @@ def run_flux_pipeline(
     dual_image: Optional[jnp.ndarray] = None,
     prompt_embeds: Optional[jnp.ndarray] = None,
     pooled_embeds: Optional[jnp.ndarray] = None,
+    noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full text-free conditioned generation.
 
     control_image / dual_image: [H, W, 3] / [Hd, Wd, 3] in [0, 1].
+    ``noise`` [HL, WL, C] or [1, HL, WL, C] overrides the initial latent
+    noise — golden-noise injection for bit-comparison against the CUDA
+    reference (whose torch.Generator stream cannot be reproduced by JAX's
+    PRNG; dump the reference's initial latents and feed them here).
     Returns the generated image [H, W, 3] in [0, 1].
     """
     H, W = pipe_cfg.height, pipe_cfg.width
@@ -153,7 +158,13 @@ def run_flux_pipeline(
     B = 1
 
     k_noise, k_vae = jax.random.split(key)
-    noise = jax.random.normal(k_noise, (B, HL, WL, C_lat), jnp.float32)
+    if noise is not None:
+        noise = jnp.asarray(noise, jnp.float32)
+        if noise.ndim == 3:
+            noise = noise[None]
+        assert noise.shape == (B, HL, WL, C_lat), noise.shape
+    else:
+        noise = jax.random.normal(k_noise, (B, HL, WL, C_lat), jnp.float32)
     noise_tokens = pack_latents(noise)
     noise_ids = latent_image_ids(HL // 2, WL // 2)
 
