@@ -52,8 +52,23 @@ def knn(
             q, references.T, preferred_element_type=jnp.float32
         )
         d2 = jnp.maximum(d2, 0.0) + ref_penalty[None, :]
-        neg_d, idx = jax.lax.top_k(-d2, k)
-        return None, (jnp.sqrt(jnp.maximum(-neg_d, 0.0)), idx)
+        if k <= 8:
+            # iterative argmin beats lax.top_k on TPU for small k over wide
+            # rows (top_k sorts; argmin is a single VPU reduce per pass)
+            dists_k, idx_k = [], []
+            cur = d2
+            rows = jnp.arange(cur.shape[0])
+            for _i in range(k):
+                best = jnp.argmin(cur, axis=1)
+                dists_k.append(cur[rows, best])
+                idx_k.append(best)
+                cur = cur.at[rows, best].set(jnp.inf)
+            d_sel = jnp.stack(dists_k, axis=1)
+            i_sel = jnp.stack(idx_k, axis=1)
+        else:
+            neg_d, i_sel = jax.lax.top_k(-d2, k)
+            d_sel = -neg_d
+        return None, (jnp.sqrt(jnp.maximum(d_sel, 0.0)), i_sel)
 
     _, (dists, idx) = jax.lax.scan(
         body, None, q_pad.reshape(n_chunks, chunk, D)
