@@ -4,7 +4,7 @@ rank-64 adapters on the transformer and the VAE encoder
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

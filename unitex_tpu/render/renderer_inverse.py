@@ -427,11 +427,13 @@ def bake_kdtree(
     priority: Tuple[int, ...] = VIEW_PRIORITY,
     knn_max_ref: int = 65536,
     knn_chunk: int = 4096,
+    query_field=None,
 ) -> Dict[str, jnp.ndarray]:
     """KNN baking from the per-view *pixel* clouds (renderer_inverse.py
     :367-433): 'order_mean' takes, for each texel, the mean of the
     k-nearest visible pixels of the highest-priority view that sees it;
-    'mean'/'mvpaint' blend all views at once."""
+    'mean'/'mvpaint' blend all views at once.  ``query_field`` replaces the
+    KNN fill of never-visible texels (kdtree_inpainting=True)."""
     assert method in ("mean", "mvpaint", "order_mean")
     mask_2d = uv_out["mask"]
     pos2 = uv_out["position"]
@@ -493,6 +495,7 @@ def bake_kdtree(
     color_flat = _fill_invisible_knn(
         q, color_flat, covered, invis,
         k=n_neighbors_invisible, max_ref=knn_max_ref, chunk=knn_chunk,
+        query_field=query_field,
     )
     color_2d = color_flat.reshape(H2, W2, C)
     color_2d = jnp.where(mask_2d, color_2d, 0.0)
