@@ -213,3 +213,37 @@ class TestTokenDrop:
             kv_keep_idx=jnp.arange(4 + 4),  # text + half the image tokens
         )
         assert np.abs(np.asarray(full) - np.asarray(sub)).max() > 1e-5
+
+
+class TestShardedInference:
+    def test_tp_denoise_pipeline(self):
+        """run_flux_pipeline with TP-sharded transformer params on the
+        8-device mesh — the production inference layout."""
+        from unitex_tpu.models.flux.pipeline import (
+            FluxPipelineConfig,
+            run_flux_pipeline,
+        )
+        from unitex_tpu.models.flux.vae import VAEConfig, init_vae_params
+
+        cfg = FluxConfig.tiny()
+        vae_cfg = VAEConfig.tiny()
+        tparams = init_flux_params(jax.random.key(0), cfg)
+        vparams = init_vae_params(jax.random.key(1), vae_cfg)
+        pipe_cfg = FluxPipelineConfig(
+            height=16, width=32, num_inference_steps=2, max_sequence_length=8
+        )
+        control = jnp.ones((16, 32, 3)) * 0.5
+
+        ref = run_flux_pipeline(
+            tparams, cfg, vparams, vae_cfg, jax.random.key(63), pipe_cfg,
+            control_image=control,
+        )
+
+        mesh = make_mesh(data=1, model=8)
+        sharded = shard_params(tparams, flux_param_shardings(tparams, mesh))
+        with jax.set_mesh(mesh):
+            out = run_flux_pipeline(
+                sharded, cfg, vparams, vae_cfg, jax.random.key(63), pipe_cfg,
+                control_image=control,
+            )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
