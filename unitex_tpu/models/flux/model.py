@@ -121,11 +121,11 @@ def init_flux_params(key, cfg: FluxConfig) -> Params:
     return params
 
 
-def init_flux_params_numpy(cfg: FluxConfig, seed: int = 0, dtype="float32"):
-    """Fast host-side initialization with numpy's PCG (GB-scale params init
-    in seconds; jax.random's counter-based PRNGs cost minutes on CPU at 12B
-    scale).  Same tree structure as :func:`init_flux_params`; distribution
-    differs (benchmarks / smoke tests, not training reproducibility)."""
+def numpy_init(init_fn, *args, seed: int = 0, dtype="float32"):
+    """Run any ``init_*_params(key, ...)`` with numpy's PCG instead of
+    jax.random (GB-scale init in seconds; counter-based PRNGs cost minutes
+    on CPU at 12B scale).  Same tree structure; distribution differs —
+    benchmarks / smoke tests, not training reproducibility."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -141,11 +141,16 @@ def init_flux_params_numpy(cfg: FluxConfig, seed: int = 0, dtype="float32"):
             rng.standard_normal(shape).astype(np_dtype)
         )
         jax.random.split = lambda k, n=2: [None] * n
-        return init_flux_params(None, cfg)
+        return init_fn(None, *args)
     finally:
         jax.random.uniform = orig_uniform
         jax.random.normal = orig_normal
         jax.random.split = orig_split
+
+
+def init_flux_params_numpy(cfg: FluxConfig, seed: int = 0, dtype="float32"):
+    """See :func:`numpy_init`."""
+    return numpy_init(init_flux_params, cfg, seed=seed, dtype=dtype)
 
 
 def stack_blocks(blocks):
