@@ -149,3 +149,14 @@ class TestVisibility:
         vvis = np.asarray(get_visible_vertices(mesh, c2ws, intr, (64, 64)))
         assert vvis.shape == (6, mesh.vertices.shape[0])
         assert vvis.any(axis=0).mean() > 0.99
+
+
+def test_draw_point_cloud():
+    from unitex_tpu.render.renderer import draw_point_cloud
+
+    pts = jnp.asarray([[0.0, 0.0], [-1.0, -1.0], [2.0, 0.0]])  # last off-screen
+    img = np.asarray(draw_point_cloud(pts, 8, 8))
+    assert img.shape == (8, 8, 1)
+    assert img[4, 4, 0]      # center
+    assert img[0, 0, 0]      # top-left corner
+    assert img.sum() == 2    # off-screen point dropped

@@ -49,6 +49,25 @@ def _lerp_bg(value, alpha, bg):
     return value * alpha + bg * (1.0 - alpha)
 
 
+def draw_point_cloud(
+    points_ndc: jnp.ndarray,
+    H: int,
+    W: int,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Scatter NDC points into a boolean [H, W, 1] dot mask (the
+    ``draw_mask`` / render_all_point_cloud output of renderer_base.py:28-36)
+    — a segment scatter instead of torch.scatter."""
+    pix_x = jnp.floor((points_ndc[..., 0] * 0.5 + 0.5) * W).astype(jnp.int32)
+    pix_y = jnp.floor((points_ndc[..., 1] * 0.5 + 0.5) * H).astype(jnp.int32)
+    inb = (pix_x >= 0) & (pix_x < W) & (pix_y >= 0) & (pix_y < H)
+    if valid is not None:
+        inb = inb & valid
+    flat = jnp.where(inb, pix_y * W + pix_x, H * W)
+    img = jnp.zeros((H * W + 1,), bool).at[flat].set(True)[: H * W]
+    return img.reshape(H, W, 1)
+
+
 def render_uv_attributes(
     mesh: Mesh,
     uv_size: int,
