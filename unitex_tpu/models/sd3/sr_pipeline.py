@@ -94,6 +94,56 @@ def tiled_apply(
     return out / jnp.maximum(cnt, 1e-8)
 
 
+def tiled_apply_batched(
+    fn,
+    x: jnp.ndarray,
+    tile: int,
+    overlap: int,
+    tile_batch: int = 8,
+    out_channels: Optional[int] = None,
+):
+    """Like :func:`tiled_apply` but stacks tiles and calls ``fn`` on
+    [tb, t, t, C] batches — one big MXU dispatch per chunk instead of one
+    per tile (the transformer path's throughput win; the reference batches
+    a row of tiles at a time, sr_pipeline.py:124-128)."""
+    _, H, W, C = x.shape
+    if H <= tile and W <= tile:
+        return fn(x)
+    Co = out_channels if out_channels is not None else C
+    offs = [
+        (oy, ox)
+        for oy in _tile_offsets(H, tile, overlap)
+        for ox in _tile_offsets(W, tile, overlap)
+    ]
+    tiles = jnp.concatenate(
+        [
+            jax.lax.dynamic_slice(x, (0, oy, ox, 0), (1, tile, tile, C))
+            for oy, ox in offs
+        ],
+        axis=0,
+    )
+    outs = []
+    for i in range(0, len(offs), tile_batch):
+        outs.append(fn(tiles[i : i + tile_batch]))
+    t_out = jnp.concatenate(outs, axis=0).astype(jnp.float32)
+    out = jnp.zeros((1, H, W, Co), jnp.float32)
+    cnt = jnp.zeros((1, H, W, 1), jnp.float32)
+    w = gaussian_tile_weights(tile)[None, :, :, None]
+    for n, (oy, ox) in enumerate(offs):
+        out = jax.lax.dynamic_update_slice(
+            out,
+            jax.lax.dynamic_slice(out, (0, oy, ox, 0), (1, tile, tile, Co))
+            + t_out[n : n + 1] * w,
+            (0, oy, ox, 0),
+        )
+        cnt = jax.lax.dynamic_update_slice(
+            cnt,
+            jax.lax.dynamic_slice(cnt, (0, oy, ox, 0), (1, tile, tile, 1)) + w,
+            (0, oy, ox, 0),
+        )
+    return out / jnp.maximum(cnt, 1e-8)
+
+
 @dataclasses.dataclass
 class TSDSRConfig:
     upscale: int = 4
@@ -104,6 +154,7 @@ class TSDSRConfig:
     vae_decoder_tile: int = 128
     timestep: float = 1000.0
     align_method: str = "wavelet"      # wavelet | adain | nofix
+    tile_batch: int = 8                # latent tiles per transformer call
 
 
 class TSDSRPipeline:
@@ -191,15 +242,18 @@ class TSDSRPipeline:
         )
         if pooled.ndim == 1:
             pooled = pooled[None]
-        t = jnp.full((B,), cfg.timestep, jnp.float32)
-
-        def step(lat_tile):
+        def step(lat_tiles):
+            nb = lat_tiles.shape[0]
             return sd3_forward(
-                self.transformer_params, self.sd3_cfg, lat_tile, prompt, t, pooled
+                self.transformer_params, self.sd3_cfg, lat_tiles,
+                jnp.broadcast_to(prompt, (nb,) + prompt.shape[1:]),
+                jnp.full((nb,), cfg.timestep, jnp.float32),
+                jnp.broadcast_to(pooled, (nb,) + pooled.shape[1:]),
             )
 
-        pred = tiled_apply(
+        pred = tiled_apply_batched(
             step, lq_latent, cfg.latent_tile, cfg.latent_overlap,
+            tile_batch=cfg.tile_batch,
             out_channels=self.vae_cfg.latent_channels,
         )
         latent_stu = lq_latent - pred
