@@ -82,18 +82,36 @@ def main() -> None:
     pooled = jnp.zeros((B, cfg.pooled_projection_dim), jnp.bfloat16)
     guidance = jnp.full((B,), 3.5, jnp.float32)
 
-    step = jax.jit(
-        lambda p, h: flux_forward(p, cfg, h, ctx, t, pooled, img_ids, txt_ids, guidance)
-    )
-    out = step(params, hidden)
-    out.block_until_ready()  # compile + warm
+    # N steps chained inside ONE jit (a lax.scan like the real denoise
+    # loop), result fetched to host: on this platform only a host transfer
+    # reliably fences device work (block_until_ready returns early through
+    # the remote-execution tunnel), and chaining amortizes the ~30 ms
+    # round-trip latency
+    n_iter = 8
 
-    n_iter = 10
+    def run_n(p, h):
+        def body(carry, _):
+            out = flux_forward(
+                p, cfg, carry, ctx, t, pooled, img_ids, txt_ids, guidance
+            )
+            return carry + 0.001 * out.astype(carry.dtype), None
+
+        h, _ = jax.lax.scan(body, h, None, length=n_iter)
+        return jnp.sum(h.astype(jnp.float32))
+
+    step = jax.jit(run_n)
+    float(step(params, hidden))  # compile + warm
+
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = step(params, hidden)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
+    float(step(params, hidden))
+    total = time.perf_counter() - t0
+    # subtract the fixed dispatch+transfer overhead measured with a no-op
+    noop = jax.jit(lambda h: jnp.sum(h.astype(jnp.float32)))
+    float(noop(hidden))
+    t0 = time.perf_counter()
+    float(noop(hidden))
+    overhead = time.perf_counter() - t0
+    dt = max(total - overhead, 1e-6) / n_iter
 
     # 12B-equivalent step time on this chip
     full_step_s = dt / scale
