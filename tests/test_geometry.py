@@ -223,3 +223,23 @@ def test_sample_pbr_attribute():
     tex = jnp.ones((8, 8, 3)) * 0.75
     mapped = sample_pbr_attribute(mesh, tex, face_idx, bary)
     np.testing.assert_allclose(np.asarray(mapped), 0.75, atol=1e-6)
+
+
+def test_erode_face_mask():
+    import jax.numpy as jnp
+    from unitex_tpu.geometry.mesh import erode_face_mask
+
+    sphere = make_icosphere(2)
+    faces = jnp.asarray(sphere.faces)
+    V = sphere.n_vertices
+    # select the +z hemisphere of faces
+    centroid_z = sphere.vertices[sphere.faces].mean(axis=1)[:, 2]
+    mask = jnp.asarray(centroid_z > 0)
+    eroded = erode_face_mask(faces, mask, V, rings=1)
+    e = np.asarray(eroded)
+    m = np.asarray(mask)
+    assert e.sum() < m.sum()           # strictly shrinks
+    assert not (e & ~m).any()          # subset of the original
+    # two rings shrink further
+    e2 = np.asarray(erode_face_mask(faces, mask, V, rings=2))
+    assert e2.sum() < e.sum()

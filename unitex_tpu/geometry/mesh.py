@@ -151,6 +151,23 @@ def mesh_edges(faces: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def erode_face_mask(
+    faces: jnp.ndarray, face_mask: jnp.ndarray, n_vertices: int, rings: int = 1
+) -> jnp.ndarray:
+    """Shrink a face selection by ``rings`` adjacency rings (the reference's
+    ``erode_face`` used by get_visible_faces, renderer_base.py:85-87): a
+    face survives only if ALL its vertices are untouched by unselected
+    faces.  Pure segment ops, static shapes."""
+    mask = face_mask
+    for _ in range(rings):
+        # vertices touched by any unselected face
+        bad = jnp.zeros((n_vertices + 1,), bool)
+        idx = jnp.where(~mask[:, None], faces, n_vertices)
+        bad = bad.at[idx.reshape(-1)].set(True)[:n_vertices]
+        mask = mask & ~bad[faces].any(axis=-1)
+    return mask
+
+
 def sample_pbr_attribute(
     mesh: "PBRMesh", attr: jnp.ndarray, face_idx: jnp.ndarray, bary: jnp.ndarray
 ) -> jnp.ndarray:
