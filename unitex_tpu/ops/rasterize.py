@@ -193,7 +193,18 @@ def rasterize(
     ):
         from .rasterize_binned import rasterize_binned
 
-        return rasterize_binned(verts_clip, faces, resolution)
+        # size bins for the expected occupancy: ~4 tile entries per
+        # triangle spread over (H/32)*(W/32) tiles, with 8x headroom for
+        # silhouette crowding (capacity is a static shape — a too-small
+        # bin silently drops the lowest-priority overflow)
+        n_tiles = (H // 32) * (W // 32)
+        est = faces.shape[0] * 4 // max(n_tiles, 1)
+        cap = 128
+        while cap < est * 8 + 64 and cap < 2048:
+            cap *= 2
+        return rasterize_binned(
+            verts_clip, faces, resolution, bin_capacity=cap
+        )
     pix, z_ndc, w_clip, valid = _triangle_setup(verts_clip, faces, H, W)
     if pixel_tile <= 0 or (pixel_tile >= H and pixel_tile >= W):
         bary, z, tri = _rasterize_tile(
