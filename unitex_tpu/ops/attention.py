@@ -91,7 +91,7 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     block_q: int = 512,
-    block_k: int = 512,
+    block_k: int = 1536,
 ) -> jnp.ndarray:
     """q/k/v [B, S, H, D] -> [B, S, H, D] full bidirectional attention."""
     B, S, H, D = q.shape
