@@ -1,0 +1,100 @@
+"""Batch texture-generation driver for production serving.
+
+Loads models once and processes a queue of (image, mesh) jobs, amortizing
+weight loading and compilation across the batch (the reference re-runs its
+single-shot run.py per asset).  Jobs: a directory with ``<name>.png`` +
+``<name>.{glb,obj,ply}`` pairs, or a JSONL manifest with
+``{"name":..., "image":..., "mesh":...}`` lines.
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+MESH_EXTS = (".glb", ".obj", ".ply")
+
+
+def discover_jobs(path):
+    if path.endswith(".jsonl"):
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+    jobs = []
+    for img in sorted(glob.glob(os.path.join(path, "*.png"))):
+        name = os.path.splitext(os.path.basename(img))[0]
+        for ext in MESH_EXTS:
+            mesh = os.path.join(path, name + ext)
+            if os.path.exists(mesh):
+                jobs.append({"name": name, "image": img, "mesh": mesh})
+                break
+    return jobs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("jobs", help="job directory or JSONL manifest")
+    ap.add_argument("--out", default="batch_out")
+    ap.add_argument("--pretrain-models", default=None)
+    ap.add_argument("--seed", type=int, default=63)
+    ap.add_argument("--super-resolution", action="store_true")
+    ap.add_argument("--keep-going", action="store_true",
+                    help="continue past per-job failures")
+    ap.add_argument("--small", action="store_true",
+                    help="reduced resolutions (smoke tests / CPU)")
+    args = ap.parse_args()
+
+    from unitex_tpu.pipeline import CustomRGBTextureFullPipeline
+
+    config = None
+    if args.small:
+        from unitex_tpu.config import (
+            BakeConfig, CameraConfig, MeshConfig, PipelineConfig,
+        )
+
+        config = PipelineConfig(
+            camera=CameraConfig(view_size=64),
+            mesh=MeshConfig(min_faces=500, max_faces=4000, uv_size=256),
+            bake=BakeConfig(uv_size=256),
+        )
+
+    jobs = discover_jobs(args.jobs)
+    if not jobs:
+        print("no jobs found"); return
+    print(f"{len(jobs)} jobs")
+
+    kwargs = {"config": config} if config is not None else {}
+    pipe = CustomRGBTextureFullPipeline(
+        pretrain_models=args.pretrain_models,
+        super_resolutions=args.super_resolution,
+        seed=args.seed,
+        **kwargs,
+    )
+    results = []
+    for i, job in enumerate(jobs):
+        out_dir = os.path.join(args.out, job["name"])
+        t0 = time.perf_counter()
+        try:
+            rembg, glb = pipe(out_dir, job["image"], job["mesh"])
+            dt = time.perf_counter() - t0
+            results.append({"name": job["name"], "glb": glb, "seconds": round(dt, 2)})
+            print(f"[{i+1}/{len(jobs)}] {job['name']}: {dt:.1f}s")
+        except Exception as e:
+            if not args.keep_going:
+                raise
+            results.append({"name": job["name"], "error": str(e)})
+            print(f"[{i+1}/{len(jobs)}] {job['name']}: FAILED {e}")
+    with open(os.path.join(args.out, "manifest.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
