@@ -200,11 +200,16 @@ def rasterize(
         n_tiles = (H // 32) * (W // 32)
         est = faces.shape[0] * 4 // max(n_tiles, 1)
         cap = 128
-        while cap < est * 8 + 64 and cap < 2048:
+        while cap < est * 8 + 64 and cap <= 8192:
             cap *= 2
-        return rasterize_binned(
-            verts_clip, faces, resolution, bin_capacity=cap
-        )
+        # when a tile would need more candidates than the 8192 ceiling
+        # (dense mesh at low resolution), binning cannot win over brute
+        # force — fall through to the exact path instead of dropping
+        # overflow entries
+        if cap <= 8192:
+            return rasterize_binned(
+                verts_clip, faces, resolution, bin_capacity=cap
+            )
     pix, z_ndc, w_clip, valid = _triangle_setup(verts_clip, faces, H, W)
     if pixel_tile <= 0 or (pixel_tile >= H and pixel_tile >= W):
         bary, z, tri = _rasterize_tile(
