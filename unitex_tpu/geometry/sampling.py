@@ -118,9 +118,19 @@ def geometry_sampling(
     n_fps: int = 32_768,
     sharp_angle_deg: float = 15.0,
     seed: int = 0,
+    timeout_s: float = 60.0,
 ) -> dict:
     """The ``geomerty_sampling`` + FPS flow of pipeline.py:363-407: sample
-    surface + sharp edges, NaN-scrub, FPS each to ``n_fps``."""
+    surface + sharp edges, NaN-scrub, FPS each to ``n_fps``; hard host-time
+    cap like the reference's @timeout(60)."""
+    from ..utils.timer import timeout
+
+    return timeout(timeout_s)(_geometry_sampling)(
+        mesh, n_samples, n_fps, sharp_angle_deg, seed
+    )
+
+
+def _geometry_sampling(mesh, n_samples, n_fps, sharp_angle_deg, seed) -> dict:
     surf_pts, surf_nrm = sample_surface(mesh, n_samples, seed)
     edge_pts, edge_dir = sample_sharp_edges(mesh, n_samples, sharp_angle_deg, seed)
 
