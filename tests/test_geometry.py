@@ -243,3 +243,27 @@ def test_erode_face_mask():
     # two rings shrink further
     e2 = np.asarray(erode_face_mask(faces, mask, V, rings=2))
     assert e2.sum() < e.sum()
+
+
+def test_glb_pbr_export(tmp_path):
+    import json, struct
+
+    cube = make_cube()
+    rng = np.random.default_rng(0)
+    cube.texture = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    cube.metallic_roughness = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    cube.normal_map = np.full((16, 16, 3), 128, np.uint8)
+    path = str(tmp_path / "pbr.glb")
+    save_glb(path, cube)
+    # parse the JSON chunk and verify the PBR material wiring
+    with open(path, "rb") as f:
+        f.read(12)
+        clen, ctype = struct.unpack("<II", f.read(8))
+        gltf = json.loads(f.read(clen))
+    mat = gltf["materials"][0]
+    assert "metallicRoughnessTexture" in mat["pbrMetallicRoughness"]
+    assert "normalTexture" in mat
+    assert len(gltf["images"]) == 3
+    # base color still loads back
+    back = load_glb(path)
+    np.testing.assert_array_equal(back.texture, cube.texture)

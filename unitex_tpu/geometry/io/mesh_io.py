@@ -42,6 +42,9 @@ class HostMesh:
     normals: Optional[np.ndarray] = None       # [V, 3]
     vertex_colors: Optional[np.ndarray] = None  # [V, 3or4] float in [0,1]
     texture: Optional[np.ndarray] = None       # [H, W, 3or4] uint8, row 0 = top
+    # PBR maps (glTF metallicRoughnessTexture / normalTexture), uint8
+    metallic_roughness: Optional[np.ndarray] = None
+    normal_map: Optional[np.ndarray] = None
 
     @property
     def n_faces(self) -> int:
@@ -532,24 +535,39 @@ def save_glb(path: str, mesh: HostMesh) -> None:
         attributes["TEXCOORD_0"] = len(accessors) - 1
 
     if mesh.texture is not None and Image is not None and uvs is not None:
-        bio = _io.BytesIO()
-        Image.fromarray(mesh.texture).save(bio, format="PNG")
-        img_b = bio.getvalue()
-        img_off, img_len = add_buffer(img_b)
-        buffer_views.append({"buffer": 0, "byteOffset": img_off, "byteLength": img_len})
-        images.append({"bufferView": len(buffer_views) - 1, "mimeType": "image/png"})
-        samplers.append({"magFilter": 9729, "minFilter": 9987, "wrapS": 10497, "wrapT": 10497})
-        textures.append({"sampler": 0, "source": 0})
-        materials.append(
-            {
-                "pbrMetallicRoughness": {
-                    "baseColorTexture": {"index": 0},
-                    "metallicFactor": 0.0,
-                    "roughnessFactor": 1.0,
-                },
-                "doubleSided": True,
-            }
+
+        def add_texture(img_arr) -> int:
+            bio = _io.BytesIO()
+            Image.fromarray(img_arr).save(bio, format="PNG")
+            img_b = bio.getvalue()
+            img_off, img_len = add_buffer(img_b)
+            buffer_views.append(
+                {"buffer": 0, "byteOffset": img_off, "byteLength": img_len}
+            )
+            images.append(
+                {"bufferView": len(buffer_views) - 1, "mimeType": "image/png"}
+            )
+            textures.append({"sampler": 0, "source": len(images) - 1})
+            return len(textures) - 1
+
+        samplers.append(
+            {"magFilter": 9729, "minFilter": 9987, "wrapS": 10497, "wrapT": 10497}
         )
+        pbr = {
+            "baseColorTexture": {"index": add_texture(mesh.texture)},
+            "metallicFactor": 0.0,
+            "roughnessFactor": 1.0,
+        }
+        material = {"pbrMetallicRoughness": pbr, "doubleSided": True}
+        # full PBR export (link_pbr_to_mesh capability, io/link_pbr_to_mesh.py)
+        if mesh.metallic_roughness is not None:
+            pbr["metallicRoughnessTexture"] = {
+                "index": add_texture(mesh.metallic_roughness)
+            }
+            pbr["metallicFactor"] = 1.0
+        if mesh.normal_map is not None:
+            material["normalTexture"] = {"index": add_texture(mesh.normal_map)}
+        materials.append(material)
 
     primitive = {"attributes": attributes, "indices": 1, "mode": 4}
     if materials:
