@@ -161,3 +161,40 @@ class TestMetrics:
             gaussian_weights=True, sigma=1.5, use_sample_covariance=False,
         )
         assert abs(ours - ref) < 0.02
+
+
+def test_soft_blend():
+    from unitex_tpu.ops.poisson import soft_blend
+
+    src = jnp.ones((32, 32, 3))
+    dst = jnp.zeros((32, 32, 3))
+    mask = np.zeros((32, 32, 1), bool)
+    mask[8:24, 8:24] = True
+    out = np.asarray(soft_blend(src, dst, jnp.asarray(mask), feather=3))
+    assert out[16, 16, 0] > 0.95      # deep inside: src
+    assert out[0, 0, 0] < 0.05        # far outside: dst
+    edge = out[8, 16, 0]
+    assert 0.1 < edge < 0.9           # feathered boundary
+
+
+def test_postprocess_inverse_of_preprocess():
+    from PIL import Image as PILImage
+    from unitex_tpu.image.process_image import (
+        get_alpha_bbox,
+        postprocess_reference_image,
+        preprocess_reference_image,
+    )
+
+    rng = np.random.default_rng(0)
+    orig = np.zeros((100, 120, 4), np.uint8)
+    orig[30:70, 40:90, :3] = rng.integers(50, 255, (40, 50, 3))
+    orig[30:70, 40:90, 3] = 255
+    img = PILImage.fromarray(orig)
+    pre = preprocess_reference_image(img, H=128, W=128, scale=0.9)
+    bbox = get_alpha_bbox(np.asarray(img.getchannel("A")))
+    back = postprocess_reference_image(pre.convert("RGB"), (120, 100), bbox, scale=0.9)
+    assert back.size == (120, 100)
+    # subject region survives the roundtrip approximately
+    a = np.asarray(back)[30:70, 40:90].astype(int)
+    b = orig[30:70, 40:90, :3].astype(int)
+    assert np.abs(a - b).mean() < 30

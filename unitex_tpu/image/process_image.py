@@ -69,3 +69,26 @@ def preprocess_reference_image(
     out.paste(rgbc, (ox, oy), alphac)
     out.putalpha(alphat)
     return out
+
+
+def postprocess_reference_image(
+    processed: Image.Image,
+    original_size: Tuple[int, int],
+    bbox: Tuple[int, int, int, int],
+    scale: float = 0.95,
+) -> Image.Image:
+    """Inverse of :func:`preprocess_reference_image`: map the centered
+    square back into the original frame at ``bbox`` (the reference's
+    ``postprocess``, process_image.py:79+ — used by the reprojection
+    toolkit to paste generated content back onto source photos)."""
+    W0, H0 = original_size
+    x1, y1, x2, y2 = bbox
+    dy, dx = y2 - y1, x2 - x1
+    H, W = processed.size[1], processed.size[0]
+    s = min(H * scale / dy, W * scale / dx)
+    Ht, Wt = int(dy * s), int(dx * s)
+    ox, oy = (W - Wt) // 2, (H - Ht) // 2
+    crop = processed.crop((ox, oy, ox + Wt, oy + Ht)).resize((dx, dy))
+    out = Image.new(processed.mode, (W0, H0))
+    out.paste(crop, (x1, y1))
+    return out

@@ -63,6 +63,21 @@ def poisson_blend(
     return jax.lax.fori_loop(0, n_iters, body, f0)
 
 
+def soft_blend(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    mask: jnp.ndarray,
+    feather: int = 5,
+) -> jnp.ndarray:
+    """Feathered alpha compositing (``image_fusion_soft``): blur the mask
+    edge and lerp — the cheap alternative to the Poisson solve."""
+    from .image_ops import gaussian_blur
+
+    alpha = gaussian_blur(mask.astype(src.dtype), 2 * feather + 1)
+    alpha = jnp.clip(alpha, 0.0, 1.0)
+    return src * alpha + dst * (1.0 - alpha)
+
+
 @partial(jax.jit, static_argnames=("n_iters",))
 def diffusion_inpaint(
     image: jnp.ndarray,
