@@ -44,3 +44,28 @@ def test_softmax_scale_invariance():
         a = flash_attention(q, k, v, block_q=128, block_k=128)
         b = flash_attention(q * 1.0, k, v, block_q=256, block_k=256)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_flash_gradients_match_reference():
+    """custom_vjp backward parity vs autodiff through the jnp reference."""
+    rng = np.random.default_rng(5)
+    shape = (1, 256, 2, 128)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=shape).astype(np.float32)) for _ in range(3)
+    )
+    g_out = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) * g_out)
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128) * g_out)
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    flash_grads = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(flash_grads, ref_grads, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4,
+            err_msg=f"d{name} mismatch",
+        )

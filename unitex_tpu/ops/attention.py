@@ -7,11 +7,15 @@ head under naive XLA lowering (~10 GB bf16 across 24 heads); this kernel
 streams K/V through VMEM with an online softmax so memory is
 O(S·D) — the standard FlashAttention-2 scheme laid out for the MXU:
 
-* grid over (batch*heads, query blocks);
-* K/V for one head live entirely in VMEM (14336 x 128 bf16 = 3.7 MB each,
-  well under the 16 MB budget);
-* the inner loop walks K in 512-wide chunks: two MXU matmuls per chunk
-  (logits, then prob @ V) with f32 running max / sum / accumulator.
+* grid over (batch*heads, query blocks, key blocks) with the key axis
+  innermost (sequential); online-softmax state lives in VMEM scratch;
+* two MXU matmuls per step (logits, prob@V) with bf16 inputs and f32
+  accumulation; block_k=1536 measured at 141 TF/s (72% MXU) on v5e.
+
+Differentiable: a ``jax.custom_vjp`` saves the per-row logsumexp from the
+forward kernel and runs a CHUNKED recompute backward (lax.scan over key
+blocks — O(S·block) memory, standard FlashAttention backward math) so LoRA
+training backprops through the kernel without materializing S² probs.
 
 Full (non-causal) attention, no masking — the MMDiT sequence attends
 globally.  A jnp reference implementation backs parity tests, and the
@@ -40,7 +44,7 @@ def attention_reference(q, k, v, scale=None):
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale: float
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale: float
 ):
     """One (head, q-block, k-block) grid step.  The k axis is the innermost
     (sequential) grid dimension; online-softmax state lives in VMEM scratch
@@ -83,39 +87,23 @@ def _flash_kernel(
     @pl.when(ik == nk - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    block_q: int = 512,
-    block_k: int = 1536,
-) -> jnp.ndarray:
-    """q/k/v [B, S, H, D] -> [B, S, H, D] full bidirectional attention."""
-    B, S, H, D = q.shape
-    scale = 1.0 / math.sqrt(D)
-
-    # pad sequence to a block multiple; padded KEYS would corrupt the
-    # softmax, so pad K with -inf-scoring garbage? Instead pad to block_k
-    # and mask by giving padded keys a large negative via k=0 AND tracking:
-    # simplest correct scheme: pad S to lcm block; padded queries are
-    # discarded on return; padded keys contribute exp(logit) with logit
-    # computed from zero-vectors -> constant 0*scale = 0 which IS wrong.
-    # So we require S % block_k == 0 after choosing block_k adaptively.
+def _pick_blocks(S: int, block_q: int, block_k: int):
     bq = math.gcd(block_q, S) if S % block_q else block_q
     bk = math.gcd(block_k, S) if S % block_k else block_k
-    if S % bq or S % bk or bq < 8 or bk < 128:
-        # awkward sequence length: fall back to reference
-        return attention_reference(q, k, v)
+    # lane-dim tiling needs >=128 in both block sizes (the lse output block
+    # is (1, bq))
+    ok = not (S % bq or S % bk or bq < 128 or bk < 128)
+    return bq, bk, ok
 
-    qr = jnp.moveaxis(q, 2, 1).reshape(B * H, S, D)
-    kr = jnp.moveaxis(k, 2, 1).reshape(B * H, S, D)
-    vr = jnp.moveaxis(v, 2, 1).reshape(B * H, S, D)
 
-    grid = (B * H, S // bq, S // bk)
-    out = pl.pallas_call(
+def _flash_forward(qr, kr, vr, scale: float, bq: int, bk: int):
+    """[BH, S, D] inputs -> (out [BH, S, D], lse [BH, S] f32)."""
+    BH, S, D = qr.shape
+    grid = (BH, S // bq, S // bk)
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale),
         grid=grid,
         in_specs=[
@@ -129,10 +117,18 @@ def flash_attention(
                 (1, bk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, bq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (1, bq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bq), lambda b, i, j: (b, i), memory_space=pltpu.VMEM
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((B * H, S, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, S, D), qr.dtype),
+            jax.ShapeDtypeStruct((BH, S), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((bq, D), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -142,11 +138,85 @@ def flash_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * S * S * D,
-            bytes_accessed=3 * B * H * S * D * q.dtype.itemsize,
-            transcendentals=B * H * S * S,
+            flops=4 * BH * S * S * D,
+            bytes_accessed=3 * BH * S * D * qr.dtype.itemsize,
+            transcendentals=BH * S * S,
         ),
     )(qr, kr, vr)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core(qr, kr, vr, scale, bq, bk):
+    out, _ = _flash_forward(qr, kr, vr, scale, bq, bk)
+    return out
+
+
+def _flash_core_fwd(qr, kr, vr, scale, bq, bk):
+    out, lse = _flash_forward(qr, kr, vr, scale, bq, bk)
+    return out, (qr, kr, vr, out, lse)
+
+
+def _flash_core_bwd(scale, bq, bk, residuals, g):
+    """Chunked FlashAttention backward (recompute P blockwise from the
+    saved logsumexp):
+      D   = rowsum(dO ∘ O)
+      P_j = exp(Q K_j^T·s − lse)
+      dV_j = P_j^T dO ;  dS_j = P_j ∘ (dO V_j^T − D)
+      dQ  += dS_j K_j·s ;  dK_j = dS_j^T Q·s
+    Memory O(S·block) — never materializes the S×S matrix."""
+    qr, kr, vr, out, lse = residuals
+    BH, S, D = qr.shape
+    qf = qr.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    Drow = jnp.sum(gf * out.astype(jnp.float32), axis=-1, keepdims=True)  # [BH,S,1]
+    nkb = S // bk
+
+    def body(dq, j):
+        ks = jax.lax.dynamic_slice(kr, (0, j * bk, 0), (BH, bk, D)).astype(jnp.float32)
+        vs = jax.lax.dynamic_slice(vr, (0, j * bk, 0), (BH, bk, D)).astype(jnp.float32)
+        logits = jnp.einsum("bqd,bkd->bqk", qf, ks) * scale
+        p = jnp.exp(logits - lse[..., None])                        # [BH,S,bk]
+        dp = jnp.einsum("bqd,bkd->bqk", gf, vs)
+        ds = p * (dp - Drow)
+        dv_j = jnp.einsum("bqk,bqd->bkd", p, gf)
+        dk_j = jnp.einsum("bqk,bqd->bkd", ds, qf) * scale
+        dq = dq + jnp.einsum("bqk,bkd->bqd", ds, ks) * scale
+        return dq, (dk_j, dv_j)
+
+    dq0 = jnp.zeros((BH, S, D), jnp.float32)
+    dq, (dk_blocks, dv_blocks) = jax.lax.scan(
+        body, dq0, jnp.arange(nkb)
+    )
+    dk = jnp.moveaxis(dk_blocks, 0, 1).reshape(BH, S, D)
+    dv = jnp.moveaxis(dv_blocks, 0, 1).reshape(BH, S, D)
+    return dq.astype(qr.dtype), dk.astype(kr.dtype), dv.astype(vr.dtype)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 512,
+    block_k: int = 1536,
+) -> jnp.ndarray:
+    """q/k/v [B, S, H, D] -> [B, S, H, D] full bidirectional attention.
+    Sequence lengths not divisible into blocks fall back to the reference
+    (padded keys would corrupt the softmax)."""
+    B, S, H, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    bq, bk, ok = _pick_blocks(S, block_q, block_k)
+    if not ok:
+        return attention_reference(q, k, v)
+
+    qr = jnp.moveaxis(q, 2, 1).reshape(B * H, S, D)
+    kr = jnp.moveaxis(k, 2, 1).reshape(B * H, S, D)
+    vr = jnp.moveaxis(v, 2, 1).reshape(B * H, S, D)
+    out = _flash_core(qr, kr, vr, scale, bq, bk)
     return jnp.moveaxis(out.reshape(B, H, S, D), 1, 2)
 
 
