@@ -87,7 +87,10 @@ def _flash_kernel(
     @pl.when(ik == nk - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
+        # lse is stored [BH, 8, S] (8 replicated sublanes — TPU block
+        # shapes need the second-to-last dim divisible by 8)
+        lse = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
 def _pick_blocks(S: int, block_q: int, block_k: int):
@@ -122,12 +125,12 @@ def _flash_forward(qr, kr, vr, scale: float, bq: int, bk: int):
                 (1, bq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, bq), lambda b, i, j: (b, i), memory_space=pltpu.VMEM
+                (1, 8, bq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BH, S, D), qr.dtype),
-            jax.ShapeDtypeStruct((BH, S), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 8, S), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, D), jnp.float32),
@@ -143,7 +146,7 @@ def _flash_forward(qr, kr, vr, scale: float, bq: int, bk: int):
             transcendentals=BH * S * S,
         ),
     )(qr, kr, vr)
-    return out, lse
+    return out, lse[:, 0, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
