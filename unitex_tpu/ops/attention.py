@@ -170,21 +170,26 @@ def _flash_core_bwd(scale, bq, bk, residuals, g):
     Memory O(S·block) — never materializes the S×S matrix."""
     qr, kr, vr, out, lse = residuals
     BH, S, D = qr.shape
-    qf = qr.astype(jnp.float32)
     gf = g.astype(jnp.float32)
     Drow = jnp.sum(gf * out.astype(jnp.float32), axis=-1, keepdims=True)  # [BH,S,1]
     nkb = S // bk
 
+    ein = functools.partial(
+        jnp.einsum, preferred_element_type=jnp.float32
+    )
+
     def body(dq, j):
-        ks = jax.lax.dynamic_slice(kr, (0, j * bk, 0), (BH, bk, D)).astype(jnp.float32)
-        vs = jax.lax.dynamic_slice(vr, (0, j * bk, 0), (BH, bk, D)).astype(jnp.float32)
-        logits = jnp.einsum("bqd,bkd->bqk", qf, ks) * scale
+        # bf16 MXU inputs with f32 accumulation, like the forward kernel
+        ks = jax.lax.dynamic_slice(kr, (0, j * bk, 0), (BH, bk, D))
+        vs = jax.lax.dynamic_slice(vr, (0, j * bk, 0), (BH, bk, D))
+        logits = ein("bqd,bkd->bqk", qr, ks) * scale
         p = jnp.exp(logits - lse[..., None])                        # [BH,S,bk]
-        dp = jnp.einsum("bqd,bkd->bqk", gf, vs)
-        ds = p * (dp - Drow)
-        dv_j = jnp.einsum("bqk,bqd->bkd", p, gf)
-        dk_j = jnp.einsum("bqk,bqd->bkd", ds, qf) * scale
-        dq = dq + jnp.einsum("bqk,bkd->bqd", ds, ks) * scale
+        dp = ein("bqd,bkd->bqk", g, vs)
+        ds = (p * (dp - Drow)).astype(qr.dtype)
+        pb = p.astype(qr.dtype)
+        dv_j = ein("bqk,bqd->bkd", pb, g)
+        dk_j = ein("bqk,bqd->bkd", ds, qr) * scale
+        dq = dq + ein("bqk,bkd->bqd", ds, ks) * scale
         return dq, (dk_j, dv_j)
 
     dq0 = jnp.zeros((BH, S, D), jnp.float32)
