@@ -52,3 +52,17 @@ def test_export_video_file(tmp_path):
     assert os.path.getsize(out) > 0
     cam = np.load(str(tmp_path / "orbit_camera.npz"))
     assert cam["c2ws"].shape == (4, 4, 4)
+
+
+def test_export_turntable_grid(tmp_path):
+    from unitex_tpu.render.video import export_turntable
+
+    host = unwrap_atlas(make_icosphere(2), size=64, gutter=1)
+    host.texture = np.full((64, 64, 3), 90, np.uint8)
+    path = str(tmp_path / "m.glb")
+    save_mesh(path, host)
+    out = export_turntable(path, str(tmp_path / "grid.png"), n_frames=5, size=32)
+    from PIL import Image
+
+    img = Image.open(out)
+    assert img.size == (96, 64)  # 3 cols x 2 rows of 32

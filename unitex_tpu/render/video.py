@@ -110,3 +110,54 @@ def export_orbit_video(
             perspective=np.asarray(True),
         )
     return out_path
+
+
+def export_turntable(
+    mesh_path: str,
+    save_path: str,
+    n_frames: int = 8,
+    size: int = 512,
+    fps: int = 15,
+    video_type: str = "rgb",
+) -> str:
+    """Texture-check export (export_nvdiffrast_uv_video.export_video):
+    the extension decides the output — .mp4/.gif = orbit video,
+    .png/.jpg/.webp = a tiled frame grid."""
+    import os
+
+    ext = os.path.splitext(save_path)[1].lower()
+    assert ext in (".png", ".jpg", ".webp", ".mp4", ".gif")
+    if ext in (".mp4", ".gif"):
+        return export_orbit_video(
+            mesh_path, save_path, n_frames=n_frames, size=size, fps=fps,
+            video_type=video_type,
+        )
+    host = load_mesh(mesh_path)
+    tex = None
+    if host.texture is not None:
+        tex = jnp.asarray(host.texture[..., :3], jnp.float32) / 255.0
+    mesh = Mesh(
+        jnp.asarray(host.vertices), jnp.asarray(host.faces),
+        uv=jnp.asarray(host.uv) if host.uv is not None else None,
+        faces_uv=jnp.asarray(host.faces_uv) if host.faces_uv is not None else None,
+    )
+    frames = render_orbit_frames(
+        mesh, tex, n_frames=n_frames, size=size, video_type=video_type
+    )
+    # tile into a near-square grid
+    cols = int(np.ceil(np.sqrt(n_frames)))
+    rows = int(np.ceil(n_frames / cols))
+    pad = rows * cols - n_frames
+    if pad:
+        frames = np.concatenate(
+            [frames, np.full((pad,) + frames.shape[1:], 255, np.uint8)]
+        )
+    grid = (
+        frames.reshape(rows, cols, size, size, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * size, cols * size, 3)
+    )
+    from PIL import Image
+
+    Image.fromarray(grid).save(save_path)
+    return save_path
