@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--data-mesh", type=int, default=1, help="data-parallel size")
     ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--validation-steps", type=int, default=0,
+                    help="render a validation image every N steps "
+                         "(the reference's log_validation, trainer.py:579-625)")
     args = ap.parse_args()
 
     import dataclasses
@@ -143,6 +146,27 @@ def main():
             print(f"step {step}: loss {float(loss):.4f}")
         if mgr.should_save(step):
             mgr.save(step, state.lora)
+        if args.validation_steps and step > 0 and step % args.validation_steps == 0:
+            from unitex_tpu.models.flux.lora import merge_lora
+            from unitex_tpu.models.flux.pipeline import (
+                FluxPipelineConfig,
+                run_flux_pipeline,
+            )
+            from unitex_tpu.utils.image_io import save_image
+
+            merged = merge_lora(tparams, [(state.lora, 1.0)])
+            gh, gw = control.shape[1], control.shape[2]
+            img = run_flux_pipeline(
+                merged, cfg, vparams, vae_cfg, jax.random.key(args.seed),
+                FluxPipelineConfig(
+                    height=gh, width=gw, num_inference_steps=8,
+                    max_sequence_length=8 if args.tiny else 512,
+                ),
+                control_image=control[0],
+            )
+            save_image(
+                os.path.join(args.output_dir, f"validation_{step}.png"), img
+            )
     mgr.save(args.max_train_steps, state.lora)
     logger.close()
 

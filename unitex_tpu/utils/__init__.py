@@ -7,9 +7,13 @@ def enable_compilation_cache(path: str = "/tmp/unitex_jax_cache") -> None:
 
     TPU compiles of the big graphs (binned rasterizer, MMDiT scan) take
     minutes each through a remote-compile service; the on-disk cache makes
-    them one-time per machine instead of one-time per process."""
+    them one-time per machine instead of one-time per process.  CPU-only
+    sessions skip it (XLA:CPU AOT reload is machine-feature sensitive and
+    CPU compiles are fast anyway)."""
     import jax
 
+    if jax.default_backend() == "cpu":
+        return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
