@@ -267,3 +267,26 @@ def test_glb_pbr_export(tmp_path):
     # base color still loads back
     back = load_glb(path)
     np.testing.assert_array_equal(back.texture, cube.texture)
+
+
+def test_unwrap_open_and_flat_meshes():
+    """Boundary edges (open hemisphere) and degenerate normal bins (flat
+    plane) must unwrap without overlap."""
+    s = make_icosphere(3)
+    keep = s.vertices[s.faces].mean(axis=1)[:, 2] > 0
+    hemi = HostMesh(s.vertices, s.faces[keep])
+    out = unwrap_atlas(hemi, size=256, gutter=2)
+    assert out.uv.min() >= 0 and out.uv.max() <= 1
+    assert _uv_overlap_fraction(out) < 0.02
+
+    n = 16
+    xs, ys = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n), indexing="ij")
+    v = np.stack([xs, ys, np.zeros_like(xs)], -1).reshape(-1, 3).astype(np.float32)
+    f = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            f += [[a, a + 1, a + n + 1], [a, a + n + 1, a + n]]
+    plane = HostMesh(v, np.asarray(f, np.int32))
+    out2 = unwrap_atlas(plane, size=256, gutter=2)
+    assert _uv_overlap_fraction(out2) < 0.02
