@@ -66,6 +66,7 @@ class RGBTextureFullPipelineBase:
         seed: int = 63,
         config: PipelineConfig = DEFAULT_CONFIG,
         require_weights: bool = False,
+        save_artifacts: bool = True,
     ):
         from .utils import enable_compilation_cache
 
@@ -74,6 +75,9 @@ class RGBTextureFullPipelineBase:
         self.seed = seed
         self.super_resolutions = super_resolutions
         self.pretrain_models = pretrain_models
+        # production serving can skip the intermediate artifact PNGs
+        # (2048^2 encodes cost seconds each); final outputs always save
+        self.save_artifacts = save_artifacts
         self.rembg = build_background_remover(pretrain_models)
         self.flux_cfg = FluxConfig.flux1_dev()
         self.vae_cfg = VAEConfig.flux()
@@ -183,9 +187,10 @@ class RGBTextureFullPipelineBase:
             rows=cam.rows,
             cols=cam.cols,
         )
-        save_image(os.path.join(save_dir, "mv_alpha.png"), out["alpha"])
-        save_image(os.path.join(save_dir, "mv_ccm.png"), out["ccm"])
-        save_image(os.path.join(save_dir, "mv_normal.png"), out["normal"])
+        if self.save_artifacts:
+            save_image(os.path.join(save_dir, "mv_alpha.png"), out["alpha"])
+            save_image(os.path.join(save_dir, "mv_ccm.png"), out["ccm"])
+            save_image(os.path.join(save_dir, "mv_normal.png"), out["normal"])
         np.savez(
             os.path.join(save_dir, "camera_info.npz"),
             c2ws=np.asarray(out["c2ws"]),
@@ -230,7 +235,10 @@ class RGBTextureFullPipelineBase:
                 control_image=control_strip,
                 dual_image=jnp.asarray(reference_image),
             )
-            save_image(os.path.join(save_dir, "mv_rgb_w_light.png"), strip_w_light)
+            if self.save_artifacts:
+                save_image(
+                    os.path.join(save_dir, "mv_rgb_w_light.png"), strip_w_light
+                )
             # delight pass: adapters [0, 1], control = stage-1 output, no dual
             params_del = merge_lora(
                 self.transformer_params, [(self.delight_lora, 1.0)]
@@ -243,14 +251,19 @@ class RGBTextureFullPipelineBase:
         else:
             # weightless stand-in: the control strip itself (geometry-shaded)
             strip_w_light = control_strip
-            save_image(os.path.join(save_dir, "mv_rgb_w_light.png"), strip_w_light)
+            if self.save_artifacts:
+                save_image(
+                    os.path.join(save_dir, "mv_rgb_w_light.png"), strip_w_light
+                )
             strip_delight = strip_w_light
 
         mv_rgb = strip_to_grid(strip_delight)
         if self.sr_pipeline is not None:
-            save_image(os.path.join(save_dir, "mv_rgb_lr.png"), mv_rgb)
+            if self.save_artifacts:
+                save_image(os.path.join(save_dir, "mv_rgb_lr.png"), mv_rgb)
             mv_rgb = self.sr_pipeline(mv_rgb)
-        save_image(os.path.join(save_dir, "mv_rgb.png"), mv_rgb)
+        if self.save_artifacts:
+            save_image(os.path.join(save_dir, "mv_rgb.png"), mv_rgb)
         return mv_rgb
 
     @CPUTimer("reproject_and_query_field")
@@ -276,15 +289,16 @@ class RGBTextureFullPipelineBase:
             ray_normal_angle_threshold=bcfg.ray_normal_angle_threshold,
             depth_eps=bcfg.depth_eps,
         )
-        save_image(
-            os.path.join(save_dir, "visable_uv_mask.png"),
-            out["mask_visible_any"].astype(jnp.float32),
-        )
-        save_image(
-            os.path.join(save_dir, "valid_uv_mask.png"),
-            out["mask_2d"].astype(jnp.float32),
-        )
-        save_image(os.path.join(save_dir, "completed_uv.png"), out["texture"])
+        if self.save_artifacts:
+            save_image(
+                os.path.join(save_dir, "visable_uv_mask.png"),
+                out["mask_visible_any"].astype(jnp.float32),
+            )
+            save_image(
+                os.path.join(save_dir, "valid_uv_mask.png"),
+                out["mask_2d"].astype(jnp.float32),
+            )
+            save_image(os.path.join(save_dir, "completed_uv.png"), out["texture"])
 
         textured = HostMesh(
             processed_mesh.vertices,
