@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--super-resolution", action="store_true")
     ap.add_argument("--keep-going", action="store_true",
                     help="continue past per-job failures")
+    ap.add_argument("--no-artifacts", action="store_true",
+                    help="skip intermediate PNG dumps (fastest serving)")
     ap.add_argument("--small", action="store_true",
                     help="reduced resolutions (smoke tests / CPU)")
     args = ap.parse_args()
@@ -76,6 +78,7 @@ def main():
         pretrain_models=args.pretrain_models,
         super_resolutions=args.super_resolution,
         seed=args.seed,
+        save_artifacts=not args.no_artifacts,
         **kwargs,
     )
     results = []
