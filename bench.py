@@ -42,8 +42,8 @@ def main() -> None:
     # TP over 8 chips.  Small depth keeps init/transfer/compile short for
     # the driver.
     cfg = FluxConfig(
-        num_layers=2,
-        num_single_layers=4,
+        num_layers=1,
+        num_single_layers=2,
         dtype="bfloat16",
     )
 
