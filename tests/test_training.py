@@ -247,3 +247,34 @@ class TestShardedInference:
                 control_image=control,
             )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+class TestLoraIO:
+    def test_safetensors_roundtrip(self, tmp_path):
+        from unitex_tpu.models.flux.lora import (
+            load_lora_safetensors,
+            save_lora_safetensors,
+        )
+
+        cfg = FluxConfig.tiny()
+        base = init_flux_params(jax.random.key(0), cfg)
+        lora = init_lora_params(jax.random.key(1), base, rank=4)
+        lora = jax.tree.map(lambda x: x + 0.01, lora)  # nonzero b
+        path = str(tmp_path / "pytorch_lora_weights.safetensors")
+        save_lora_safetensors(path, lora)
+        back = load_lora_safetensors(
+            path, cfg.num_layers, cfg.num_single_layers
+        )
+        # every saved target round-trips exactly
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), lora, back
+        )
+        assert max(jax.tree.leaves(diff)) < 1e-7
+        # and a merge with the loaded adapter matches the original merge
+        m1 = merge_lora(base, [(lora, 1.0)])
+        m2 = merge_lora(base, [(back, 1.0)])
+        np.testing.assert_allclose(
+            np.asarray(m1["dual_blocks"]["attn"]["to_q"]["kernel"]),
+            np.asarray(m2["dual_blocks"]["attn"]["to_q"]["kernel"]),
+            atol=1e-7,
+        )

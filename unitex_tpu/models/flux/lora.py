@@ -133,6 +133,36 @@ _HF_SINGLE = {
 }
 
 
+def save_lora_safetensors(path: str, lora: Dict[str, Any]) -> None:
+    """Write the stacked LoRA tree as a PEFT/diffusers-keyed safetensors
+    file (the reference's ``pytorch_lora_weights.safetensors``,
+    trainer.py:480-490) — torch layout: lora_A [r, d_in], lora_B [d_out, r]."""
+    from safetensors.numpy import save_file
+
+    tensors: Dict[str, np.ndarray] = {}
+
+    def emit(block_kind, hf_map, tree):
+        for path_t, hf in hf_map.items():
+            node = tree
+            for kpart in path_t:
+                if kpart not in node:
+                    node = None
+                    break
+                node = node[kpart]
+            if node is None or "a" not in node:
+                continue
+            a = np.asarray(node["a"])  # [L, d_in, r]
+            b = np.asarray(node["b"])  # [L, r, d_out]
+            for i in range(a.shape[0]):
+                prefix = f"transformer.{block_kind}.{i}.{hf}"
+                tensors[f"{prefix}.lora_A.weight"] = a[i].T.copy()
+                tensors[f"{prefix}.lora_B.weight"] = b[i].T.copy()
+
+    emit("transformer_blocks", _HF_DUAL, lora.get("dual_blocks", {}))
+    emit("single_transformer_blocks", _HF_SINGLE, lora.get("single_blocks", {}))
+    save_file(tensors, path)
+
+
 def load_lora_safetensors(
     path: str, n_dual: int = 19, n_single: int = 38
 ) -> Dict[str, Any]:
