@@ -137,3 +137,22 @@ def axis_angle_to_matrix(axis_angle: jnp.ndarray) -> jnp.ndarray:
     w = jnp.cos(half)
     xyz = axis * jnp.sin(half)[..., None]
     return quaternion_to_matrix(jnp.concatenate([w[..., None], xyz], axis=-1))
+
+
+def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
+    """[..., 6] continuous 6D rotation representation -> [..., 3, 3]
+    (Zhou et al. 2019, the parameterization the reference's pose-refine
+    tools use: texture/reprojection/mesh_refine.py rotation params).
+    Gram-Schmidt on the two embedded column vectors."""
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+    a2p = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2p / jnp.maximum(jnp.linalg.norm(a2p, axis=-1, keepdims=True), 1e-12)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
+def matrix_to_rotation_6d(matrix: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] -> [..., 6]: the first two rows, flattened (inverse of
+    rotation_6d_to_matrix up to Gram-Schmidt)."""
+    return matrix[..., :2, :].reshape(*matrix.shape[:-2], 6)

@@ -1,0 +1,172 @@
+"""Differentiable texture & camera-pose refinement.
+
+The reference ships this as texture/reprojection/mesh_refine.py and
+mesh_refine_implicit.py (sigmoid-parameterized UV texture optimized by
+rendering against target views; camera poses as 6D-rotation + translation
+params) — bit-rotted upstream (imports a nonexistent renderers package,
+mesh_refine.py:27) but part of the capability surface.
+
+TPU-native formulation: rasterization (tri id + barycentrics) is
+precomputed once per view — the gradient paths are
+
+- texture: per-pixel UVs -> bilinear ``sample_texture`` -> masked photo
+  loss; the texture is optimized through the sampler (the same gradient
+  nvdiffrast provides for dr.texture).
+- pose: per-pixel *world positions* from the fixed rast are re-projected
+  through the *current* pose estimate into the target image, which is
+  bilinearly sampled and compared against the mesh's rendered colors —
+  photometric alignment (the classic dense pose-refinement objective);
+  gradients flow through projection + bilinear target lookup.
+
+Both loops run as ``lax.scan``-chained optimizer steps inside one jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..camera.conversion import c2w_to_w2c, intr_to_proj
+from ..camera.rotation import matrix_to_rotation_6d, rotation_6d_to_matrix
+from ..geometry.mesh import Mesh
+from ..ops.grid_sample import grid_sample, sample_texture
+from ..render.renderer import render_views
+
+
+@dataclasses.dataclass(frozen=True)
+class TextureRefineConfig:
+    texture_size: int = 512
+    steps: int = 200
+    lr: float = 5e-2
+    tv_weight: float = 1e-4  # total-variation prior over the atlas
+    loss: str = "l2"  # or "l1"
+
+
+def _photo_loss(pred, target, alpha, kind):
+    diff = (pred - target) * alpha
+    per = jnp.abs(diff) if kind == "l1" else diff * diff
+    return per.sum() / jnp.maximum(alpha.sum() * pred.shape[-1], 1.0)
+
+
+def refine_texture(
+    mesh: Mesh,
+    c2ws: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    target_images: jnp.ndarray,
+    perspective: bool = False,
+    init_texture: Optional[jnp.ndarray] = None,
+    cfg: TextureRefineConfig = TextureRefineConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Optimize a UV texture so the rendered mesh matches target views.
+
+    mesh must carry uv/faces_uv; target_images [M, H, W, C] in [0, 1];
+    returns (texture [T, T, C] in [0, 1], loss history [steps]).
+    """
+    M, H, W, C = target_images.shape
+    outs = render_views(
+        mesh, c2ws, intrinsics, (H, W), perspective=perspective, render_uv=True)
+    # gb uv is in ndc [-1,1] (v-up), background -1; back to [0,1] for sampling
+    uv01 = jax.lax.stop_gradient((outs.uv + 1.0) * 0.5)   # [M, H, W, 2]
+    alpha = jax.lax.stop_gradient(outs.alpha)             # [M, H, W, 1]
+
+    if init_texture is None:
+        logits = jnp.zeros((cfg.texture_size, cfg.texture_size, C), jnp.float32)
+    else:
+        t0 = jnp.clip(init_texture.astype(jnp.float32), 1e-4, 1.0 - 1e-4)
+        logits = jnp.log(t0) - jnp.log1p(-t0)
+    opt = optax.adam(cfg.lr)
+
+    def loss_fn(lg):
+        tex = jax.nn.sigmoid(lg)
+        pred = jax.vmap(lambda g: sample_texture(tex, g))(uv01)
+        loss = _photo_loss(pred, target_images, alpha, cfg.loss)
+        if cfg.tv_weight > 0:
+            tv = (jnp.mean((tex[1:] - tex[:-1]) ** 2)
+                  + jnp.mean((tex[:, 1:] - tex[:, :-1]) ** 2))
+            loss = loss + cfg.tv_weight * tv
+        return loss
+
+    def step(carry, _):
+        lg, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(lg)
+        updates, opt_state = opt.update(grads, opt_state, lg)
+        return (optax.apply_updates(lg, updates), opt_state), loss
+
+    (logits, _), losses = jax.lax.scan(
+        step, (logits, opt.init(logits)), None, length=cfg.steps)
+    return jax.nn.sigmoid(logits), losses
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseRefineConfig:
+    steps: int = 100
+    lr: float = 3e-3
+    loss: str = "l2"
+
+
+def refine_poses(
+    mesh: Mesh,
+    c2ws: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    target_images: jnp.ndarray,
+    texture: jnp.ndarray,
+    perspective: bool = False,
+    cfg: PoseRefineConfig = PoseRefineConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Photometric camera-pose refinement against target views.
+
+    c2ws [M, 4, 4] initial estimates; texture: known UV texture providing
+    the mesh's surface colors.  Returns (refined c2ws [M, 4, 4], loss
+    history [steps]).
+    """
+    M, H, W, C = target_images.shape
+    if intrinsics.ndim == 2:
+        intrinsics = jnp.broadcast_to(intrinsics, (M, 3, 3))
+    outs = render_views(
+        mesh, c2ws, intrinsics, (H, W), perspective=perspective,
+        render_uv=True, render_world_position=True)
+    uv01 = jax.lax.stop_gradient((outs.uv + 1.0) * 0.5)
+    alpha = jax.lax.stop_gradient(outs.alpha)                 # [M, H, W, 1]
+    wpos = jax.lax.stop_gradient(outs.world_position)         # [M, H, W, 3]
+    surf_rgb = jax.lax.stop_gradient(
+        jax.vmap(lambda g: sample_texture(texture, g))(uv01)) # [M, H, W, C]
+    projs = jax.vmap(lambda K: intr_to_proj(K, perspective=perspective))(intrinsics)
+
+    params = {
+        "rot6d": matrix_to_rotation_6d(c2ws[:, :3, :3]),
+        "trans": c2ws[:, :3, 3],
+    }
+    opt = optax.adam(cfg.lr)
+
+    def build_c2ws(p):
+        R = rotation_6d_to_matrix(p["rot6d"])                 # [M, 3, 3]
+        bottom = jnp.tile(jnp.asarray([[0.0, 0.0, 0.0, 1.0]]), (M, 1, 1))
+        top = jnp.concatenate([R, p["trans"][:, :, None]], axis=-1)
+        return jnp.concatenate([top, bottom], axis=1)
+
+    def loss_fn(p):
+        w2cs = c2w_to_w2c(build_c2ws(p))                      # [M, 4, 4]
+        ph = jnp.concatenate([wpos, jnp.ones_like(wpos[..., :1])], axis=-1)
+        cam = jnp.einsum("mhwc,mdc->mhwd", ph, w2cs)          # [M, H, W, 4]
+        clip = jnp.einsum("mhwc,mdc->mhwd", cam, projs)
+        ndc = clip[..., :2] / jnp.maximum(jnp.abs(clip[..., 3:4]), 1e-8) * jnp.sign(
+            clip[..., 3:4])
+        # rasterizer convention: ndc y=-1 is the top row — grid_sample agrees
+        sampled = jax.vmap(
+            lambda img, g: grid_sample(img, g, padding_mode="border")
+        )(target_images, ndc)
+        return _photo_loss(sampled, surf_rgb, alpha, cfg.loss)
+
+    def step(carry, _):
+        p, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        return (optax.apply_updates(p, updates), opt_state), loss
+
+    (params, _), losses = jax.lax.scan(
+        step, (params, opt.init(params)), None, length=cfg.steps)
+    return build_c2ws(params), losses
