@@ -88,3 +88,56 @@ class TestRemap:
         expect = np.clip(0.5 + 0.5 * np.asarray(dst_uv["position"]), 0, 1)
         err = np.abs(out - expect)[mask]
         assert err.mean() < 0.05, err.mean()
+
+
+class TestQueryExtensions:
+    def test_box_query_matches_triplane_pairs(self):
+        import numpy as np
+        from unitex_tpu.render.volume import box_query, triplane_query
+
+        rng = np.random.default_rng(0)
+        planes = jnp.asarray(rng.normal(size=(3, 8, 8, 4)).astype(np.float32))
+        # box with each plane duplicated = 2x the triplane sum
+        faces = jnp.asarray(np.repeat(np.asarray(planes), 2, axis=0))
+        coords = jnp.asarray(rng.uniform(-1, 1, size=(10, 3)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(box_query(faces, coords)),
+            2 * np.asarray(triplane_query(planes, coords, mode="sum")),
+            rtol=1e-5, atol=1e-5)
+
+    def test_discretize_2d_roundtrip(self):
+        import numpy as np
+        from unitex_tpu.render.volume import discretize_2d, undiscretize_2d
+
+        H = W = 16
+        pix = jnp.stack(jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy"), -1)
+        ndc = undiscretize_2d(pix, H, W)
+        back = discretize_2d(ndc, H, W)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(pix))
+
+    def test_discretize_2d_torch_parity(self):
+        import numpy as np
+        torch = pytest.importorskip("torch")
+        from unitex_tpu.render.volume import discretize_2d
+
+        rng = np.random.default_rng(1)
+        g = rng.uniform(-0.999, 0.999, size=(50, 2)).astype(np.float32)
+        # reference discretize_2d (query.py:136-149)
+        uf = g[:, 0] * 0.5 + 0.5
+        vf = g[:, 1] * 0.5 + 0.5
+        expect = np.stack([np.floor(uf * 32), np.floor(vf * 24)], -1).astype(np.int64)
+        ours = discretize_2d(jnp.asarray(g), 24, 32)
+        np.testing.assert_array_equal(np.asarray(ours), expect)
+
+    def test_make_grids(self):
+        import numpy as np
+        from unitex_tpu.render.volume import make_grid_2d, make_grid_3d
+
+        g2 = make_grid_2d(4, 8)
+        assert g2.shape == (4, 8, 2)
+        # x varies along axis 1, centers symmetric about 0
+        np.testing.assert_allclose(float(g2[0, 0, 0] + g2[0, -1, 0]), 0.0, atol=1e-6)
+        np.testing.assert_allclose(float(g2[0, 0, 1] + g2[-1, 0, 1]), 0.0, atol=1e-6)
+        g3 = make_grid_3d(2, 4, 8)
+        assert g3.shape == (2, 4, 8, 3)
+        np.testing.assert_allclose(float(g3[0, 0, 0, 2]), -0.5, atol=1e-6)

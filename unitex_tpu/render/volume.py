@@ -110,3 +110,75 @@ def splat_points_to_grid(
     den = jax.ops.segment_sum(ones, idx, num_segments=R * R * R + 1)[:-1]
     grid = num / jnp.maximum(den, 1.0)
     return grid.reshape(R, R, R, values.shape[-1])
+
+
+def box_query(faces: jnp.ndarray, coords: jnp.ndarray, mode: str = "sum") -> jnp.ndarray:
+    """Six-plane "box" field query (query.py query_box semantics): faces
+    [6, H, W, C] paired per axis — (xy, xy, xz, xz, yz, yz) — coords
+    [..., 3] in [-1, 1].  ``mode``: 'sum' or 'concat'."""
+    from ..ops.grid_sample import grid_sample
+
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    planes = [
+        jnp.stack([x, y], -1), jnp.stack([x, y], -1),
+        jnp.stack([x, z], -1), jnp.stack([x, z], -1),
+        jnp.stack([y, z], -1), jnp.stack([y, z], -1),
+    ]
+    feats = [grid_sample(faces[i], g, padding_mode="border") for i, g in enumerate(planes)]
+    if mode == "sum":
+        return sum(feats)
+    return jnp.concatenate(feats, axis=-1)
+
+
+def discretize_2d(
+    coords_ndc: jnp.ndarray, H: int, W: int, ndc: bool = True, align_corners: bool = False
+) -> jnp.ndarray:
+    """[..., 2] (u, v) NDC or [0,1] -> integer pixel coords (query.py
+    discretize_2d: floor(u*W) / floor(u*(W-1)+0.5))."""
+    uf, vf = coords_ndc[..., 0], coords_ndc[..., 1]
+    if ndc:
+        uf = uf * 0.5 + 0.5
+        vf = vf * 0.5 + 0.5
+    if align_corners:
+        ui = jnp.floor(uf * (W - 1) + 0.5)
+        vi = jnp.floor(vf * (H - 1) + 0.5)
+    else:
+        ui = jnp.floor(uf * W)
+        vi = jnp.floor(vf * H)
+    return jnp.stack([ui, vi], axis=-1).astype(jnp.int32)
+
+
+def undiscretize_2d(
+    pix: jnp.ndarray, H: int, W: int, ndc: bool = True, align_corners: bool = False
+) -> jnp.ndarray:
+    """Integer pixel coords -> continuous (u, v), inverse of discretize_2d."""
+    ui, vi = pix[..., 0].astype(jnp.float32), pix[..., 1].astype(jnp.float32)
+    if align_corners:
+        uf = ui / (W - 1)
+        vf = vi / (H - 1)
+    else:
+        uf = (ui + 0.5) / W
+        vf = (vi + 0.5) / H
+    if ndc:
+        uf = uf * 2.0 - 1.0
+        vf = vf * 2.0 - 1.0
+    return jnp.stack([uf, vf], axis=-1)
+
+
+def make_grid_2d(H: int, W: int, ndc: bool = True) -> jnp.ndarray:
+    """[H, W, 2] grid of pixel-center (x, y) coordinates (query.py
+    make_grid_2d: row-major, last axis (x, y))."""
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    return undiscretize_2d(jnp.stack([xs, ys], axis=-1), H, W, ndc=ndc)
+
+
+def make_grid_3d(D: int, H: int, W: int, ndc: bool = True) -> jnp.ndarray:
+    """[D, H, W, 3] grid of voxel-center (x, y, z) coordinates."""
+    zs, ys, xs = jnp.meshgrid(
+        jnp.arange(D), jnp.arange(H), jnp.arange(W), indexing="ij")
+    # per-axis undiscretize with its own resolution
+    def un(i, S):
+        u = (i.astype(jnp.float32) + 0.5) / S
+        return u * 2.0 - 1.0 if ndc else u
+
+    return jnp.stack([un(xs, W), un(ys, H), un(zs, D)], axis=-1)
