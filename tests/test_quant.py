@@ -1,0 +1,125 @@
+"""int8 W8A8 quantized serving (the reference's quantized-serving
+capability, pipeline.py:87-95 NF4 branch, rebuilt as an MXU int8 speedup)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitex_tpu.models.flux.config import FluxConfig
+from unitex_tpu.models.flux.model import flux_forward, init_flux_params
+from unitex_tpu.models.flux.pipeline import latent_image_ids
+from unitex_tpu.ops.quant import (
+    count_quantized,
+    int8_matmul,
+    quantize_kernel,
+    quantize_linears,
+)
+
+
+class TestInt8Matmul:
+    def test_accuracy_vs_exact(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(64, 256)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+        q, s = quantize_kernel(w)
+        rel = float(jnp.linalg.norm(int8_matmul(x, q, s) - x @ w)
+                    / jnp.linalg.norm(x @ w))
+        assert rel < 0.02, rel
+
+    def test_per_channel_scales_handle_column_outliers(self):
+        rng = np.random.default_rng(1)
+        w = rng.normal(size=(128, 64)).astype(np.float32)
+        w[:, 0] *= 1000.0  # one huge output channel must not wreck the rest
+        q, s = quantize_kernel(jnp.asarray(w))
+        x = jnp.asarray(rng.normal(size=(16, 128)).astype(np.float32))
+        y = int8_matmul(x, q, s)
+        ref = x @ jnp.asarray(w)
+        rel_small = float(jnp.linalg.norm(y[:, 1:] - ref[:, 1:])
+                          / jnp.linalg.norm(ref[:, 1:]))
+        assert rel_small < 0.02, rel_small
+
+    def test_per_token_scales_handle_row_outliers(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(16, 128)).astype(np.float32)
+        x[0] *= 1000.0
+        w = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32))
+        q, s = quantize_kernel(w)
+        y = int8_matmul(jnp.asarray(x), q, s)
+        ref = jnp.asarray(x) @ w
+        rel = float(jnp.linalg.norm(y[1:] - ref[1:]) / jnp.linalg.norm(ref[1:]))
+        assert rel < 0.02, rel
+
+    def test_stacked_layer_axis(self):
+        rng = np.random.default_rng(3)
+        wL = jnp.asarray(rng.normal(size=(3, 64, 32)).astype(np.float32))
+        qL, sL = quantize_kernel(wL)
+        assert qL.shape == (3, 64, 32) and sL.shape == (3, 32)
+        x = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+        for i in range(3):
+            rel = float(jnp.linalg.norm(int8_matmul(x, qL[i], sL[i]) - x @ wL[i])
+                        / jnp.linalg.norm(x @ wL[i]))
+            assert rel < 0.02
+
+    def test_bf16_inputs(self):
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(8, 64)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+        q, s = quantize_kernel(w)
+        y = int8_matmul(x, q, s)
+        assert y.dtype == jnp.bfloat16
+
+
+class TestQuantizedFlux:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = dataclasses.replace(FluxConfig.tiny(), dtype="bfloat16")
+        params = init_flux_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        B, S_img, S_txt = 1, 64, 16
+        args = (
+            jnp.asarray(rng.normal(size=(B, S_img, cfg.in_channels)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(B, S_txt, cfg.joint_attention_dim)).astype(np.float32)),
+            jnp.full((B,), 0.5),
+            jnp.zeros((B, cfg.pooled_projection_dim)),
+            latent_image_ids(8, 8),
+            jnp.zeros((S_txt, 3)),
+            jnp.full((B,), 3.5),
+        )
+        return cfg, params, args
+
+    def test_only_block_projections_quantized(self, setup):
+        cfg, params, _ = setup
+        qparams = quantize_linears(params)
+        # embedders and AdaLN modulations keep float kernels
+        assert "kernel" in qparams["x_embedder"]
+        assert "kernel" in qparams["norm_out"]["lin"]
+        assert "kernel" in qparams["dual_blocks"]["norm1"]["lin"]
+        # block projections are int8
+        assert "kernel_int8" in qparams["dual_blocks"]["attn"]["to_q"]
+        assert "kernel_int8" in qparams["dual_blocks"]["ff"]["in"]
+        assert "kernel_int8" in qparams["single_blocks"]["proj_out"]
+        n_q, n_f = count_quantized(qparams)
+        assert n_q > n_f  # most parameters ride the int8 path
+
+    def test_forward_close_to_bf16(self, setup):
+        cfg, params, args = setup
+        qparams = quantize_linears(params)
+        out_bf = flux_forward(params, cfg, *args)
+        out_q = flux_forward(qparams, cfg, *args)
+        rel = float(jnp.linalg.norm(out_q - out_bf) / jnp.linalg.norm(out_bf))
+        cos = float(jnp.sum(out_q * out_bf)
+                    / (jnp.linalg.norm(out_q) * jnp.linalg.norm(out_bf)))
+        # int8 deviation stays below bf16's own deviation from f32 (~0.7%)
+        assert rel < 0.02, rel
+        assert cos > 0.999, cos
+
+    def test_jits_and_is_deterministic(self, setup):
+        cfg, params, args = setup
+        qparams = quantize_linears(params)
+        f = jax.jit(lambda p, *a: flux_forward(p, cfg, *a))
+        a = f(qparams, *args)
+        b = f(qparams, *args)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

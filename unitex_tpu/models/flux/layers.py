@@ -31,7 +31,12 @@ def linear_init(key, d_in: int, d_out: int, bias: bool = True) -> Params:
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["kernel"].astype(x.dtype)
+    if "kernel_int8" in p:
+        from ...ops.quant import int8_matmul
+
+        y = int8_matmul(x, p["kernel_int8"], p["scale"])
+    else:
+        y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

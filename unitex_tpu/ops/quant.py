@@ -1,0 +1,102 @@
+"""int8 quantized serving (W8A8, dynamic per-token activations).
+
+The reference ships a quantized serving mode for small-VRAM GPUs (NF4 via
+bitsandbytes, /root/reference/pipeline.py:87-95) — a memory optimization.
+On TPU v5e the MXU's int8 path has 2x the bf16 throughput (measured:
+392 TOP/s vs 194 TF/s on this chip), so quantization here is a *compute*
+optimization for the FLUX/SD3 projection matmuls:
+
+- weights: symmetric per-output-channel int8 (static, offline),
+- activations: symmetric per-token (per-row) int8, quantized dynamically
+  in-graph — scales ride along, everything fuses into the surrounding
+  elementwise work,
+- accumulation in int32 on the MXU (``preferred_element_type``), dequant
+  by the outer product of the two scales.
+
+Norms, AdaLN modulations, embedders and attention softmax stay bf16/f32;
+only the big [d_model, d_out] projections inside the scanned blocks are
+quantized (they carry ~99% of the FLOPs at S=13.8k).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_kernel(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., d_in, d_out] f32/bf16 -> (int8 kernel, f32 scale [..., d_out]).
+
+    Symmetric per-output-channel: scale = max|w| over d_in / 127.  Leading
+    axes (the stacked-blocks layer axis) quantize independently."""
+    w = kernel.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=-2)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_matmul(
+    x: jnp.ndarray, kernel_int8: jnp.ndarray, kernel_scale: jnp.ndarray
+) -> jnp.ndarray:
+    """x [..., d_in] @ int8 kernel [d_in, d_out] with dynamic per-row
+    activation quantization; returns x.dtype [..., d_out]."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s_x = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, kernel_int8,
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * s_x * kernel_scale).astype(x.dtype)
+
+
+def _should_quantize(path: Tuple[Any, ...]) -> bool:
+    keys = [getattr(p, "key", None) for p in path]
+    if not any(k in ("dual_blocks", "single_blocks", "blocks") for k in keys):
+        return False
+    # AdaLN modulation projections live under norm* subtrees; tiny matmuls
+    # (S=1) and quality-sensitive — keep bf16
+    return not any(isinstance(k, str) and k.startswith("norm") for k in keys)
+
+
+def quantize_linears(
+    params: Dict[str, Any],
+    predicate: Optional[Callable[[Tuple[Any, ...]], bool]] = None,
+) -> Dict[str, Any]:
+    """Replace ``{"kernel": w}`` dicts with ``{"kernel_int8", "scale"}``
+    wherever ``predicate(path)`` holds (default: projection matmuls inside
+    the scanned transformer blocks).  ``layers.linear`` dispatches on the
+    key set, so forwards are unchanged."""
+    predicate = predicate or _should_quantize
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "kernel" in node and predicate(path):
+                q, s = quantize_kernel(node["kernel"])
+                new = {"kernel_int8": q, "scale": s}
+                if "bias" in node:
+                    new["bias"] = node["bias"]
+                return new
+            return {
+                k: walk(v, path + (jax.tree_util.DictKey(k),))
+                for k, v in node.items()
+            }
+        return node
+
+    return walk(params, ())
+
+
+def count_quantized(params: Dict[str, Any]) -> Tuple[int, int]:
+    """(n int8 elements, n float kernel elements) — for memory reporting."""
+    n_q = n_f = 0
+    for leaf in jax.tree.leaves(params):
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.int8:
+            n_q += leaf.size
+        elif hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            n_f += leaf.size
+    return n_q, n_f
