@@ -187,14 +187,22 @@ def _joint_attention(
     dropping of RandomDropFluxAttnProcessor2_0
     (attention_processor.py:114-233)."""
     H = cfg.num_attention_heads
-    q = _heads(linear(p["to_q"], hidden), H)
-    k = _heads(linear(p["to_k"], hidden), H)
-    v = _heads(linear(p["to_v"], hidden), H)
+    if "qkv_fused" in p:
+        # int8 serving form (quantize.py): one wide matmul per stream —
+        # the activation is quantized once instead of once per projection
+        qf, kf, vf = jnp.split(linear(p["qkv_fused"], hidden), 3, axis=-1)
+        q, k, v = _heads(qf, H), _heads(kf, H), _heads(vf, H)
+        cqf, ckf, cvf = jnp.split(linear(p["add_qkv_fused"], context), 3, axis=-1)
+        cq, ck, cv = _heads(cqf, H), _heads(ckf, H), _heads(cvf, H)
+    else:
+        q = _heads(linear(p["to_q"], hidden), H)
+        k = _heads(linear(p["to_k"], hidden), H)
+        v = _heads(linear(p["to_v"], hidden), H)
+        cq = _heads(linear(p["add_q_proj"], context), H)
+        ck = _heads(linear(p["add_k_proj"], context), H)
+        cv = _heads(linear(p["add_v_proj"], context), H)
     q = rms_norm(q, p["norm_q"])
     k = rms_norm(k, p["norm_k"])
-    cq = _heads(linear(p["add_q_proj"], context), H)
-    ck = _heads(linear(p["add_k_proj"], context), H)
-    cv = _heads(linear(p["add_v_proj"], context), H)
     cq = rms_norm(cq, p["norm_added_q"])
     ck = rms_norm(ck, p["norm_added_k"])
     q = jnp.concatenate([cq, q], axis=1)
@@ -219,11 +227,16 @@ def _single_attention(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     kv_keep_idx: Optional[jnp.ndarray] = None,
+    qkv: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     H = cfg.num_attention_heads
-    q = rms_norm(_heads(linear(p["to_q"], x), H), p["norm_q"])
-    k = rms_norm(_heads(linear(p["to_k"], x), H), p["norm_k"])
-    v = _heads(linear(p["to_v"], x), H)
+    if qkv is not None:  # precomputed by the fused int8 projection
+        qf, kf, vf = qkv
+    else:
+        qf, kf, vf = linear(p["to_q"], x), linear(p["to_k"], x), linear(p["to_v"], x)
+    q = rms_norm(_heads(qf, H), p["norm_q"])
+    k = rms_norm(_heads(kf, H), p["norm_k"])
+    v = _heads(vf, H)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     if kv_keep_idx is not None:
@@ -260,8 +273,16 @@ def _dual_block(p, cfg, hidden, context, temb, cos, sin, kv_keep_idx=None):
 def _single_block(p, cfg, x, temb, cos, sin, kv_keep_idx=None):
     sh, sc, gate = _ada_ln_zero(p["norm"], temb, 3)
     x_norm = layer_norm(x) * (1 + sc) + sh
-    attn_out = _single_attention(p["attn"], cfg, x_norm, cos, sin, kv_keep_idx)
-    mlp_out = gelu_tanh(linear(p["proj_mlp"], x_norm))
+    if "qkvm_fused" in p:
+        d = cfg.hidden_size
+        fused = linear(p["qkvm_fused"], x_norm)
+        qkv = (fused[..., :d], fused[..., d : 2 * d], fused[..., 2 * d : 3 * d])
+        attn_out = _single_attention(
+            p["attn"], cfg, x_norm, cos, sin, kv_keep_idx, qkv=qkv)
+        mlp_out = gelu_tanh(fused[..., 3 * d :])
+    else:
+        attn_out = _single_attention(p["attn"], cfg, x_norm, cos, sin, kv_keep_idx)
+        mlp_out = gelu_tanh(linear(p["proj_mlp"], x_norm))
     merged = jnp.concatenate([attn_out, mlp_out], axis=-1)
     return x + gate * linear(p["proj_out"], merged)
 

@@ -55,9 +55,19 @@ def int8_matmul(
     return (acc.astype(jnp.float32) * s_x * kernel_scale).astype(x.dtype)
 
 
+# q/k projections feed the per-head RMS-norm, a reduction the dequant
+# epilogue cannot fuse into — quantizing them *costs* time (measured on
+# v5e: attention sub-graph 24.9 -> 27.7 ms with int8 q/k; the int32+f32
+# intermediates materialize).  v/out/mlp dequants feed elementwise
+# consumers and fuse cleanly.
+_SKIP_KEYS = frozenset({"to_q", "to_k", "add_q_proj", "add_k_proj"})
+
+
 def _should_quantize(path: Tuple[Any, ...]) -> bool:
     keys = [getattr(p, "key", None) for p in path]
     if not any(k in ("dual_blocks", "single_blocks", "blocks") for k in keys):
+        return False
+    if any(k in _SKIP_KEYS for k in keys):
         return False
     # AdaLN modulation projections live under norm* subtrees; tiny matmuls
     # (S=1) and quality-sensitive — keep bf16
