@@ -69,3 +69,29 @@ def test_flash_gradients_match_reference():
             np.asarray(a), np.asarray(b), atol=3e-4,
             err_msg=f"d{name} mismatch",
         )
+
+
+def test_qk8_serving_kernel_close_to_reference():
+    """int8-QK serving kernel: per-row symmetric quantization of q/k gives
+    ~1% logit noise that the softmax mostly renormalizes away."""
+    from unitex_tpu.ops.attention import flash_attention_qk8
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(1, 512, 4, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 512, 4, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 512, 4, 64)).astype(np.float32))
+    ref = attention_reference(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_qk8(q, k, v, block_q=256, block_k=256)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+
+
+def test_qk8_awkward_length_falls_back():
+    from unitex_tpu.ops.attention import flash_attention_qk8
+
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.normal(size=(1, 100, 2, 32)).astype(np.float32))
+    out = flash_attention_qk8(q, q, q)
+    ref = attention_reference(q, q, q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

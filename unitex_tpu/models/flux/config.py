@@ -30,6 +30,9 @@ class FluxConfig:
     # the backward pass instead of stored per layer — required to fit LoRA
     # training of the 12B model in 16 GB/chip HBM
     remat: bool = False
+    # serving-mode int8 QK^T in the flash-attention kernel (forward-only;
+    # keep False for training — the qk8 kernel has no VJP)
+    attn_qk8: bool = False
 
     @property
     def hidden_size(self) -> int:

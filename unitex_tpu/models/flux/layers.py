@@ -139,12 +139,14 @@ def sdpa(
     k: jnp.ndarray,
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    qk8: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over [B, S, H, D] tensors: Pallas
     flash attention on TPU (O(S·D) memory for the 13.8k-token joint
-    sequence), jnp reference on CPU."""
+    sequence), jnp reference on CPU.  ``qk8`` selects the serving-mode
+    kernel with int8 QK^T (forward-only)."""
     from ...ops.attention import attention
 
     if mask is not None:
         return jax.nn.dot_product_attention(q, k, v, mask=mask)
-    return attention(q, k, v)
+    return attention(q, k, v, qk8=qk8)

@@ -213,7 +213,7 @@ def _joint_attention(
     if kv_keep_idx is not None:
         k = k[:, kv_keep_idx]
         v = v[:, kv_keep_idx]
-    out = sdpa(q, k, v)
+    out = sdpa(q, k, v, qk8=cfg.attn_qk8)
     out = out.reshape(out.shape[0], out.shape[1], -1)
     S_txt = context.shape[1]
     ctx_out, img_out = out[:, :S_txt], out[:, S_txt:]
@@ -242,7 +242,7 @@ def _single_attention(
     if kv_keep_idx is not None:
         k = k[:, kv_keep_idx]
         v = v[:, kv_keep_idx]
-    out = sdpa(q, k, v)
+    out = sdpa(q, k, v, qk8=cfg.attn_qk8)
     return out.reshape(out.shape[0], out.shape[1], -1)
 
 

@@ -10,7 +10,8 @@ O(S·D) — the standard FlashAttention-2 scheme laid out for the MXU:
 * grid over (batch*heads, query blocks, key blocks) with the key axis
   innermost (sequential); online-softmax state lives in VMEM scratch;
 * two MXU matmuls per step (logits, prob@V) with bf16 inputs and f32
-  accumulation; block_k=1536 measured at 141 TF/s (72% MXU) on v5e.
+  accumulation; blocks 1536/1536 measured at 136 TF/s on v5e (sweep in
+  flash_attention docstring).
 
 Differentiable: a ``jax.custom_vjp`` saves the per-row logsumexp from the
 forward kernel and runs a CHUNKED recompute backward (lax.scan over key
@@ -204,15 +205,140 @@ def _flash_core_bwd(scale, bq, bk, residuals, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+def _flash_kernel_qk8(
+    qq_ref, kq_ref, v_ref, sq_ref, sk_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+    *, scale: float
+):
+    """int8-QK variant: the logits matmul runs on the MXU's 2x int8 path
+    (q/k rows symmetrically quantized outside the kernel, per-row scales
+    applied to the int32 logits).  Softmax statistics and the P@V matmul
+    stay f32/bf16 — serving-mode kernel (no VJP)."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    qq = qq_ref[0]                                     # [BQ, D] int8
+    kq = kq_ref[0]                                     # [BK, D] int8
+    v = v_ref[0]
+    sq = sq_ref[0][0]                                  # [BQ] f32
+    sk = sk_ref[0][0]                                  # [BK] f32
+    acc_i = jax.lax.dot_general(
+        qq, kq, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    logits = acc_i.astype(jnp.float32) * (sq[:, None] * scale) * sk[None, :]
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        lse = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
+        lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
+
+
+def _quant_rows(x):
+    """[BH, S, D] -> (int8 values, scales stored [BH, 8, S] for TPU block
+    tiling — same sublane-replicated layout as the lse output)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return xq, jnp.broadcast_to(s[:, None, :], (x.shape[0], 8, x.shape[1]))
+
+
+def _flash_forward_qk8(qr, kr, vr, scale: float, bq: int, bk: int):
+    """Serving-mode forward with int8 QK^T: [BH, S, D] -> [BH, S, D]."""
+    BH, S, D = qr.shape
+    qq, sq = _quant_rows(qr)
+    kq, sk = _quant_rows(kr)
+    grid = (BH, S // bq, S // bk)
+    out, _ = pl.pallas_call(
+        functools.partial(_flash_kernel_qk8, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, bq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, bk), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, bq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, S, D), qr.dtype),
+            jax.ShapeDtypeStruct((BH, 8, S), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * S * S * D,
+            bytes_accessed=3 * BH * S * D,
+            transcendentals=BH * S * S,
+        ),
+    )(qq, kq, vr, sq, sk)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention_qk8(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 1536,
+    block_k: int = 1536,
+) -> jnp.ndarray:
+    """Serving-mode flash attention with int8 QK^T (q/k per-row symmetric
+    quantization; logit deviation ~0.5% — the softmax renormalizes most of
+    it away).  Same layout contract as :func:`flash_attention`; falls back
+    to it when blocks don't divide, and to the reference off-TPU."""
+    B, S, H, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    bq, bk, ok = _pick_blocks(S, block_q, block_k)
+    if not ok:
+        return attention_reference(q, k, v)
+    qr = jnp.moveaxis(q, 2, 1).reshape(B * H, S, D)
+    kr = jnp.moveaxis(k, 2, 1).reshape(B * H, S, D)
+    vr = jnp.moveaxis(v, 2, 1).reshape(B * H, S, D)
+    out = _flash_forward_qk8(qr, kr, vr, scale, bq, bk)
+    return jnp.moveaxis(out.reshape(B, H, S, D), 1, 2)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 512,
+    block_q: int = 1536,
     block_k: int = 1536,
 ) -> jnp.ndarray:
     """q/k/v [B, S, H, D] -> [B, S, H, D] full bidirectional attention.
+    Block defaults from a v5e sweep at S=13824: 1536/1536 = 136 TF/s vs
+    131 at the old 512/1536 (512/2304 and 512/1728 regress to ~115-119).
     Sequence lengths not divisible into blocks fall back to the reference
     (padded keys would corrupt the softmax)."""
     B, S, H, D = q.shape
@@ -228,9 +354,12 @@ def flash_attention(
     return jnp.moveaxis(out.reshape(B, H, S, D), 1, 2)
 
 
-def attention(q, k, v):
+def attention(q, k, v, qk8: bool = False):
     """Dispatch: Pallas flash attention on TPU, jnp reference on CPU.
-    (Decided by the default backend — safe to call under jit.)"""
+    (Decided by the default backend — safe to call under jit.)
+    ``qk8``: int8-QK serving kernel (ignored off-TPU)."""
     if jax.default_backend() != "cpu":
+        if qk8:
+            return flash_attention_qk8(q, k, v)
         return flash_attention(q, k, v)
     return attention_reference(q, k, v)
