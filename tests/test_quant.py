@@ -178,3 +178,46 @@ class TestFusedQuantizedFlux:
         assert "proj_mlp" not in q["single_blocks"]
         # q/k rms norms survive fusion
         assert "norm_q" in q["single_blocks"]["attn"]
+
+
+class TestQuantizedTP:
+    def test_int8_tp_matches_single_device(self):
+        """int8 serving composes with tensor parallelism: the quantized
+        tree shards (kernel_int8 like kernel, col scales over 'model') and
+        the TP forward equals the unsharded int8 forward."""
+        from unitex_tpu.models.flux.quantize import quantize_flux_params
+        from unitex_tpu.parallel.mesh import make_mesh
+        from unitex_tpu.parallel.sharding import (
+            data_sharding,
+            flux_param_shardings,
+            shard_params,
+        )
+
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), cfg)
+        qparams = quantize_flux_params(params)
+        B, S_img, S_txt = 2, 16, 8
+        hidden = jnp.asarray(
+            np.random.default_rng(0).normal(size=(B, S_img, cfg.in_channels)),
+            jnp.float32)
+        ctx = jnp.zeros((B, S_txt, cfg.joint_attention_dim))
+        ids = latent_image_ids(4, 4)
+        tids = jnp.zeros((S_txt, 3))
+        pooled = jnp.zeros((B, cfg.pooled_projection_dim))
+        t = jnp.full((B,), 0.5)
+        g = jnp.full((B,), 3.5)
+
+        ref = flux_forward(qparams, cfg, hidden, ctx, t, pooled, ids, tids, g)
+
+        mesh = make_mesh(data=2, model=4)
+        shardings = flux_param_shardings(qparams, mesh)
+        sharded = shard_params(qparams, shardings)
+        with jax.set_mesh(mesh):
+            out = jax.jit(
+                lambda p, h: flux_forward(p, cfg, h, ctx, t, pooled, ids, tids, g)
+            )(sharded, jax.device_put(hidden, data_sharding(mesh, 3)))
+        # per-shard activation-quant scales may differ from the global ones
+        # (each chip quantizes its feature slice for row-parallel inputs),
+        # so agreement is approximate, not bitwise
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02, rel

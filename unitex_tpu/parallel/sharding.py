@@ -41,17 +41,32 @@ def _linear_spec(mesh, kind: str, stacked: bool = False) -> Dict[str, NamedShard
         return {
             "kernel": _ns(mesh, *lead, None, "model"),
             "bias": _ns(mesh, *lead, "model"),
+            # int8 serving form (ops/quant.py): scale is per-output-channel
+            "scale": _ns(mesh, *lead, "model"),
         }
     if kind == "row":
         return {
             "kernel": _ns(mesh, *lead, "model", None),
             "bias": _ns(mesh, *lead, None),
+            # per-out-channel scale of a row-parallel kernel: replicated
+            "scale": _ns(mesh, *lead, None),
         }
-    return {"kernel": _ns(mesh, *lead, None, None), "bias": _ns(mesh, *lead, None)}
+    return {
+        "kernel": _ns(mesh, *lead, None, None),
+        "bias": _ns(mesh, *lead, None),
+        "scale": _ns(mesh, *lead, None),
+    }
 
 
 def _match_linear(p: Dict[str, Any], spec: Dict[str, NamedSharding]):
-    out = {"kernel": spec["kernel"]}
+    """Match a (possibly int8-quantized) linear param dict: ``kernel_int8``
+    shards exactly like ``kernel`` (same [.., d_in, d_out] layout)."""
+    out = {}
+    if "kernel" in p:
+        out["kernel"] = spec["kernel"]
+    if "kernel_int8" in p:
+        out["kernel_int8"] = spec["kernel"]
+        out["scale"] = spec["scale"]
     if "bias" in p:
         out["bias"] = spec["bias"]
     return out
