@@ -163,6 +163,47 @@ class TestMetrics:
         assert abs(ours - ref) < 0.02
 
 
+class TestFrechet:
+    def test_identical_gaussians_zero(self):
+        from unitex_tpu.utils.metrics import activation_statistics, frechet_distance
+
+        rng = np.random.default_rng(4)
+        feats = rng.normal(size=(500, 16))
+        mu, sigma = activation_statistics(feats)
+        assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+    def test_mean_shift_equals_squared_distance(self):
+        from unitex_tpu.utils.metrics import frechet_distance
+
+        # equal covariances: FID reduces to ||mu1 - mu2||^2
+        sigma = np.eye(8) * 0.5
+        mu1 = np.zeros(8)
+        mu2 = np.full(8, 0.3)
+        got = frechet_distance(mu1, sigma, mu2, sigma)
+        np.testing.assert_allclose(got, 8 * 0.3**2, rtol=1e-8)
+
+    def test_diagonal_closed_form(self):
+        from unitex_tpu.utils.metrics import frechet_distance
+
+        # diagonal covariances: tr(S1+S2-2 sqrt(S1 S2)) = sum (sqrt(a)-sqrt(b))^2
+        a = np.array([1.0, 4.0, 9.0])
+        b = np.array([4.0, 1.0, 1.0])
+        got = frechet_distance(np.zeros(3), np.diag(a), np.zeros(3), np.diag(b))
+        want = ((np.sqrt(a) - np.sqrt(b)) ** 2).sum()
+        np.testing.assert_allclose(got, want, rtol=1e-8)
+
+    def test_sample_statistics_separate_distributions(self):
+        from unitex_tpu.utils.metrics import activation_statistics, frechet_distance
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(2000, 8))
+        near = rng.normal(size=(2000, 8))
+        far = rng.normal(loc=2.0, scale=3.0, size=(2000, 8))
+        d_near = frechet_distance(*activation_statistics(x), *activation_statistics(near))
+        d_far = frechet_distance(*activation_statistics(x), *activation_statistics(far))
+        assert d_far > 10 * max(d_near, 1e-3)
+
+
 def test_soft_blend():
     from unitex_tpu.ops.poisson import soft_blend
 

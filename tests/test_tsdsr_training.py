@@ -90,3 +90,34 @@ def test_full_train_step_updates_both():
         for a, b in zip(jax.tree.leaves(state.reg_lora), jax.tree.leaves(state2.reg_lora))
     )
     assert moved_s > 0 and moved_r > 0
+
+
+def test_lpips_perceptual_hook():
+    """Real LPIPS (utils/lpips.py) through the decoded-image perceptual hook
+    (train.py:900-904 computes pyiqa LPIPS on decoded images)."""
+    from unitex_tpu.training.tsdsr import make_lpips_perceptual_fn, tsd_student_loss
+    from unitex_tpu.utils.lpips import init_lpips_params
+
+    cfg = SD3Config.tiny()
+    tcfg = TSDTrainConfig(rank=4)
+    base = init_sd3_params(jax.random.key(0), cfg)
+    s_lora = init_sd3_lora(jax.random.key(1), base, rank=4)
+    r_lora = init_sd3_lora(jax.random.key(2), base, rank=4)
+    batch = _batch(cfg)
+
+    lp = init_lpips_params(jax.random.key(3), "alex")
+    # stand-in decoder: 3-channel projection of the latent, sigmoid to [0,1]
+    C = cfg.in_channels
+    proj = jax.random.normal(jax.random.key(4), (C, 3)) / np.sqrt(C)
+    up = lambda z: jax.image.resize(z, (z.shape[0], 32, 32, z.shape[-1]), "linear")
+    decode = lambda z: jax.nn.sigmoid(up(z) @ proj)
+
+    perc = make_lpips_perceptual_fn(lp, decode)
+    (loss, aux), grads = jax.value_and_grad(tsd_student_loss, has_aux=True)(
+        s_lora, r_lora, base, cfg, tcfg, batch, jax.random.key(5),
+        perceptual_fn=perc,
+    )
+    assert np.isfinite(float(loss))
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert max(float(jnp.abs(g).max()) for g in leaves) > 0

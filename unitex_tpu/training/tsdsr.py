@@ -17,8 +17,8 @@ Per step:
   reg_loss   = flow-matching of v_reg toward the student distribution
                (:935-958)
 
-LPIPS (pyiqa) is replaced by a gradient-domain L1 — a dependency-free
-perceptual proxy; swap in a real LPIPS via the ``perceptual_fn`` hook.
+The perceptual term defaults to a gradient-domain L1 proxy; real LPIPS
+(utils/lpips.py, from scratch) plugs in via ``make_lpips_perceptual_fn``.
 """
 
 from __future__ import annotations
@@ -54,6 +54,21 @@ def _sigma(t: jnp.ndarray, shift: float = 3.0) -> jnp.ndarray:
     """Flow-match sigma for timestep t in [0, 1000] with SD3's shift."""
     u = t / 1000.0
     return shift * u / (1.0 + (shift - 1.0) * u)
+
+
+def make_lpips_perceptual_fn(lpips_params, decode_fn: Callable) -> Callable:
+    """Build a ``perceptual_fn`` for ``tsd_student_loss`` from real LPIPS
+    (utils/lpips.py) — the reference computes pyiqa LPIPS on the DECODED
+    student image vs the HR image (train.py:900-904), so the hook decodes
+    both latents through ``decode_fn(latents) -> [B, H, W, 3] in [0, 1]``."""
+    from ..utils.lpips import lpips_image01
+
+    def perceptual(latent_stu, latent_hr):
+        img_stu = decode_fn(latent_stu)
+        img_hr = jax.lax.stop_gradient(decode_fn(latent_hr))
+        return lpips_image01(lpips_params, img_stu, img_hr).mean()
+
+    return perceptual
 
 
 def gradient_l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -13,6 +13,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def frechet_distance(
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray,
+    eps: float = 1e-6,
+) -> float:
+    """Frechet distance between two gaussians — the FID statistic
+    (BasicSR calculate_fid, TSD_SR/basicsr/metrics/fid.py); feature
+    extraction is pluggable (activations -> mean/cov), this is the metric
+    math: ||mu1-mu2||^2 + tr(S1 + S2 - 2 sqrt(S1 S2))."""
+    mu1 = np.atleast_1d(mu1).astype(np.float64)
+    mu2 = np.atleast_1d(mu2).astype(np.float64)
+    sigma1 = np.atleast_2d(sigma1).astype(np.float64)
+    sigma2 = np.atleast_2d(sigma2).astype(np.float64)
+    diff = mu1 - mu2
+
+    # sqrtm(S1 @ S2) via eigendecomposition with a jitter retry (scipy-free)
+    prod = sigma1 @ sigma2
+    w, v = np.linalg.eig(prod)
+    if not np.isfinite(w).all() or (w.real < -eps).any():
+        offset = np.eye(sigma1.shape[0]) * eps
+        w, v = np.linalg.eig((sigma1 + offset) @ (sigma2 + offset))
+    covmean = (v * np.sqrt(np.maximum(w.real, 0.0) + 0j)) @ np.linalg.inv(v)
+    tr_covmean = float(np.trace(covmean).real)
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * tr_covmean)
+
+
+def activation_statistics(feats: np.ndarray):
+    """[N, D] activations -> (mu, sigma) for ``frechet_distance``."""
+    feats = np.asarray(feats, np.float64)
+    return feats.mean(axis=0), np.cov(feats, rowvar=False)
+
+
 def psnr(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
     mse = jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
     return 10.0 * jnp.log10(data_range**2 / jnp.maximum(mse, 1e-12))
