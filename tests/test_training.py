@@ -278,3 +278,40 @@ class TestLoraIO:
             np.asarray(m2["dual_blocks"]["attn"]["to_q"]["kernel"]),
             atol=1e-7,
         )
+
+
+class TestGradAccum:
+    def test_accum_equals_big_batch(self):
+        """A=2 microbatches of B=1 must match one B=2 step when the
+        per-microbatch RNG is fixed (same timesteps/noise per sample)."""
+        from unitex_tpu.training.flux_lora import train_step_accum
+
+        cfg = FluxConfig.tiny()
+        tcfg = FluxLoraTrainConfig(rank=4, learning_rate=1e-3)
+        base = init_flux_params(jax.random.key(0), cfg)
+        state0, tx = create_train_state(jax.random.key(1), base, tcfg)
+
+        batch = _tiny_batch(cfg, B=2)
+        micro = jax.tree.map(lambda x: x.reshape(2, 1, *x.shape[1:]), batch)
+        state_a, loss_a = train_step_accum(
+            state0, base, micro, jax.random.key(5), cfg, tcfg, tx
+        )
+        assert np.isfinite(float(loss_a))
+
+        # manual two-microbatch average with the same split keys
+        keys = jax.random.split(jax.random.key(5), 2)
+        gsum = None
+        for i in range(2):
+            mb = jax.tree.map(lambda x: x[i], micro)
+            g = jax.grad(flow_match_loss)(
+                state0.lora, base, cfg, tcfg, mb, keys[i]
+            )
+            gsum = g if gsum is None else jax.tree.map(jnp.add, gsum, g)
+        import optax
+
+        grads = jax.tree.map(lambda x: x / 2, gsum)
+        upd, _ = tx.update(grads, state0.opt_state, state0.lora)
+        want = optax.apply_updates(state0.lora, upd)
+        # scan vs python-loop accumulation: identical up to float ordering
+        for a, b in zip(jax.tree.leaves(state_a.lora), jax.tree.leaves(want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

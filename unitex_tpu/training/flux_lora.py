@@ -145,7 +145,8 @@ def flow_match_loss(
         hidden = jnp.concatenate([tokens, batch["cond_tokens"]], axis=1)
         img_ids = jnp.concatenate([noise_ids, batch["cond_ids"]], axis=0)
 
-    params = merge_lora(base_params, [(lora, 1.0)])
+    # lora=None → full-parameter fine-tuning (training/full_finetune.py)
+    params = base_params if lora is None else merge_lora(base_params, [(lora, 1.0)])
     guidance = (
         jnp.full((B,), tcfg.guidance_scale, jnp.float32)
         if cfg.guidance_embeds
@@ -237,6 +238,40 @@ def train_step(
     updates, opt_state = tx.update(grads, state.opt_state, state.lora)
     lora = optax.apply_updates(state.lora, updates)
     return TrainState(step=state.step + 1, lora=lora, opt_state=opt_state), loss
+
+
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "tx"))
+def train_step_accum(
+    state: TrainState,
+    base_params: Dict[str, Any],
+    batches: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    cfg: FluxConfig,
+    tcfg: FluxLoraTrainConfig,
+    tx: optax.GradientTransformation,
+) -> Tuple[TrainState, jnp.ndarray]:
+    """Gradient-accumulated step (``accelerator.accumulate``,
+    trainer.py:822): ``batches`` leaves carry a leading microbatch axis
+    [A, B, ...]; gradients are averaged over A inside one jit via
+    ``lax.scan`` (sequential — activation memory stays one microbatch)."""
+    A = jax.tree.leaves(batches)[0].shape[0]
+    keys = jax.random.split(key, A)
+
+    def micro(carry, xs):
+        acc, loss_sum = carry
+        mb, k = xs
+        loss, grads = jax.value_and_grad(flow_match_loss)(
+            state.lora, base_params, cfg, tcfg, mb, k
+        )
+        acc = jax.tree.map(jnp.add, acc, grads)
+        return (acc, loss_sum + loss), None
+
+    zeros = jax.tree.map(jnp.zeros_like, state.lora)
+    (gsum, loss_sum), _ = jax.lax.scan(micro, (zeros, 0.0), (batches, keys))
+    grads = jax.tree.map(lambda g: g / A, gsum)
+    updates, opt_state = tx.update(grads, state.opt_state, state.lora)
+    lora = optax.apply_updates(state.lora, updates)
+    return TrainState(step=state.step + 1, lora=lora, opt_state=opt_state), loss_sum / A
 
 
 # ------------------------------------------------------- checkpointing
