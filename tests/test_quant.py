@@ -221,3 +221,61 @@ class TestQuantizedTP:
         # so agreement is approximate, not bitwise
         rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         assert rel < 0.02, rel
+
+
+class TestQuantizedSD3:
+    def test_sd3_int8_forward_close_to_bf16(self):
+        """quantize_linears composes with the SD3 tree (shared 'blocks' +
+        linear dispatch) — the TSD-SR int8 serving mode."""
+        import dataclasses as dc
+
+        from unitex_tpu.models.sd3.config import SD3Config
+        from unitex_tpu.models.sd3.model import init_sd3_params, sd3_forward
+
+        cfg = SD3Config.tiny()
+        params = init_sd3_params(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_linears(params)
+        assert "kernel_int8" in qparams["blocks"]["attn"]["to_v"]
+        assert "kernel" in qparams["blocks"]["attn"]["to_q"]
+        assert "kernel" in qparams["pos_embed"]["proj"]
+
+        rng = np.random.default_rng(0)
+        lat = jnp.asarray(rng.normal(size=(1, 8, 8, cfg.in_channels)).astype(np.float32))
+        ctx = jnp.asarray(rng.normal(size=(1, 6, cfg.joint_attention_dim)).astype(np.float32))
+        pooled = jnp.zeros((1, cfg.pooled_projection_dim))
+        t = jnp.asarray([1000.0])
+        out_bf = sd3_forward(params, cfg, lat, ctx, t, pooled)
+        out_q = sd3_forward(qparams, cfg, lat, ctx, t, pooled)
+        rel = float(jnp.linalg.norm(out_q - out_bf) / jnp.linalg.norm(out_bf))
+        assert rel < 0.02, rel
+
+    def test_tsdsr_pipeline_int8_flag(self):
+        """TSDSRConfig.int8_serving quantizes the transformer on init and
+        the pipeline still runs end to end."""
+        from unitex_tpu.models.flux.vae import VAEConfig, init_vae_params
+        from unitex_tpu.models.sd3.config import SD3Config
+        from unitex_tpu.models.sd3.model import init_sd3_params
+        from unitex_tpu.models.sd3.sr_pipeline import TSDSRConfig, TSDSRPipeline
+
+        sd3_cfg = SD3Config.tiny()
+        vae_cfg = VAEConfig.tiny()
+        tparams = init_sd3_params(jax.random.PRNGKey(0), sd3_cfg)
+        vparams = init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+        pipe = TSDSRPipeline(
+            None,
+            cfg=TSDSRConfig(
+                upscale=2, latent_tile=8, latent_overlap=2,
+                vae_encoder_tile=64, vae_decoder_tile=64,
+                align_method="adain", int8_serving=True,
+            ),
+            sd3_cfg=sd3_cfg,
+            transformer_params=tparams,
+            vae_params=vparams,
+        )
+        pipe.vae_cfg = vae_cfg  # tiny VAE (downscale 2, not 8)
+        assert "kernel_int8" in pipe.transformer_params["blocks"]["attn"]["to_v"]
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+        out = np.asarray(pipe(img))
+        assert out.shape == (32, 32, 3)
+        assert np.isfinite(out).all()

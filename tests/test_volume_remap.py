@@ -90,6 +90,37 @@ class TestRemap:
         assert err.mean() < 0.05, err.mean()
 
 
+class TestColorTransfer:
+    def test_vertex_colors_to_uv_texture(self):
+        """The texture/transfer capability (transfer_kerner.color_transfer_v_uv):
+        src vertex colors -> dst UV texture, dst unwrapped on the fly."""
+        from unitex_tpu.texture.remapping import color_transfer_v_uv
+
+        sphere = make_icosphere(3)
+        # position-based vertex paint
+        sphere.vertex_colors = np.clip(
+            0.5 + 0.5 * sphere.vertices, 0.0, 1.0
+        ).astype(np.float32)
+        dst = make_icosphere(3)  # no UVs
+        out = color_transfer_v_uv(sphere, dst, uv_size=64, n_samples=20000)
+        assert out.uv is not None and out.faces_uv is not None
+        assert out.texture.shape == (64, 64, 3) and out.texture.dtype == np.uint8
+
+        import jax.numpy as jnp
+        from unitex_tpu.geometry.mesh import Mesh
+        from unitex_tpu.render.renderer_inverse import uv_render
+
+        dst_mesh = Mesh(
+            jnp.asarray(out.vertices), jnp.asarray(out.faces),
+            uv=jnp.asarray(out.uv), faces_uv=jnp.asarray(out.faces_uv),
+        )
+        dst_uv = uv_render(dst_mesh, 64, pixel_tile=0)
+        mask = np.asarray(dst_uv["mask"])[..., 0]
+        expect = np.clip(0.5 + 0.5 * np.asarray(dst_uv["position"]), 0, 1)
+        err = np.abs(out.texture.astype(np.float32) / 255.0 - expect)[mask]
+        assert err.mean() < 0.05, err.mean()
+
+
 class TestQueryExtensions:
     def test_box_query_matches_triplane_pairs(self):
         import numpy as np

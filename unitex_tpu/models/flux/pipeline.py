@@ -86,10 +86,22 @@ def denoise(
     scheduler: FlowMatchEulerScheduler,
     guidance_scale: float,
     condition_latents: Optional[jnp.ndarray] = None,
+    t_start: int = 0,
+    known_tokens: Optional[jnp.ndarray] = None,
+    inpaint_mask: Optional[jnp.ndarray] = None,
+    fixed_noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Flow-match Euler denoise loop over the packed sequence as a
     ``lax.scan``.  noise [B, S_noise, C]; condition_latents [B, S_cond, C]
-    appended and re-pinned every step.  Returns denoised noise-tokens."""
+    appended and re-pinned every step.  Returns denoised noise-tokens.
+
+    ``t_start`` > 0 runs only the trailing steps (img2img — the caller
+    pre-noises the input to sigma[t_start]).  ``known_tokens`` [B, S_noise,
+    C] + ``inpaint_mask`` [S_noise, 1] (1 = generate, 0 = keep) +
+    ``fixed_noise`` enable inpainting: after every Euler step the kept
+    region is re-pinned to the clean tokens noised to the NEXT sigma, as in
+    diffusers' FluxInpaintPipeline (fast_texture.py's backbone,
+    /root/reference/TextureTools/texturetools/texture/reprojection/fast_texture.py:24,105-112)."""
     B, S_noise, C = noise.shape
     guidance = (
         jnp.full((B,), guidance_scale, jnp.float32)
@@ -121,10 +133,15 @@ def denoise(
             guidance=guidance,
         )
         latents = scheduler.step(v, i, latents)
+        if known_tokens is not None:
+            pinned = scheduler.scale_noise(known_tokens, i + 1, fixed_noise)
+            gen = latents[:, :S_noise]
+            repin = jnp.where(inpaint_mask, gen, pinned) if inpaint_mask is not None else pinned
+            latents = jnp.concatenate([repin, latents[:, S_noise:]], axis=1)
         return latents, None
 
     latents, _ = jax.lax.scan(
-        body, latents0, jnp.arange(scheduler.num_steps)
+        body, latents0, jnp.arange(t_start, scheduler.num_steps)
     )
     return latents[:, :S_noise]
 
@@ -225,3 +242,83 @@ def run_flux_pipeline(
     latents = unpack_latents(out_tokens, HL, WL)
     image = vae_decode(vae_params, vae_cfg, latents)[0]
     return jnp.clip(image * 0.5 + 0.5, 0.0, 1.0)
+
+
+def run_flux_inpaint(
+    transformer_params,
+    flux_cfg: FluxConfig,
+    vae_params,
+    vae_cfg: VAEConfig,
+    key: jax.Array,
+    image: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    strength: float = 1.0,
+    num_inference_steps: int = 28,
+    guidance_scale: float = 3.5,
+    max_sequence_length: int = 512,
+    prompt_embeds: Optional[jnp.ndarray] = None,
+    pooled_embeds: Optional[jnp.ndarray] = None,
+    noise: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """FLUX img2img / inpaint (diffusers FluxInpaintPipeline semantics —
+    the backbone of the reference's FastTexture texture-space enhancement,
+    fast_texture.py:24, :404-520): encode ``image`` [H, W, 3] in [0, 1],
+    noise it to sigma[t_start] with t_start = steps·(1 − strength), run the
+    trailing flow-match steps, re-pinning the region where ``mask`` == 0
+    after every step.  ``mask`` [H, W] (or [H, W, 1]) with 1 = regenerate,
+    0 = keep; ``mask=None`` = plain img2img.  Returns [H, W, 3] in [0, 1].
+    """
+    H, W = int(image.shape[0]), int(image.shape[1])
+    vs = vae_cfg.downscale
+    HL, WL = 2 * (H // (vs * 2)), 2 * (W // (vs * 2))
+    C_lat = vae_cfg.latent_channels
+    B = 1
+
+    x0 = vae_encode(vae_params, vae_cfg, image[None] * 2.0 - 1.0)
+    x0_tokens = pack_latents(x0)
+    S = x0_tokens.shape[1]
+
+    if noise is None:
+        noise = jax.random.normal(key, (B, HL, WL, C_lat), jnp.float32)
+    elif noise.ndim == 3:
+        noise = noise[None]
+    noise_tokens = pack_latents(noise)
+
+    token_mask = None
+    if mask is not None:
+        m = mask.reshape(H, W)[None, :, :, None].astype(jnp.float32)
+        # latent-resolution max-pool (any masked pixel masks the token), then
+        # the 2x2 pack makes one mask entry per token
+        m = jax.lax.reduce_window(
+            m, -jnp.inf, jax.lax.max, (1, vs * 2, vs * 2, 1), (1, vs * 2, vs * 2, 1),
+            "VALID",
+        )
+        token_mask = (m.reshape(-1, 1) > 0.5)
+
+    scheduler = FlowMatchEulerScheduler.create(num_inference_steps, S)
+    t_start = min(
+        num_inference_steps,
+        num_inference_steps - int(round(num_inference_steps * strength)),
+    )
+    latents0 = scheduler.scale_noise(x0_tokens, jnp.asarray(t_start), noise_tokens)
+
+    img_ids = latent_image_ids(HL // 2, WL // 2)
+    if prompt_embeds is None:
+        prompt_embeds = jnp.zeros(
+            (B, max_sequence_length, flux_cfg.joint_attention_dim), jnp.float32
+        )
+    if pooled_embeds is None:
+        pooled_embeds = jnp.zeros((B, flux_cfg.pooled_projection_dim), jnp.float32)
+    txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
+
+    out_tokens = denoise(
+        transformer_params, flux_cfg, latents0, img_ids, txt_ids,
+        prompt_embeds, pooled_embeds, scheduler, guidance_scale,
+        t_start=t_start,
+        known_tokens=x0_tokens if mask is not None else None,
+        inpaint_mask=token_mask,
+        fixed_noise=noise_tokens if mask is not None else None,
+    )
+    latents = unpack_latents(out_tokens, HL, WL)
+    out = vae_decode(vae_params, vae_cfg, latents)[0]
+    return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)

@@ -155,6 +155,10 @@ class TSDSRConfig:
     timestep: float = 1000.0
     align_method: str = "wavelet"      # wavelet | adain | nofix
     tile_batch: int = 8                # latent tiles per transformer call
+    # W8A8 int8 serving for the SD3 transformer blocks (the same transform
+    # as FLUX's, models/flux/quantize.py — SD3 shares the linear dispatch);
+    # q/k and AdaLN stay bf16 per the measured selective policy
+    int8_serving: bool = False
 
 
 class TSDSRPipeline:
@@ -183,6 +187,10 @@ class TSDSRPipeline:
         self.pooled_embeds = pooled_embeds
         if pretrain_root is not None and transformer_params is None:
             self._try_load(pretrain_root)
+        if cfg.int8_serving and self.transformer_params is not None:
+            from ...ops.quant import quantize_linears
+
+            self.transformer_params = quantize_linears(self.transformer_params)
 
     def _try_load(self, root: str) -> None:
         from ..flux.loader import iter_safetensors, vae_params_from_state_dict

@@ -87,3 +87,29 @@ def remap_texture(
     colors = jnp.einsum("qk,qkc->qc", w, jnp.asarray(src_col)[idx])
     tex = jnp.where(mask[:, None], colors, 0.0).reshape(uv_size, uv_size, 3)
     return np.asarray(pull_push(tex, uv_out["mask"]))
+
+
+def color_transfer_v_uv(
+    src: HostMesh,
+    dst: Optional[HostMesh] = None,
+    uv_size: int = 1024,
+    n_samples: int = 200_000,
+    seed: int = 0,
+) -> HostMesh:
+    """Transfer source vertex colors into a (possibly UV-less) destination
+    mesh's texture map — the texture/transfer capability
+    (/root/reference/TextureTools/texturetools/texture/transfer/transfer_kerner.py:14-55),
+    which the reference runs as a blender smart-UV subprocess + a meshlab
+    vertex-attribute bake; here: own UV unwrap + UV-rasterized KNN bake,
+    no subprocesses.  ``dst=None`` retextures the source mesh itself.
+    Returns the destination with uv/faces_uv and a uint8 texture attached."""
+    from ..geometry.uv_atlas import unwrap_atlas
+    import dataclasses
+
+    if dst is None:
+        dst = src
+    if dst.uv is None or dst.faces_uv is None:
+        dst = unwrap_atlas(dst, size=uv_size)
+    tex = remap_texture(src, dst, uv_size=uv_size, n_samples=n_samples, seed=seed)
+    tex_u8 = (np.clip(tex, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    return dataclasses.replace(dst, texture=tex_u8)
