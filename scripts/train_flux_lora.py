@@ -37,6 +37,15 @@ def main():
     ap.add_argument("--checkpoint-every", type=int, default=250)
     ap.add_argument("--checkpoints-total-limit", type=int, default=3)
     ap.add_argument("--data-mesh", type=int, default=1, help="data-parallel size")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="microbatches accumulated per optimizer step "
+                         "(in-jit lax.scan, train_step_accum)")
+    ap.add_argument("--full-finetune", action="store_true",
+                    help="full-parameter fine-tuning with ZeRO-1 optimizer-"
+                         "state sharding instead of LoRA")
+    ap.add_argument("--bf16-compute", action="store_true",
+                    help="bf16 forward/backward with f32 master weights "
+                         "(full-finetune only)")
     ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--validation-steps", type=int, default=0,
@@ -65,6 +74,12 @@ def main():
         FluxLoraTrainConfig,
         create_train_state,
         train_step,
+        train_step_accum,
+    )
+    from unitex_tpu.training.full_finetune import (
+        FullTrainState,
+        full_train_step,
+        shard_opt_state_zero,
     )
     from unitex_tpu.utils import enable_compilation_cache
     from unitex_tpu.utils.logging import MetricLogger
@@ -98,27 +113,60 @@ def main():
         drop_rate=args.drop_rate,
     )
 
-    mesh = make_mesh(data=args.data_mesh, model=-1) if jax.device_count() > 1 else None
-    if mesh is not None:
-        tparams = shard_params(tparams, flux_param_shardings(tparams, mesh))
+    assert not (args.full_finetune and args.grad_accum > 1), \
+        "--grad-accum composes with LoRA training only"
 
-    state, tx = create_train_state(jax.random.key(args.seed), tparams, tcfg)
+    mesh = make_mesh(data=args.data_mesh, model=-1) if jax.device_count() > 1 else None
+    pshard = flux_param_shardings(tparams, mesh) if mesh is not None else None
+    if mesh is not None:
+        tparams = shard_params(tparams, pshard)
+
     mgr = CheckpointManager(
         args.output_dir, args.checkpoint_every, args.checkpoints_total_limit
     )
-    restored = mgr.restore_latest(state.lora)
-    if restored is not None:
-        print(f"resumed LoRA from step {mgr.latest_step()}")
-        state = dataclasses.replace(
-            state, lora=restored, step=jnp.asarray(mgr.latest_step(), jnp.int32)
+    if args.full_finetune:
+        from unitex_tpu.training.flux_lora import make_optimizer
+
+        tx = make_optimizer(tcfg)
+        # ZeRO's data-axis opt resharding emits collective-permutes that
+        # deadlock XLA's in-process CPU collectives when combined with
+        # remat (virtual-device emulation only; measured 2026-08); fall
+        # back to param-aligned opt sharding there.
+        zero_ok = jax.default_backend() != "cpu" or not cfg.remat
+        if mesh is not None and zero_ok:
+            opt0, _ = shard_opt_state_zero(tparams, pshard, mesh, tx)
+        elif mesh is not None:
+            print("[launcher] cpu+remat: ZeRO opt sharding disabled "
+                  "(in-process collective deadlock); opt follows param shardings")
+            with jax.set_mesh(mesh):
+                opt0 = jax.jit(tx.init)(tparams)
+        else:
+            opt0 = tx.init(tparams)
+        state = FullTrainState(
+            step=jnp.zeros((), jnp.int32), params=tparams, opt_state=opt0
         )
+        restored = mgr.restore_latest(state.params)
+        if restored is not None:
+            print(f"resumed full params from step {mgr.latest_step()}")
+            state = dataclasses.replace(
+                state, params=restored,
+                step=jnp.asarray(mgr.latest_step(), jnp.int32),
+            )
+    else:
+        state, tx = create_train_state(jax.random.key(args.seed), tparams, tcfg)
+        restored = mgr.restore_latest(state.lora)
+        if restored is not None:
+            print(f"resumed LoRA from step {mgr.latest_step()}")
+            state = dataclasses.replace(
+                state, lora=restored, step=jnp.asarray(mgr.latest_step(), jnp.int32)
+            )
 
     logger = MetricLogger(args.output_dir)
     ds = iter(SyntheticTextureDataset(view_size=view_size, seed=args.seed))
 
     step0 = int(state.step)
     for step in range(step0, args.max_train_steps):
-        examples = [next(ds) for _ in range(args.batch_size)]
+        examples = [next(ds) for _ in range(args.batch_size * args.grad_accum)]
         target = jnp.asarray(np.stack([e["target"] for e in examples]))
         control = jnp.asarray(np.stack([e["control"] for e in examples]))
         latents = vae_encode(vparams, vae_cfg, target * 2.0 - 1.0)
@@ -133,19 +181,47 @@ def main():
             "prompt_embeds": jnp.zeros((latents.shape[0], 512, cfg.joint_attention_dim)),
             "pooled_embeds": jnp.zeros((latents.shape[0], cfg.pooled_projection_dim)),
         }
-        if mesh is not None:
+        if args.grad_accum > 1:
+            # [A*B, ...] -> [A, B, ...] microbatch axis for the scan;
+            # cond_ids is per-sequence (unbatched) and just broadcasts
             batch = {
-                k: jax.device_put(v, data_sharding(mesh, v.ndim))
+                k: (jnp.broadcast_to(v, (args.grad_accum, *v.shape))
+                    if k == "cond_ids" else
+                    v.reshape(args.grad_accum, args.batch_size, *v.shape[1:]))
                 for k, v in batch.items()
             }
-        state, loss = train_step(
-            state, tparams, batch, jax.random.key(1000 + step), cfg, tcfg, tx
-        )
+        if mesh is not None:
+            def _put(k, v):
+                if k == "cond_ids":  # per-sequence ids: replicate
+                    return jax.device_put(
+                        v, jax.sharding.NamedSharding(
+                            mesh, jax.sharding.PartitionSpec()))
+                if args.grad_accum > 1:  # [A, B, ...]: shard B over 'data'
+                    spec = jax.sharding.PartitionSpec(
+                        None, "data", *([None] * (v.ndim - 2)))
+                    return jax.device_put(
+                        v, jax.sharding.NamedSharding(mesh, spec))
+                return jax.device_put(v, data_sharding(mesh, v.ndim))
+
+            batch = {k: _put(k, v) for k, v in batch.items()}
+        if args.full_finetune:
+            state, loss = full_train_step(
+                state, batch, jax.random.key(1000 + step), cfg, tcfg, tx,
+                bf16_compute=args.bf16_compute,
+            )
+        elif args.grad_accum > 1:
+            state, loss = train_step_accum(
+                state, tparams, batch, jax.random.key(1000 + step), cfg, tcfg, tx
+            )
+        else:
+            state, loss = train_step(
+                state, tparams, batch, jax.random.key(1000 + step), cfg, tcfg, tx
+            )
         logger.log(step, {"loss": float(loss)})
         if step % 10 == 0:
             print(f"step {step}: loss {float(loss):.4f}")
         if mgr.should_save(step):
-            mgr.save(step, state.lora)
+            mgr.save(step, state.params if args.full_finetune else state.lora)
         if args.validation_steps and step > 0 and step % args.validation_steps == 0:
             from unitex_tpu.models.flux.lora import merge_lora
             from unitex_tpu.models.flux.pipeline import (
@@ -154,7 +230,10 @@ def main():
             )
             from unitex_tpu.utils.image_io import save_image
 
-            merged = merge_lora(tparams, [(state.lora, 1.0)])
+            merged = (
+                state.params if args.full_finetune
+                else merge_lora(tparams, [(state.lora, 1.0)])
+            )
             gh, gw = control.shape[1], control.shape[2]
             img = run_flux_pipeline(
                 merged, cfg, vparams, vae_cfg, jax.random.key(args.seed),
@@ -167,7 +246,7 @@ def main():
             save_image(
                 os.path.join(args.output_dir, f"validation_{step}.png"), img
             )
-    mgr.save(args.max_train_steps, state.lora)
+    mgr.save(args.max_train_steps, state.params if args.full_finetune else state.lora)
     logger.close()
 
 
