@@ -279,3 +279,13 @@ class TestQuantizedSD3:
         out = np.asarray(pipe(img))
         assert out.shape == (32, 32, 3)
         assert np.isfinite(out).all()
+
+    def test_final_block_quantized(self):
+        """SD3's final (unstacked) joint block rides the int8 path too."""
+        from unitex_tpu.models.sd3.config import SD3Config
+        from unitex_tpu.models.sd3.model import init_sd3_params
+
+        cfg = SD3Config.tiny()
+        qparams = quantize_linears(init_sd3_params(jax.random.PRNGKey(0), cfg))
+        assert "kernel_int8" in qparams["final_block"]["attn"]["to_v"]
+        assert "kernel" in qparams["final_block"]["norm1"]["lin"]  # AdaLN bf16

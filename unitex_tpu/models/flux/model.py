@@ -125,7 +125,13 @@ def numpy_init(init_fn, *args, seed: int = 0, dtype="float32"):
     """Run any ``init_*_params(key, ...)`` with numpy's PCG instead of
     jax.random (GB-scale init in seconds; counter-based PRNGs cost minutes
     on CPU at 12B scale).  Same tree structure; distribution differs —
-    benchmarks / smoke tests, not training reproducibility."""
+    benchmarks / smoke tests, not training reproducibility.
+
+    The whole tree is built on the HOST cpu device: a GB-scale f32 tree
+    materialized on the accelerator would coexist with the caller's
+    bf16/int8 serving copy and blow HBM (a 2B-param f32+bf16 double
+    residency OOMed a 16 GB chip); the caller device_puts the final
+    (casted) leaves."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -141,7 +147,8 @@ def numpy_init(init_fn, *args, seed: int = 0, dtype="float32"):
             rng.standard_normal(shape).astype(np_dtype)
         )
         jax.random.split = lambda k, n=2: [None] * n
-        return init_fn(None, *args)
+        with jax.default_device(jax.devices("cpu")[0]):
+            return init_fn(None, *args)
     finally:
         jax.random.uniform = orig_uniform
         jax.random.normal = orig_normal

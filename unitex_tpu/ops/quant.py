@@ -65,7 +65,11 @@ _SKIP_KEYS = frozenset({"to_q", "to_k", "add_q_proj", "add_k_proj"})
 
 def _should_quantize(path: Tuple[Any, ...]) -> bool:
     keys = [getattr(p, "key", None) for p in path]
-    if not any(k in ("dual_blocks", "single_blocks", "blocks") for k in keys):
+    # final_block: SD3's last joint block lives outside the stacked scan
+    if not any(
+        k in ("dual_blocks", "single_blocks", "blocks", "final_block")
+        for k in keys
+    ):
         return False
     if any(k in _SKIP_KEYS for k in keys):
         return False
