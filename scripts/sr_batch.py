@@ -10,8 +10,10 @@ dirs) — one tool here:
       [--lpips-backbone vgg16.pth --lpips-lins lpips_vgg.pth]
 
 Without SD3 weights the pipeline degrades to bicubic (documented fallback),
-so the harness runs end-to-end in CI.  Metrics: PSNR/SSIM always; NIQE with
---niqe-params (pristine-model npz); LPIPS when torch checkpoints are given.
+so the harness runs end-to-end in CI.  Full-reference metrics (need --gt):
+PSNR/SSIM always; LPIPS when torch checkpoints are given.  No-reference
+metrics (score --output alone): NIQE with --niqe-params (pristine-model
+npz); MUSIQ / MANIQA / CLIP-IQA with their converted checkpoints.
 Results: per-image JSONL + mean summary JSON line on stdout.
 """
 
@@ -54,6 +56,14 @@ def main():
     ap.add_argument("--lpips-backbone", default=None, help="torchvision vgg16/alexnet .pth")
     ap.add_argument("--lpips-lins", default=None, help="LPIPS lin-head .pth")
     ap.add_argument("--lpips-net", default="vgg", choices=["vgg", "alex"])
+    ap.add_argument("--musiq-ckpt", default=None, help="torch MUSIQ .pth")
+    ap.add_argument("--maniqa-ckpt", default=None, help="official MANIQA .pth")
+    ap.add_argument("--maniqa-vit", default=None,
+                    help="timm vit_base_patch8_224 .pth (if not in the ckpt)")
+    ap.add_argument("--clipiqa-ckpt", default=None, help="OpenAI CLIP RN50 .pt")
+    ap.add_argument("--clipiqa-text", default=None,
+                    help="precomputed prompt-feature .npz (text_features [2,1024]) "
+                         "or an HF CLIP model dir to encode the prompts with")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -81,7 +91,30 @@ def main():
             save_image(os.path.join(args.output, name), sr)
             print(json.dumps({"image": name, "out_shape": list(sr.shape)}))
 
-    if args.gt is None:
+    nr_metrics = {}
+    if args.musiq_ckpt:
+        from unitex_tpu.utils.iqa_musiq import load_torch_musiq, musiq
+
+        mp = load_torch_musiq(args.musiq_ckpt)
+        nr_metrics["musiq"] = lambda img: musiq(mp, img)
+    if args.maniqa_ckpt:
+        from unitex_tpu.utils.iqa_maniqa import load_torch_maniqa, maniqa
+
+        qp = load_torch_maniqa(args.maniqa_ckpt, args.maniqa_vit)
+        nr_metrics["maniqa"] = lambda img: maniqa(qp, img)
+    if args.clipiqa_ckpt:
+        from unitex_tpu.utils.iqa_clipiqa import (
+            clip_text_features, clipiqa, load_torch_clip_rn50)
+
+        cp = load_torch_clip_rn50(args.clipiqa_ckpt)
+        if args.clipiqa_text and args.clipiqa_text.endswith(".npz"):
+            cp["text_features"] = jnp.asarray(
+                np.load(args.clipiqa_text)["text_features"])
+        elif args.clipiqa_text:
+            cp["text_features"] = jnp.asarray(clip_text_features(args.clipiqa_text))
+        nr_metrics["clipiqa"] = lambda img: clipiqa(cp, img)
+
+    if args.gt is None and not nr_metrics:
         return
 
     lpips_params = None
@@ -101,39 +134,42 @@ def main():
     rows = []
     for path in list_images(args.output):
         name = os.path.basename(path)
-        gt_path = os.path.join(args.gt, name)
-        if not os.path.exists(gt_path):
-            continue
         a = load_image(path)
-        b = load_image(gt_path)
-        if a.shape != b.shape:
-            import jax
+        row = {"image": name}
+        gt_path = os.path.join(args.gt, name) if args.gt else None
+        if gt_path and os.path.exists(gt_path):
+            b = load_image(gt_path)
+            if a.shape != b.shape:
+                import jax
 
-            a = np.asarray(jax.image.resize(jnp.asarray(a), b.shape, "bicubic"))
-        row = {
-            "image": name,
-            "psnr": float(psnr(jnp.asarray(a), jnp.asarray(b))),
-            "ssim": float(ssim(jnp.asarray(a), jnp.asarray(b))),
-        }
-        if lpips_params is not None:
-            from unitex_tpu.utils.lpips import lpips_image01
+                a = np.asarray(jax.image.resize(jnp.asarray(a), b.shape, "bicubic"))
+            row["psnr"] = float(psnr(jnp.asarray(a), jnp.asarray(b)))
+            row["ssim"] = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+            if lpips_params is not None:
+                from unitex_tpu.utils.lpips import lpips_image01
 
-            row["lpips"] = float(
-                lpips_image01(lpips_params, jnp.asarray(a[None]), jnp.asarray(b[None]))[0]
-            )
+                row["lpips"] = float(
+                    lpips_image01(
+                        lpips_params, jnp.asarray(a[None]), jnp.asarray(b[None])
+                    )[0]
+                )
         if niqe_model is not None:
             from unitex_tpu.utils.niqe import niqe
 
             row["niqe"] = float(niqe(a * 255.0, niqe_model))
+        for mname, fn in nr_metrics.items():
+            row[mname] = float(fn(a))
+        if len(row) == 1:
+            continue
         rows.append(row)
         print(json.dumps(row))
 
     if rows:
-        keys = [k for k in rows[0] if k != "image"]
+        keys = sorted({k for r in rows for k in r} - {"image"})
         summary = {"n": len(rows)}
-        summary.update(
-            {f"mean_{k}": sum(r[k] for r in rows) / len(rows) for k in keys}
-        )
+        for k in keys:
+            vals = [r[k] for r in rows if k in r]
+            summary[f"mean_{k}"] = sum(vals) / len(vals)
         print(json.dumps(summary))
         with open(os.path.join(args.output, "metrics.jsonl"), "w") as f:
             for r in rows:
