@@ -1,7 +1,7 @@
 """Benchmark: FLUX denoise-step throughput per chip at the pipeline's real
 operating point.
 
-The pipeline's hot loop is 56 MMDiT forward passes over a 14,336-token
+The pipeline's hot loop is 56 MMDiT forward passes over a 13,824-token
 joint sequence (6144 noise + 6144 control + 1024 dual + 512 text,
 SURVEY.md §3.2).  The full 12B model is tensor-parallel over 8 chips in
 production; on the single bench chip we run a depth-reduced model with the
@@ -125,13 +125,13 @@ def main() -> None:
     full_step_s = dt / scale
     steps_per_sec = 1.0 / full_step_s
     # baseline: the CUDA reference's implied speed for the same 12B model at
-    # 14336 tokens on an A100 at ~45% MFU: 344 TFLOP / (312 TF/s * 0.45)
+    # 13824 tokens on an A100 at ~45% MFU: 344 TFLOP / (312 TF/s * 0.45)
     # ~= 2.45 s/step -> 0.41 steps/s (no published numbers exist; BASELINE.md)
     baseline_steps_per_sec = 0.41
     print(
         json.dumps(
             {
-                "metric": "flux_denoise_steps_per_sec_per_chip_12B_equiv_seq14336",
+                "metric": "flux_denoise_steps_per_sec_per_chip_12B_equiv_seq13824",
                 "value": round(steps_per_sec, 4),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / baseline_steps_per_sec, 4),

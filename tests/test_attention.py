@@ -95,3 +95,17 @@ def test_qk8_awkward_length_falls_back():
     out = flash_attention_qk8(q, q, q)
     ref = attention_reference(q, q, q)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pick_blocks_largest_divisor():
+    """Non-dividing requests take the largest divisor of S, not the gcd:
+    the pipeline's real S=14336 must map 1536 -> 1024 (142-156 TF/s on v5e)
+    rather than gcd 512 (79 TF/s)."""
+    from unitex_tpu.ops.attention import _pick_blocks
+
+    assert _pick_blocks(14336, 1536, 1536) == (1024, 1024, True)
+    # dividing requests pass through untouched
+    assert _pick_blocks(13824, 1536, 1536) == (1536, 1536, True)
+    # tiny/prime sequences report not-ok (dispatcher falls back to jnp)
+    _, _, ok = _pick_blocks(101, 1536, 1536)
+    assert not ok

@@ -94,12 +94,26 @@ def _flash_kernel(
         lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
+def _largest_divisor_leq(S: int, cap: int) -> int:
+    """Largest divisor of S that is <= cap and a multiple of 128 (TPU lane
+    tiling: the lse output block is (1, 8, bq), so blocks must divide into
+    128-lane rows).  Falls back to the gcd when no such divisor exists."""
+    for d in range(min(cap, S) // 128 * 128, 127, -128):
+        if S % d == 0:
+            return d
+    return math.gcd(cap, S)
+
+
 def _pick_blocks(S: int, block_q: int, block_k: int):
-    bq = math.gcd(block_q, S) if S % block_q else block_q
-    bk = math.gcd(block_k, S) if S % block_k else block_k
-    # lane-dim tiling needs >=128 in both block sizes (the lse output block
-    # is (1, bq))
-    ok = not (S % bq or S % bk or bq < 128 or bk < 128)
+    # When S doesn't divide the requested block, take the LARGEST divisor
+    # under it, not the gcd: at the pipeline's real S=14336 (= 2^11·7) a
+    # 1536 request gcd-collapses to 512/512 (79 TF/s measured) while the
+    # largest-divisor 1024/1024 runs 142-156 TF/s — v5e sweep 2026-08.
+    bq = block_q if S % block_q == 0 else _largest_divisor_leq(S, block_q)
+    bk = block_k if S % block_k == 0 else _largest_divisor_leq(S, block_k)
+    # lane-dim tiling needs multiples of 128 in both block sizes (the lse
+    # output block is (1, 8, bq))
+    ok = not (S % bq or S % bk or bq % 128 or bk % 128)
     return bq, bk, ok
 
 
