@@ -87,16 +87,20 @@ def deform_conv2d(
     mask: jnp.ndarray | None = None,
     stride: int = 1,
     padding: int = 1,
+    deformable_groups: int = 1,
 ) -> jnp.ndarray:
     """Modulated deformable convolution v2 (ops/dcn, 1.7k LoC CUDA) as a
     bilinear-gather + contraction.
 
-    x [N, H, W, Cin]; offset [N, Ho, Wo, 2*kh*kw] as (dy, dx) pairs;
-    weight [kh, kw, Cin, Cout]; mask [N, Ho, Wo, kh*kw] (sigmoid-activated
-    modulation) -> [N, Ho, Wo, Cout].
+    x [N, H, W, Cin]; offset [N, Ho, Wo, G*2*kh*kw] as per-group (dy, dx)
+    pairs; weight [kh, kw, Cin, Cout]; mask [N, Ho, Wo, G*kh*kw]
+    (sigmoid-activated modulation) -> [N, Ho, Wo, Cout].  With
+    ``deformable_groups`` G > 1 each Cin/G channel slab samples at its own
+    offsets (EDVR's PCD alignment uses G=8, edvr_arch.py).
     """
     N, H, W, Cin = x.shape
     kh, kw, _, Cout = weight.shape
+    G = deformable_groups
     Ho = (H + 2 * padding - kh) // stride + 1
     Wo = (W + 2 * padding - kw) // stride + 1
 
@@ -107,34 +111,45 @@ def deform_conv2d(
     # sample positions [Ho, Wo, kh, kw]
     gy = base_y[:, None, None, None] + ky[None, None, :, None]
     gx = base_x[None, :, None, None] + kx[None, None, None, :]
-    off = offset.reshape(N, Ho, Wo, kh, kw, 2)
-    py = gy[None] + off[..., 0]
-    px = gx[None] + off[..., 1]
 
-    y0 = jnp.floor(py)
-    x0 = jnp.floor(px)
-    wy = py - y0
-    wx = px - x0
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
+    off = offset.reshape(N, Ho, Wo, G, kh, kw, 2)
+    msk = None if mask is None else mask.reshape(N, Ho, Wo, G, kh, kw, 1)
+    outs = []
+    cg = Cin // G
+    for g in range(G):
+        py = gy[None] + off[..., g, :, :, 0]
+        px = gx[None] + off[..., g, :, :, 1]
+        xg = x[..., g * cg : (g + 1) * cg]
 
-    def fetch(yi, xi):
-        yc = jnp.clip(yi, 0, H - 1)
-        xc = jnp.clip(xi, 0, W - 1)
-        batch = jnp.arange(N)[:, None, None, None, None]
-        val = x[batch, yc, xc]                       # [N,Ho,Wo,kh,kw,Cin]
-        inb = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))[..., None]
-        return jnp.where(inb, val, 0.0)
+        y0 = jnp.floor(py)
+        x0 = jnp.floor(px)
+        wy = py - y0
+        wx = px - x0
+        y0 = y0.astype(jnp.int32)
+        x0 = x0.astype(jnp.int32)
 
-    samp = (
-        fetch(y0, x0) * ((1 - wy) * (1 - wx))[..., None]
-        + fetch(y0, x0 + 1) * ((1 - wy) * wx)[..., None]
-        + fetch(y0 + 1, x0) * (wy * (1 - wx))[..., None]
-        + fetch(y0 + 1, x0 + 1) * (wy * wx)[..., None]
-    )
-    if mask is not None:
-        samp = samp * mask.reshape(N, Ho, Wo, kh, kw, 1)
-    out = jnp.einsum("nhwijc,ijco->nhwo", samp, weight)
+        def fetch(yi, xi):
+            yc = jnp.clip(yi, 0, H - 1)
+            xc = jnp.clip(xi, 0, W - 1)
+            batch = jnp.arange(N)[:, None, None, None, None]
+            val = xg[batch, yc, xc]                  # [N,Ho,Wo,kh,kw,cg]
+            inb = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))[..., None]
+            return jnp.where(inb, val, 0.0)
+
+        samp = (
+            fetch(y0, x0) * ((1 - wy) * (1 - wx))[..., None]
+            + fetch(y0, x0 + 1) * ((1 - wy) * wx)[..., None]
+            + fetch(y0 + 1, x0) * (wy * (1 - wx))[..., None]
+            + fetch(y0 + 1, x0 + 1) * (wy * wx)[..., None]
+        )
+        if msk is not None:
+            samp = samp * msk[:, :, :, g]
+        outs.append(
+            jnp.einsum(
+                "nhwijc,ijco->nhwo", samp, weight[:, :, g * cg : (g + 1) * cg]
+            )
+        )
+    out = sum(outs)
     if bias is not None:
         out = out + bias
     return out
