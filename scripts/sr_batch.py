@@ -106,11 +106,16 @@ def main():
         from unitex_tpu.utils.iqa_clipiqa import (
             clip_text_features, clipiqa, load_torch_clip_rn50)
 
+        if not args.clipiqa_text:
+            # without real prompt features the score is softmax noise
+            # against the random-init placeholders — refuse loudly
+            ap.error("--clipiqa-ckpt requires --clipiqa-text "
+                     "(prompt-feature .npz or an HF CLIP model dir)")
         cp = load_torch_clip_rn50(args.clipiqa_ckpt)
-        if args.clipiqa_text and args.clipiqa_text.endswith(".npz"):
+        if args.clipiqa_text.endswith(".npz"):
             cp["text_features"] = jnp.asarray(
                 np.load(args.clipiqa_text)["text_features"])
-        elif args.clipiqa_text:
+        else:
             cp["text_features"] = jnp.asarray(clip_text_features(args.clipiqa_text))
         nr_metrics["clipiqa"] = lambda img: clipiqa(cp, img)
 

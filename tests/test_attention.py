@@ -99,8 +99,9 @@ def test_qk8_awkward_length_falls_back():
 
 def test_pick_blocks_largest_divisor():
     """Non-dividing requests take the largest divisor of S, not the gcd:
-    the pipeline's real S=14336 must map 1536 -> 1024 (142-156 TF/s on v5e)
-    rather than gcd 512 (79 TF/s)."""
+    at S=14336 (an off-design conditioning mix; the pipeline's own joint
+    sequence is 13824, which divides 1536) the 1536 default must map to
+    1024/1024 (142-156 TF/s on v5e) rather than gcd 512/512 (79 TF/s)."""
     from unitex_tpu.ops.attention import _pick_blocks
 
     assert _pick_blocks(14336, 1536, 1536) == (1024, 1024, True)

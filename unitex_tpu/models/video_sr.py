@@ -36,6 +36,8 @@ import numpy as np
 
 from ..ops.basicsr_ops import deform_conv2d
 from ..ops.grid_sample import grid_sample
+from .sr_archs import _conv_init, _lrelu01 as _lrelu, _resblock_nobn_init, \
+    pixel_shuffle
 
 Params = Dict[str, jnp.ndarray]
 
@@ -43,13 +45,10 @@ _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def _conv_init(key, k, cin, cout, gain=1.0):
-    w = jax.random.normal(key, (k, k, cin, cout), jnp.float32)
-    w = w * gain * np.sqrt(2.0 / (k * k * cin))
-    return {"kernel": w, "bias": jnp.zeros((cout,), jnp.float32)}
-
-
 def _conv(p, x, stride=1):
+    # explicit symmetric padding (torch Conv2d(k, stride, padding=(k-1)//2)):
+    # XLA "SAME" (sr_archs._conv) pads (0, 1) for stride-2 even sizes, which
+    # shifts every strided window one pixel vs torch
     k = p["kernel"].shape[0]
     pad = (k - 1) // 2
     return jax.lax.conv_general_dilated(
@@ -58,21 +57,27 @@ def _conv(p, x, stride=1):
     ) + p["bias"]
 
 
-def _lrelu(x):
-    return jnp.where(x >= 0, x, 0.1 * x)
-
-
-def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
-    """[N, H, W, C*r^2] -> [N, H*r, W*r, C], torch channel order."""
-    N, H, W, Cr = x.shape
-    C = Cr // (r * r)
-    x = x.reshape(N, H, W, C, r, r)
-    return x.transpose(0, 1, 4, 2, 5, 3).reshape(N, H * r, W * r, C)
-
-
 def _resize2x(x, scale=2.0, method="bilinear"):
+    # F.interpolate(..., align_corners=False) semantics (EDVR's PCD/TSA
+    # upsample); SPyNet's flow upsampling uses _upflow2 (align_corners=True)
     N, H, W, C = x.shape
     return jax.image.resize(x, (N, int(H * scale), int(W * scale), C), method)
+
+
+def _upflow2(flow):
+    """x2 flow upsampling, F.interpolate(align_corners=True) semantics
+    (spynet_arch.py): out[i] samples at i*(H-1)/(2H-1); flow values x2."""
+    N, H, W, C = flow.shape
+
+    def interp_axis(x, axis, n_out):
+        n_in = x.shape[axis]
+        pos = jnp.linspace(0.0, n_in - 1.0, n_out)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+        hi = jnp.clip(lo + 1, 0, n_in - 1)
+        w = (pos - lo).reshape([-1 if a == axis else 1 for a in range(x.ndim)])
+        return jnp.take(x, lo, axis) * (1 - w) + jnp.take(x, hi, axis) * w
+
+    return interp_axis(interp_axis(flow, 1, 2 * H), 2, 2 * W) * 2.0
 
 
 # ------------------------------------------------------------------- SPyNet
@@ -95,9 +100,12 @@ def init_spynet_params(key: jax.Array) -> List[Params]:
     return mods
 
 
-def flow_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def flow_warp(
+    x: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "zeros"
+) -> jnp.ndarray:
     """Warp [N, H, W, C] by flow [N, H, W, 2] (dx, dy in pixels) —
-    basicsr flow_warp semantics (align_corners=True, zeros padding)."""
+    basicsr flow_warp semantics (align_corners=True; zeros padding by
+    default, border inside SPyNet's pyramid)."""
     N, H, W, _ = x.shape
     gy, gx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
     px = gx[None] + flow[..., 0]
@@ -106,7 +114,7 @@ def flow_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     ny = 2.0 * py / max(H - 1, 1) - 1.0
     grid = jnp.stack([nx, ny], axis=-1)
     return jax.vmap(
-        lambda img, g: grid_sample(img, g, "zeros", align_corners=True)
+        lambda img, g: grid_sample(img, g, padding_mode, align_corners=True)
     )(x, grid)
 
 
@@ -139,8 +147,8 @@ def spynet_flow(params: List[Params], ref: jnp.ndarray, supp: jnp.ndarray):
     for lv in range(SPYNET_LEVELS):
         r, s = refs[-1 - lv], supps[-1 - lv]
         if lv > 0:
-            flow = _resize2x(flow) * 2.0
-        warped = flow_warp(s, flow)
+            flow = _upflow2(flow)
+        warped = flow_warp(s, flow, padding_mode="border")
         flow = flow + _spy_module(
             params[lv], jnp.concatenate([r, warped, flow], axis=-1)
         )
@@ -160,15 +168,10 @@ class BasicVSRConfig:
         return cls(num_feat=16, num_block=2)
 
 
-def _resblock_init(key, nf):
-    return {
-        "conv1": _conv_init(jax.random.fold_in(key, 0), 3, nf, nf, gain=0.1),
-        "conv2": _conv_init(jax.random.fold_in(key, 1), 3, nf, nf, gain=0.1),
-    }
-
-
 def _resblocks_stacked_init(key, nf, n):
-    blocks = [_resblock_init(jax.random.fold_in(key, i), nf) for i in range(n)]
+    blocks = [
+        _resblock_nobn_init(jax.random.fold_in(key, i), nf) for i in range(n)
+    ]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
 
@@ -298,11 +301,12 @@ def _dcn_pack_init(key, nf, groups):
 def _dcn_pack(p, x, offset_feat, groups):
     out = _conv(p["conv_offset"], offset_feat)
     o1, o2, mask = jnp.split(out, 3, axis=-1)
-    # mmcv layout: offset = cat(o1, o2) read as (dy, dx) pairs per point
-    off = jnp.concatenate(
-        [o1.reshape(*o1.shape[:3], -1, 1), o2.reshape(*o2.shape[:3], -1, 1)],
-        axis=-1,
-    ).reshape(*o1.shape[:3], -1)
+    # mmcv layout: offset = cat(o1, o2) along channels, and the kernel reads
+    # the flat 2*G*k*k block as interleaved (dy, dx) pairs — so o1 supplies
+    # BOTH dy and dx for the first half of the sampling points (it is NOT
+    # "o1 = all dy"); deform_conv2d's reshape(..., G, kh, kw, 2) matches
+    # that flat pairing exactly
+    off = jnp.concatenate([o1, o2], axis=-1)
     return deform_conv2d(
         x, off, p["dcn"]["kernel"], p["dcn"]["bias"],
         mask=jax.nn.sigmoid(mask), deformable_groups=groups,
@@ -314,7 +318,10 @@ def _pcd_init(key, nf, groups):
     for lv in (3, 2, 1):
         p[f"offset_conv1_l{lv}"] = _conv_init(
             jax.random.fold_in(key, lv * 10), 3, nf * 2, nf)
-        if lv < 3:
+        if lv == 3:
+            p[f"offset_conv2_l{lv}"] = _conv_init(
+                jax.random.fold_in(key, lv * 10 + 1), 3, nf, nf)
+        else:
             p[f"offset_conv2_l{lv}"] = _conv_init(
                 jax.random.fold_in(key, lv * 10 + 1), 3, nf * 2, nf)
             p[f"offset_conv3_l{lv}"] = _conv_init(
@@ -338,7 +345,9 @@ def _pcd_align(p, nbr_pyr, ref_pyr, groups):
             p[f"offset_conv1_l{lv}"],
             jnp.concatenate([nbr_pyr[lv - 1], ref_pyr[lv - 1]], axis=-1),
         ))
-        if lv < 3:
+        if lv == 3:
+            off = _lrelu(_conv(p[f"offset_conv2_l{lv}"], off))
+        else:
             up_off = _resize2x(offset) * 2.0
             off = _lrelu(_conv(
                 p[f"offset_conv2_l{lv}"],
@@ -380,28 +389,32 @@ def _tsa_init(key, nf, nframes):
     }
 
 
+_POOL_PAD = ((0, 0), (1, 1), (1, 1), (0, 0))
+
+
 def _max_pool3s2(x):
+    # torch MaxPool2d(3, stride=2, padding=1): symmetric explicit padding
+    # (XLA "SAME" would pad (0, 1) and shift every window)
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), _POOL_PAD
     )
 
 
 def _avg_pool3s2(x):
+    # torch AvgPool2d(3, stride=2, padding=1) default count_include_pad:
+    # divide by the full 9-cell window, pads counted as zeros
     s = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
+        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1), _POOL_PAD
     )
-    n = jax.lax.reduce_window(
-        jnp.ones_like(x), 0.0, jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1), "SAME"
-    )
-    return s / n
+    return s / 9.0
 
 
 def _tsa_fusion(p, aligned, center_idx):
     """aligned [T, H, W, C] -> fused [1, H, W, C]
     (edvr_arch.py TSAFusion.forward)."""
     T, H, W, C = aligned.shape
-    emb_ref = _conv(p["temporal_attn2"], aligned[center_idx][None])
-    emb = _conv(p["temporal_attn1"], aligned)
+    emb_ref = _conv(p["temporal_attn1"], aligned[center_idx][None])
+    emb = _conv(p["temporal_attn2"], aligned)
     corr = jnp.sum(emb * emb_ref, axis=-1, keepdims=True)  # [T, H, W, 1]
     prob = jax.nn.sigmoid(corr)
     weighted = (aligned * prob).transpose(1, 2, 0, 3).reshape(1, H, W, T * C)

@@ -106,9 +106,11 @@ def _largest_divisor_leq(S: int, cap: int) -> int:
 
 def _pick_blocks(S: int, block_q: int, block_k: int):
     # When S doesn't divide the requested block, take the LARGEST divisor
-    # under it, not the gcd: at the pipeline's real S=14336 (= 2^11·7) a
-    # 1536 request gcd-collapses to 512/512 (79 TF/s measured) while the
-    # largest-divisor 1024/1024 runs 142-156 TF/s — v5e sweep 2026-08.
+    # under it, not the gcd.  The pipeline's joint sequence S=13824 divides
+    # 1536 exactly; but at other operating points — e.g. S=14336 (= 2^11·7,
+    # an extra 512 tokens of conditioning) — a 1536 request gcd-collapses
+    # to 512/512 (79 TF/s measured) while the largest-divisor 1024/1024
+    # runs 142-156 TF/s — v5e sweep 2026-08.
     bq = block_q if S % block_q == 0 else _largest_divisor_leq(S, block_q)
     bk = block_k if S % block_k == 0 else _largest_divisor_leq(S, block_k)
     # lane-dim tiling needs multiples of 128 in both block sizes (the lse

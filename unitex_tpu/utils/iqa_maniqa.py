@@ -64,10 +64,10 @@ def _ln_p(c):
 
 def init_vit_params(key: jax.Array) -> Dict[str, Any]:
     ks = jax.random.split(key, VIT_LAYERS + 3)
-    blocks = []
+    blocks_list = []
     for i in range(VIT_LAYERS):
         ka, kb, kc, kd = jax.random.split(ks[i], 4)
-        blocks.append({
+        blocks_list.append({
             "ln1": _ln_p(VIT_DIM),
             "qkv": _lin_p(ka, VIT_DIM, 3 * VIT_DIM),
             "out": _lin_p(kb, VIT_DIM, VIT_DIM),
@@ -75,6 +75,8 @@ def init_vit_params(key: jax.Array) -> Dict[str, Any]:
             "fc1": _lin_p(kc, VIT_DIM, VIT_MLP),
             "fc2": _lin_p(kd, VIT_MLP, VIT_DIM),
         })
+    # stacked [L, ...] for lax.scan (depth-constant compile, repo convention)
+    blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks_list)
     kp = ks[VIT_LAYERS]
     patch_w = jax.random.normal(
         kp, (PATCH, PATCH, 3, VIT_DIM), jnp.float32
@@ -167,8 +169,8 @@ def vit_tap_features(params: Dict[str, Any], img: jnp.ndarray) -> jnp.ndarray:
     x = x.reshape(B, TOKENS, VIT_DIM)
     x = jnp.concatenate([jnp.broadcast_to(p["cls"], (B, 1, VIT_DIM)), x], axis=1)
     x = x + p["pos"][None]
-    taps = []
-    for i, blk in enumerate(p["blocks"]):
+
+    def body(x, blk):
         h = _layer_norm(blk["ln1"], x)
         B_, S, D = h.shape
         hd = D // VIT_HEADS
@@ -181,8 +183,10 @@ def vit_tap_features(params: Dict[str, Any], img: jnp.ndarray) -> jnp.ndarray:
         x = x + _linear(blk["out"], y)
         h = _layer_norm(blk["ln2"], x)
         x = x + _linear(blk["fc2"], _gelu(_linear(blk["fc1"], h)))
-        if i in TAP_BLOCKS:
-            taps.append(x[:, 1:])  # drop CLS
+        return x, x
+
+    _, ys = jax.lax.scan(body, x, p["blocks"])       # [L, B, S, D]
+    taps = [ys[i, :, 1:] for i in TAP_BLOCKS]        # drop CLS per tap
     return jnp.concatenate(taps, axis=-1)
 
 
@@ -347,9 +351,10 @@ def load_torch_maniqa(path: str, vit_path: str | None = None) -> Dict[str, Any]:
                   "bias": jnp.asarray(vit_sd["vit.patch_embed.proj.bias"])}
     v["cls"] = jnp.asarray(vit_sd["vit.cls_token"].reshape(-1))
     v["pos"] = jnp.asarray(vit_sd["vit.pos_embed"][0])
+    blocks_list = []
     for i in range(VIT_LAYERS):
         b = f"vit.blocks.{i}"
-        v["blocks"][i] = {
+        blocks_list.append({
             "ln1": {"scale": jnp.asarray(vit_sd[f"{b}.norm1.weight"]),
                     "bias": jnp.asarray(vit_sd[f"{b}.norm1.bias"])},
             "qkv": {"kernel": jnp.asarray(vit_sd[f"{b}.attn.qkv.weight"].T),
@@ -362,7 +367,8 @@ def load_torch_maniqa(path: str, vit_path: str | None = None) -> Dict[str, Any]:
                     "bias": jnp.asarray(vit_sd[f"{b}.mlp.fc1.bias"])},
             "fc2": {"kernel": jnp.asarray(vit_sd[f"{b}.mlp.fc2.weight"].T),
                     "bias": jnp.asarray(vit_sd[f"{b}.mlp.fc2.bias"])},
-        }
+        })
+    v["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks_list)
 
     for tname in ("tab1", "tab2"):
         tkey = {"tab1": "tablock1", "tab2": "tablock2"}[tname]

@@ -68,10 +68,10 @@ def init_musiq_params(
             "bias": jnp.zeros((hidden,), jnp.float32),
         }
 
-    blocks: List[Dict[str, Any]] = []
+    blocks_list: List[Dict[str, Any]] = []
     for i in range(layers):
         ka, kb, kc, kd = jax.random.split(ks[4 + i], 4)
-        blocks.append(
+        blocks_list.append(
             {
                 "ln1": ln(),
                 "qkv": lin(ka, hidden, 3 * hidden),
@@ -81,6 +81,8 @@ def init_musiq_params(
                 "fc2": lin(kd, mlp, hidden),
             }
         )
+    # stacked [L, ...] for lax.scan (depth-constant compile, repo convention)
+    blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks_list)
     return {
         "embedding": lin(ks[0], patch_dim, hidden),
         "hse": jax.random.normal(ks[1], (grid, grid, hidden), jnp.float32) * 0.02,
@@ -117,15 +119,18 @@ def _mha(block, x, heads: int = HEADS):
 
 
 def encode_tokens(params: Dict[str, Any], tokens: jnp.ndarray) -> jnp.ndarray:
-    """Pre-LN ViT encoder over [B, S, D]; returns the final-LN'd sequence."""
-    x = tokens
-    for block in params["blocks"]:
+    """Pre-LN ViT encoder over [B, S, D]; blocks stacked [L, ...] and
+    lax.scan-ed.  Returns the final-LN'd sequence."""
+
+    def body(x, block):
         x = x + _mha(block, _layer_norm(block["ln1"], x))
         h = _layer_norm(block["ln2"], x)
         h = _linear(
             block["fc2"], jax.nn.gelu(_linear(block["fc1"], h), approximate=False)
         )
-        x = x + h
+        return x + h, None
+
+    x, _ = jax.lax.scan(body, tokens, params["blocks"])
     return _layer_norm(params["final_ln"], x)
 
 
@@ -151,11 +156,11 @@ def _patch_tokens(
 ) -> jnp.ndarray:
     """[H, W, 3] in [-1, 1] -> [Np, D] tokens with HSE + SCE added."""
     H, W, C = img.shape
-    hp, wp = max(H // patch, 1), max(W // patch, 1)
-    img = img[: hp * patch, : wp * patch]
-    # pad up if the image is smaller than one patch
-    if H < patch or W < patch:
-        img = jnp.pad(img, ((0, patch * hp - img.shape[0]), (0, patch * wp - img.shape[1]), (0, 0)))
+    # ceil-cover the image: partial right/bottom patches are zero-padded
+    # (original MUSIQ/pyiqa scores the full image; cropping would drop up
+    # to patch-1 pixels per edge at every scale)
+    hp, wp = -(-H // patch), -(-W // patch)
+    img = jnp.pad(img, ((0, hp * patch - H), (0, wp * patch - W), (0, 0)))
     x = img.reshape(hp, patch, wp, patch, C).transpose(0, 2, 1, 3, 4)
     x = x.reshape(hp * wp, patch * patch * C)
     tok = _linear(params["embedding"], x)
@@ -275,7 +280,7 @@ def load_torch_musiq(path: str) -> Dict[str, Any]:
                 },
             }
         )
-    params["blocks"] = blocks
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
     ln_w = find((D,), contains="encoder_norm.weight") if any(
         "encoder_norm" in k for k in sd
     ) else None
@@ -310,7 +315,10 @@ def encode_tokens_reference(params: Dict[str, Any], tokens: np.ndarray):
     x = np.asarray(tokens, np.float64)
     B, S, D = x.shape
     hd = D // HEADS
-    for blk in params["blocks"]:
+    stacked = params["blocks"]
+    L = np.asarray(jax.tree_util.tree_leaves(stacked)[0]).shape[0]
+    for i in range(L):
+        blk = jax.tree.map(lambda a: np.asarray(a)[i], stacked)
         h = ln(blk["ln1"], x)
         qkv = lin(blk["qkv"], h).reshape(B, S, 3, HEADS, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
