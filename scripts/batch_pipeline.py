@@ -50,6 +50,10 @@ def main():
                     help="continue past per-job failures")
     ap.add_argument("--no-artifacts", action="store_true",
                     help="skip intermediate PNG dumps (fastest serving)")
+    ap.add_argument("--no-prefetch", action="store_true",
+                    help="disable the host-preprocess worker thread that "
+                         "overlaps job N+1's CPU mesh/image work with job "
+                         "N's device work")
     ap.add_argument("--small", action="store_true",
                     help="reduced resolutions (smoke tests / CPU)")
     args = ap.parse_args()
@@ -81,12 +85,39 @@ def main():
         save_artifacts=not args.no_artifacts,
         **kwargs,
     )
+    # host/device pipelining: a single worker thread runs job N+1's CPU
+    # preprocessing (mesh decimate/unwrap + matting) while the main thread
+    # drives the device through job N (diffusion + bake) — the CPU half
+    # disappears from steady-state batch latency
+    from concurrent.futures import ThreadPoolExecutor
+
+    executor = None if args.no_prefetch else ThreadPoolExecutor(max_workers=1)
+
+    def submit(job):
+        out_dir = os.path.join(args.out, job["name"])
+        return executor.submit(
+            pipe.preprocess_job, out_dir, job["image"], job["mesh"]
+        )
+
+    pending = submit(jobs[0]) if executor else None
     results = []
     for i, job in enumerate(jobs):
         out_dir = os.path.join(args.out, job["name"])
         t0 = time.perf_counter()
         try:
-            rembg, glb = pipe(out_dir, job["image"], job["mesh"])
+            pre = pending.result() if pending is not None else None
+        except Exception as e:
+            pre, job_error = None, e
+        else:
+            job_error = None
+        if executor and i + 1 < len(jobs):
+            pending = submit(jobs[i + 1])
+        try:
+            if job_error is not None:
+                raise job_error
+            rembg, glb = pipe(
+                out_dir, job["image"], job["mesh"], preprocessed=pre
+            )
             dt = time.perf_counter() - t0
             results.append({"name": job["name"], "glb": glb, "seconds": round(dt, 2)})
             print(f"[{i+1}/{len(jobs)}] {job['name']}: {dt:.1f}s")
@@ -95,6 +126,8 @@ def main():
                 raise
             results.append({"name": job["name"], "error": str(e)})
             print(f"[{i+1}/{len(jobs)}] {job['name']}: FAILED {e}")
+    if executor:
+        executor.shutdown(wait=False)
     with open(os.path.join(args.out, "manifest.json"), "w") as f:
         json.dump(results, f, indent=2)
 

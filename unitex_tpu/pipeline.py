@@ -140,6 +140,19 @@ class RGBTextureFullPipelineBase:
 
     # ------------------------------------------------------------ stages
 
+    def preprocess_job(self, save_dir: str, image_path: str, mesh_path: str):
+        """All host-side CPU preprocessing of one job (mesh normalize/
+        decimate/unwrap + reference-image matting), split out so a batch
+        driver can run it in a worker thread OVERLAPPED with the device
+        work of the previous job (host/device pipelining; the reference is
+        strictly sequential, pipeline.py:594-617).  Returns the
+        ``preprocessed`` tuple accepted by ``__call__``."""
+        cache = os.path.join(save_dir, "cache")
+        os.makedirs(cache, exist_ok=True)
+        mesh = self.preprocess_blank_mesh_stage(cache, mesh_path)
+        ref = self.preprocess_reference_image_stage(cache, image_path)
+        return mesh, ref
+
     @CPUTimer("preprocess_blank_mesh")
     def preprocess_blank_mesh_stage(self, save_dir: str, mesh_path: str) -> HostMesh:
         mesh = load_mesh(mesh_path)
@@ -370,11 +383,15 @@ class RGBTextureFullPipeline(RGBTextureFullPipelineBase):
         save_mesh(glb_path, textured)
         return glb_path
 
-    def __call__(self, save_dir, image_path, mesh_path, clear_cache=False):
+    def __call__(
+        self, save_dir, image_path, mesh_path, clear_cache=False,
+        preprocessed=None,
+    ):
         cache = os.path.join(save_dir, "cache")
         os.makedirs(cache, exist_ok=True)
-        processed_mesh = self.preprocess_blank_mesh_stage(cache, mesh_path)
-        ref_image = self.preprocess_reference_image_stage(cache, image_path)
+        if preprocessed is None:
+            preprocessed = self.preprocess_job(save_dir, image_path, mesh_path)
+        processed_mesh, ref_image = preprocessed
         condition = self.render_geometry_images_stage(cache, processed_mesh)
         mv_rgb = self.infer_mv_stage(cache, ref_image, condition)
         if self.ltm_params is not None:
@@ -407,13 +424,15 @@ class CustomRGBTextureFullPipeline(RGBTextureFullPipelineBase):
         mesh_path: str,
         clear_cache: bool = False,
         export_video: bool = False,
+        preprocessed=None,
     ) -> Tuple[str, str]:
         cache = os.path.join(save_dir, "cache")
         os.makedirs(cache, exist_ok=True)
 
-        # step_1_1
-        processed_mesh = self.preprocess_blank_mesh_stage(cache, mesh_path)
-        ref_image = self.preprocess_reference_image_stage(cache, image_path)
+        # step_1_1 (host half possibly prefetched by a batch driver)
+        if preprocessed is None:
+            preprocessed = self.preprocess_job(save_dir, image_path, mesh_path)
+        processed_mesh, ref_image = preprocessed
         condition = self.render_geometry_images_stage(cache, processed_mesh)
         mv_rgb = self.infer_mv_stage(cache, ref_image, condition)
 
