@@ -289,3 +289,79 @@ class TestQuantizedSD3:
         qparams = quantize_linears(init_sd3_params(jax.random.PRNGKey(0), cfg))
         assert "kernel_int8" in qparams["final_block"]["attn"]["to_v"]
         assert "kernel" in qparams["final_block"]["norm1"]["lin"]  # AdaLN bf16
+
+
+class TestWeightOnlyInt8:
+    """Max-memory serving mode: q/k + AdaLN kernels stored int8, dequantized
+    to bf16 at the matmul (the 12B-on-one-v5e-chip mode)."""
+
+    def test_weight_only_matmul_accuracy(self):
+        from unitex_tpu.ops.quant import int8_weight_only_matmul
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(32, 128)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(128, 96)).astype(np.float32))
+        q, s = quantize_kernel(w)
+        rel = float(jnp.linalg.norm(int8_weight_only_matmul(x, q, s) - x @ w)
+                    / jnp.linalg.norm(x @ w))
+        assert rel < 0.01, rel  # only the weight is quantized: tighter than W8A8
+
+    def test_stacked_weight_only(self):
+        from unitex_tpu.ops.quant import int8_weight_only_matmul
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(4, 8, 16)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(4, 16, 12)).astype(np.float32))
+        q, s = quantize_kernel(w)
+        out = int8_weight_only_matmul(x, q, s)
+        ref = jnp.einsum("lbi,lio->lbo", x, w)
+        assert float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref)) < 0.01
+
+    def test_max_memory_flux_coverage_and_parity(self):
+        from unitex_tpu.models.flux.quantize import quantize_flux_params
+
+        cfg = dataclasses.replace(FluxConfig.tiny(), dtype="bfloat16")
+        params = init_flux_params(jax.random.PRNGKey(2), cfg)
+        qp = quantize_flux_params(params, weight_only_rest=True)
+        # W8A8 set unchanged
+        assert "kernel_int8" in qp["dual_blocks"]["attn"]["to_v"]
+        # q/k and AdaLN now weight-only int8 (storage-compressed)
+        assert "kernel_int8_wo" in qp["dual_blocks"]["attn"]["to_q"]
+        assert "kernel_int8_wo" in qp["dual_blocks"]["norm1"]["lin"]
+        assert "kernel_int8_wo" in qp["single_blocks"]["norm"]["lin"]
+        # embedders outside the blocks stay float
+        assert "kernel" in qp["x_embedder"]
+        # every 2D+ float kernel left inside the blocks would be a miss
+        n_q, n_f = count_quantized(qp)
+        assert n_q > 3 * n_f
+
+        rng = np.random.default_rng(3)
+        B, S_img, S_txt = 1, 64, 16
+        args = (
+            jnp.asarray(rng.normal(size=(B, S_img, cfg.in_channels)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(B, S_txt, cfg.joint_attention_dim)).astype(np.float32)),
+            jnp.full((B,), 0.5),
+            jnp.zeros((B, cfg.pooled_projection_dim)),
+            latent_image_ids(8, 8),
+            jnp.zeros((S_txt, 3)),
+            jnp.full((B,), 3.5),
+        )
+        out_bf = flux_forward(params, cfg, *args)
+        out_q = flux_forward(qp, cfg, *args)
+        rel = float(jnp.linalg.norm((out_q - out_bf).astype(jnp.float32))
+                    / jnp.linalg.norm(out_bf.astype(jnp.float32)))
+        assert rel < 0.06, rel
+
+    def test_weight_only_tp_sharding_rules(self):
+        from unitex_tpu.models.flux.quantize import quantize_flux_params
+        from unitex_tpu.parallel.mesh import make_mesh
+        from unitex_tpu.parallel.sharding import flux_param_shardings
+
+        cfg = dataclasses.replace(FluxConfig.tiny(), dtype="bfloat16")
+        params = init_flux_params(jax.random.PRNGKey(4), cfg)
+        qp = quantize_flux_params(params, weight_only_rest=True)
+        mesh = make_mesh(data=2, model=4)
+        shardings = flux_param_shardings(qp, mesh)
+        flat_p = jax.tree_util.tree_leaves_with_path(qp)
+        flat_s = jax.tree_util.tree_leaves(shardings)
+        assert len(flat_p) == len(flat_s)  # every leaf gets a sharding

@@ -35,6 +35,10 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         from ...ops.quant import int8_matmul
 
         y = int8_matmul(x, p["kernel_int8"], p["scale"])
+    elif "kernel_int8_wo" in p:
+        from ...ops.quant import int8_weight_only_matmul
+
+        y = int8_weight_only_matmul(x, p["kernel_int8_wo"], p["scale"])
     else:
         y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:

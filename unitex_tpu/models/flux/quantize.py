@@ -59,14 +59,31 @@ def fuse_flux_projections(params: Dict[str, Any]) -> Dict[str, Any]:
     return params
 
 
-def quantize_flux_params(params: Dict[str, Any], fuse: bool = False) -> Dict[str, Any]:
+def quantize_flux_params(
+    params: Dict[str, Any], fuse: bool = False, weight_only_rest: bool = False
+) -> Dict[str, Any]:
     """LoRA-merged FLUX params -> int8 serving params.
 
     fuse=False by default: measured on v5e, the fused [d, 21504] matmul
     tiles *worse* than separate dots (296 vs 362 TOP/s) and XLA already
     CSEs the shared activation quantization, so fusion loses ~7 ms/step.
     The fused path stays available (and numerically identical) for
-    hardware where wide tiles win."""
+    hardware where wide tiles win.
+
+    weight_only_rest=True is the max-memory mode: kernels that stay off
+    the W8A8 path (q/k, AdaLN modulations) are stored int8 and dequantized
+    to bf16 at the matmul — the full 12B transformer drops to ~1 byte/param
+    (~12 GB) and fits a single 16 GB v5e chip, the TPU analog of the
+    reference's NF4 small-VRAM branch (pipeline.py:87-95).  Measured on
+    v5e: zero step-time cost vs W8A8-only (XLA fuses the dequant into the
+    dot's operand read), and the FULL 12B model ran single-chip at
+    0.502 steps/s — within 1% of the depth-reduced bench's extrapolation
+    (0.506), validating bench.py's parameter-ratio scaling."""
     if fuse:
         params = fuse_flux_projections(params)
-    return quantize_linears(params)
+    from ...ops.quant import _in_blocks
+
+    return quantize_linears(
+        params,
+        weight_only_predicate=_in_blocks if weight_only_rest else None,
+    )

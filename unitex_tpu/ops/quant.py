@@ -38,6 +38,20 @@ def quantize_kernel(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def int8_weight_only_matmul(
+    x: jnp.ndarray, kernel_int8: jnp.ndarray, kernel_scale: jnp.ndarray
+) -> jnp.ndarray:
+    """x [..., d_in] @ dequantized int8 kernel — bf16 MXU matmul, int8
+    STORAGE.  For the projections where W8A8 is counterproductive (q/k
+    feeding the qk-norm reduction, AdaLN modulations): halves their HBM
+    footprint without touching the activation path.  With this applied to
+    the whole transformer the full 12B FLUX fits a single 16 GB v5e chip
+    (the TPU analog of the reference's NF4 small-VRAM mode,
+    pipeline.py:87-95)."""
+    w = kernel_int8.astype(x.dtype) * kernel_scale.astype(x.dtype)[..., None, :]
+    return x @ w
+
+
 def int8_matmul(
     x: jnp.ndarray, kernel_int8: jnp.ndarray, kernel_scale: jnp.ndarray
 ) -> jnp.ndarray:
@@ -78,14 +92,27 @@ def _should_quantize(path: Tuple[Any, ...]) -> bool:
     return not any(isinstance(k, str) and k.startswith("norm") for k in keys)
 
 
+def _in_blocks(path: Tuple[Any, ...]) -> bool:
+    keys = [getattr(p, "key", None) for p in path]
+    return any(
+        k in ("dual_blocks", "single_blocks", "blocks", "final_block")
+        for k in keys
+    )
+
+
 def quantize_linears(
     params: Dict[str, Any],
     predicate: Optional[Callable[[Tuple[Any, ...]], bool]] = None,
+    weight_only_predicate: Optional[Callable[[Tuple[Any, ...]], bool]] = None,
 ) -> Dict[str, Any]:
     """Replace ``{"kernel": w}`` dicts with ``{"kernel_int8", "scale"}``
     wherever ``predicate(path)`` holds (default: projection matmuls inside
-    the scanned transformer blocks).  ``layers.linear`` dispatches on the
-    key set, so forwards are unchanged."""
+    the scanned transformer blocks), and with weight-only int8
+    (``{"kernel_int8_wo", "scale"}``) where ``weight_only_predicate``
+    holds.  ``layers.linear`` dispatches on the key set, so forwards are
+    unchanged.  Pass ``weight_only_predicate=_in_blocks`` (or a custom
+    one) for the max-memory serving mode: the W8A8 set keeps the 2x-MXU
+    path, everything else in the blocks is storage-compressed."""
     predicate = predicate or _should_quantize
 
     def walk(node, path):
@@ -93,6 +120,17 @@ def quantize_linears(
             if "kernel" in node and predicate(path):
                 q, s = quantize_kernel(node["kernel"])
                 new = {"kernel_int8": q, "scale": s}
+                if "bias" in node:
+                    new["bias"] = node["bias"]
+                return new
+            if (
+                "kernel" in node
+                and weight_only_predicate is not None
+                and weight_only_predicate(path)
+                and getattr(node["kernel"], "ndim", 0) >= 2
+            ):
+                q, s = quantize_kernel(node["kernel"])
+                new = {"kernel_int8_wo": q, "scale": s}
                 if "bias" in node:
                     new["bias"] = node["bias"]
                 return new

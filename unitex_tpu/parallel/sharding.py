@@ -67,6 +67,9 @@ def _match_linear(p: Dict[str, Any], spec: Dict[str, NamedSharding]):
     if "kernel_int8" in p:
         out["kernel_int8"] = spec["kernel"]
         out["scale"] = spec["scale"]
+    if "kernel_int8_wo" in p:
+        out["kernel_int8_wo"] = spec["kernel"]
+        out["scale"] = spec["scale"]
     if "bias" in p:
         out["bias"] = spec["bias"]
     return out
