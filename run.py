@@ -16,12 +16,19 @@ def main():
     ap.add_argument("--seed", type=int, default=63)
     ap.add_argument("--super-resolution", action="store_true")
     ap.add_argument("--export-video", action="store_true")
+    ap.add_argument("--int8", dest="int8", action="store_const", const=True,
+                    default=False, help="W8A8 int8 serving (fastest)")
+    ap.add_argument("--int8-max-memory", dest="int8",
+                    action="store_const", const="max_memory",
+                    help="int8 + weight-only storage: the 12B transformer "
+                         "fits one 16 GB chip")
     args = ap.parse_args()
 
     pipeline = CustomRGBTextureFullPipeline(
         pretrain_models=args.pretrain_models,
         super_resolutions=args.super_resolution,
         seed=args.seed,
+        int8_serving=args.int8,
     )
     rembg_png, textured_glb = pipeline(
         args.out, args.image, args.mesh, export_video=args.export_video

@@ -54,6 +54,11 @@ def main():
                     help="disable the host-preprocess worker thread that "
                          "overlaps job N+1's CPU mesh/image work with job "
                          "N's device work")
+    ap.add_argument("--int8", dest="int8", action="store_const", const=True,
+                    default=False, help="W8A8 int8 serving (fastest)")
+    ap.add_argument("--int8-max-memory", dest="int8",
+                    action="store_const", const="max_memory",
+                    help="int8 + weight-only storage (12B on one 16 GB chip)")
     ap.add_argument("--small", action="store_true",
                     help="reduced resolutions (smoke tests / CPU)")
     args = ap.parse_args()
@@ -83,6 +88,7 @@ def main():
         super_resolutions=args.super_resolution,
         seed=args.seed,
         save_artifacts=not args.no_artifacts,
+        int8_serving=args.int8,
         **kwargs,
     )
     # host/device pipelining: a single worker thread runs job N+1's CPU

@@ -365,3 +365,81 @@ class TestWeightOnlyInt8:
         flat_p = jax.tree_util.tree_leaves_with_path(qp)
         flat_s = jax.tree_util.tree_leaves(shardings)
         assert len(flat_p) == len(flat_s)  # every leaf gets a sharding
+
+
+class TestAttachLora:
+    """Runtime-applied LoRA (lora.attach_lora): exact parity with kernel
+    merging, and composition with int8 base kernels."""
+
+    def _setup(self):
+        from unitex_tpu.models.flux.lora import init_lora_params
+
+        cfg = dataclasses.replace(FluxConfig.tiny(), dtype="bfloat16")
+        params = init_flux_params(jax.random.PRNGKey(5), cfg)
+        lora = init_lora_params(jax.random.key(6), params, rank=4)
+        # give b nonzero values so the delta actually does something
+        lora = jax.tree.map(
+            lambda x: x + 0.01 * jnp.ones_like(x)
+            if x.ndim == 3 and x.shape[-2] == 4 else x,
+            lora,
+        )
+        rng = np.random.default_rng(7)
+        B, S_img, S_txt = 1, 64, 16
+        args = (
+            jnp.asarray(rng.normal(size=(B, S_img, cfg.in_channels)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(B, S_txt, cfg.joint_attention_dim)).astype(np.float32)),
+            jnp.full((B,), 0.5),
+            jnp.zeros((B, cfg.pooled_projection_dim)),
+            latent_image_ids(8, 8),
+            jnp.zeros((S_txt, 3)),
+            jnp.full((B,), 3.5),
+        )
+        return cfg, params, lora, args
+
+    def test_attach_matches_merge(self):
+        from unitex_tpu.models.flux.lora import attach_lora, merge_lora
+
+        cfg, params, lora, args = self._setup()
+        out_m = flux_forward(merge_lora(params, [(lora, 1.0)]), cfg, *args)
+        out_a = flux_forward(attach_lora(params, [(lora, 1.0)]), cfg, *args)
+        rel = float(jnp.linalg.norm((out_a - out_m).astype(jnp.float32))
+                    / (jnp.linalg.norm(out_m.astype(jnp.float32)) + 1e-8))
+        assert rel < 2e-2, rel  # bf16 rounding only
+
+    def test_attach_changes_output(self):
+        from unitex_tpu.models.flux.lora import attach_lora
+
+        cfg, params, lora, args = self._setup()
+        base = flux_forward(params, cfg, *args)
+        out = flux_forward(attach_lora(params, [(lora, 1.0)]), cfg, *args)
+        assert float(jnp.abs(out - base).max()) > 1e-4
+
+    def test_attach_on_quantized_base(self):
+        from unitex_tpu.models.flux.lora import attach_lora, merge_lora
+        from unitex_tpu.models.flux.quantize import quantize_flux_params
+
+        cfg, params, lora, args = self._setup()
+        qp = quantize_flux_params(params, weight_only_rest=True)
+        out_q = flux_forward(attach_lora(qp, [(lora, 1.0)]), cfg, *args)
+        out_ref = flux_forward(merge_lora(params, [(lora, 1.0)]), cfg, *args)
+        rel = float(jnp.linalg.norm((out_q - out_ref).astype(jnp.float32))
+                    / (jnp.linalg.norm(out_ref.astype(jnp.float32)) + 1e-8))
+        assert rel < 0.06, rel
+
+    def test_two_adapters_concat_rank(self):
+        from unitex_tpu.models.flux.lora import attach_lora, merge_lora
+        from unitex_tpu.models.flux.lora import init_lora_params
+
+        cfg, params, lora, args = self._setup()
+        lora2 = init_lora_params(jax.random.key(8), params, rank=2)
+        lora2 = jax.tree.map(
+            lambda x: x - 0.02 * jnp.ones_like(x)
+            if x.ndim == 3 and x.shape[-2] == 2 else x,
+            lora2,
+        )
+        pairs = [(lora, 1.0), (lora2, 0.5)]
+        out_m = flux_forward(merge_lora(params, pairs), cfg, *args)
+        out_a = flux_forward(attach_lora(params, pairs), cfg, *args)
+        rel = float(jnp.linalg.norm((out_a - out_m).astype(jnp.float32))
+                    / (jnp.linalg.norm(out_m.astype(jnp.float32)) + 1e-8))
+        assert rel < 2e-2, rel

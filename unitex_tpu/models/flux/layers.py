@@ -41,6 +41,10 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         y = int8_weight_only_matmul(x, p["kernel_int8_wo"], p["scale"])
     else:
         y = x @ p["kernel"].astype(x.dtype)
+    if "lora_a" in p:
+        # runtime-applied LoRA (lora.attach_lora): exact low-rank delta on
+        # top of the (possibly int8) base kernel
+        y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

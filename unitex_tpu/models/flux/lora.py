@@ -107,6 +107,47 @@ def merge_lora(
     return merged
 
 
+def attach_lora(
+    params: Dict[str, Any],
+    loras: Iterable[Tuple[Dict[str, Any], float]],
+) -> Dict[str, Any]:
+    """Runtime-applied (UNMERGED) LoRA: attach ``lora_a``/``lora_b`` next to
+    each target so ``layers.linear`` adds ``(x @ a) @ b`` at call time.
+
+    This is how adapters compose with int8 serving: the quantized base
+    kernels stay untouched (merging would need a 12 GB dequant->requant
+    round-trip, impossible in single-chip HBM) while the bf16 low-rank
+    delta rides on top — exact LoRA math at <0.5% of the matmul FLOPs.
+    Multiple adapters concatenate along the rank axis with their weights
+    folded into ``a`` (same summed-merge semantics as ``merge_lora``)."""
+    live = [(l, w) for l, w in loras if l is not None and w != 0.0]
+    if not live:
+        return params
+
+    def walk(base, deltas):
+        out = {}
+        for k, v in base.items():
+            if not isinstance(v, dict):
+                out[k] = v
+                continue
+            pairs = [(d[k], w) for d, w in deltas if k in d]
+            if pairs and all("a" in d and "b" in d for d, _ in pairs):
+                out[k] = dict(v)
+                out[k]["lora_a"] = jnp.concatenate(
+                    [d["a"] * w for d, w in pairs], axis=-1
+                )
+                out[k]["lora_b"] = jnp.concatenate(
+                    [d["b"] for d, _ in pairs], axis=-2
+                )
+            elif pairs:
+                out[k] = walk(v, pairs)
+            else:
+                out[k] = v
+        return out
+
+    return walk(params, live)
+
+
 # ----------------------------------------------------- PEFT safetensors IO
 
 

@@ -67,6 +67,7 @@ class RGBTextureFullPipelineBase:
         config: PipelineConfig = DEFAULT_CONFIG,
         require_weights: bool = False,
         save_artifacts: bool = True,
+        int8_serving: bool | str = False,
     ):
         from .utils import enable_compilation_cache
 
@@ -75,6 +76,11 @@ class RGBTextureFullPipelineBase:
         self.seed = seed
         self.super_resolutions = super_resolutions
         self.pretrain_models = pretrain_models
+        # int8_serving: False (bf16) | True (W8A8, the measured-fastest
+        # serving mode) | "max_memory" (+ weight-only int8 for q/k/AdaLN —
+        # the full 12B fits one 16 GB chip).  LoRA adapters are then
+        # runtime-attached (lora.attach_lora) instead of kernel-merged.
+        self.int8_serving = int8_serving
         # production serving can skip the intermediate artifact PNGs
         # (2048^2 encodes cost seconds each); final outputs always save
         self.save_artifacts = save_artifacts
@@ -115,10 +121,17 @@ class RGBTextureFullPipelineBase:
                     )
                     setattr(self, f"{name}_lora", lora)
             # bf16 weights; tensor-parallel over all chips when >1 (the 12B
-            # model needs >=2 v5e chips; a v5e-8 holds ~3 GB/chip)
+            # model needs >=2 v5e chips bf16; int8 "max_memory" fits one)
             self.transformer_params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16), self.transformer_params
             )
+            if self.int8_serving:
+                from .models.flux.quantize import quantize_flux_params
+
+                self.transformer_params = quantize_flux_params(
+                    self.transformer_params,
+                    weight_only_rest=(self.int8_serving == "max_memory"),
+                )
             if jax.device_count() > 1:
                 from .parallel.mesh import make_mesh
                 from .parallel.sharding import flux_param_shardings, shard_params
@@ -228,8 +241,11 @@ class RGBTextureFullPipelineBase:
         control_strip = grid_to_strip(control_grid)
 
         if self._flux_loaded:
-            from .models.flux.lora import merge_lora
+            from .models.flux.lora import attach_lora, merge_lora
 
+            # int8 base kernels cannot be LoRA-merged; attach the exact
+            # low-rank delta at runtime instead
+            apply_lora = attach_lora if self.int8_serving else merge_lora
             pipe_cfg = FluxPipelineConfig(
                 height=dcfg.height,
                 width=dcfg.width,
@@ -238,7 +254,7 @@ class RGBTextureFullPipelineBase:
                 max_sequence_length=dcfg.max_sequence_length,
             )
             # texture pass: adapters [1, 0]
-            params_tex = merge_lora(
+            params_tex = apply_lora(
                 self.transformer_params,
                 [(self.texture_lora, 1.0), (self.delight_lora, 0.0)],
             )
@@ -253,7 +269,7 @@ class RGBTextureFullPipelineBase:
                     os.path.join(save_dir, "mv_rgb_w_light.png"), strip_w_light
                 )
             # delight pass: adapters [0, 1], control = stage-1 output, no dual
-            params_del = merge_lora(
+            params_del = apply_lora(
                 self.transformer_params, [(self.delight_lora, 1.0)]
             )
             strip_delight = run_flux_pipeline(
