@@ -192,6 +192,10 @@ def swinir_forward(params: Params, cfg: SwinIRConfig, x: jnp.ndarray) -> jnp.nda
 
     mask = jnp.asarray(_shift_mask(H, W, w, s))
     body = feat
+    if "patch_norm" in params:
+        # official SwinIR patch_norm=True: LayerNorm on the embedded tokens
+        # before the first RSTB (patch_embed.norm in the torch checkpoint)
+        body = _ln(params["patch_norm"], body)
     for group in params["groups"]:
         g_in = body
         depth = jax.tree.leaves(group["layers"])[0].shape[0]
