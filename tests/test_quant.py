@@ -443,3 +443,24 @@ class TestAttachLora:
         rel = float(jnp.linalg.norm((out_a - out_m).astype(jnp.float32))
                     / (jnp.linalg.norm(out_m.astype(jnp.float32)) + 1e-8))
         assert rel < 2e-2, rel
+
+    def test_reattach_composes(self):
+        """attach_lora on an already-attached tree concatenates the deltas
+        (repeated-merge semantics) instead of silently replacing them."""
+        from unitex_tpu.models.flux.lora import attach_lora, merge_lora
+        from unitex_tpu.models.flux.lora import init_lora_params
+
+        cfg, params, lora, args = self._setup()
+        lora2 = init_lora_params(jax.random.key(9), params, rank=2)
+        lora2 = jax.tree.map(
+            lambda x: x + 0.015 * jnp.ones_like(x)
+            if x.ndim == 3 and x.shape[-2] == 2 else x,
+            lora2,
+        )
+        chained = attach_lora(attach_lora(params, [(lora, 1.0)]), [(lora2, 1.0)])
+        merged = merge_lora(params, [(lora, 1.0), (lora2, 1.0)])
+        out_c = flux_forward(chained, cfg, *args)
+        out_m = flux_forward(merged, cfg, *args)
+        rel = float(jnp.linalg.norm((out_c - out_m).astype(jnp.float32))
+                    / (jnp.linalg.norm(out_m.astype(jnp.float32)) + 1e-8))
+        assert rel < 2e-2, rel

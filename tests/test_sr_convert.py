@@ -174,6 +174,13 @@ class TestSwinIR:
             conv_sd(sd, "upsample.2", nf, 4 * nf)
         conv_sd(sd, "conv_last", nf, cfg.in_channels)
         p = sc.convert_swinir(sd)
+        init = sw.init_swinir_params(jax.random.PRNGKey(0), cfg)
+        # the converted tree additionally carries the checkpoint's
+        # patch-embed norm (optional in the arch)
+        assert "patch_norm" in p
+        assert_matches_init(
+            {k: v for k, v in p.items() if k != "patch_norm"}, init
+        )
         x = jnp.asarray(rng.uniform(size=(1, 2 * w, 2 * w, 3)), jnp.float32)
         out = sw.swinir_forward(p, cfg, x)
         assert out.shape == (1, 2 * w * cfg.scale, 2 * w * cfg.scale, 3)
@@ -203,6 +210,7 @@ class TestVideoArchs:
         sd = {}
         self._spynet_sd(sd)
         p = sc.convert_spynet(sd)
+        assert_matches_init(p, vs.init_spynet_params(jax.random.PRNGKey(0)))
         ref = np.broadcast_to(
             np.linspace(0, 1, 64, dtype=np.float32)[None, :, None, None],
             (1, 64, 64, 3)).copy()
@@ -281,3 +289,27 @@ class TestVideoArchs:
         out = vs.edvr_forward(p, cfg, lrs)
         assert out.shape == (64, 64, 3)
         assert bool(jnp.isfinite(out).all())
+
+
+class TestLoaderRobustness:
+    def test_bf16_and_bookkeeping_entries(self, tmp_path):
+        import torch
+
+        sd = {
+            "conv.weight": torch.randn(4, 3, 3, 3, dtype=torch.bfloat16),
+            "conv.bias": torch.zeros(4),
+            "epoch": 12,  # scalar bookkeeping (permitted by weights_only)
+        }
+        path = str(tmp_path / "ckpt.pth")
+        torch.save(sd, path)
+        out = sc.load_state_dict(path)
+        assert out["conv.weight"].dtype == np.float32
+        assert "epoch" not in out
+
+    def test_srvgg_leakyrelu_rejected(self):
+        sd = {}
+        conv_sd(sd, "body.0", 3, 8)
+        conv_sd(sd, "body.1", 8, 8)
+        conv_sd(sd, "body.2", 8, 48)
+        with pytest.raises(ValueError, match="leakyrelu"):
+            sc.convert_srvgg(sd)

@@ -133,12 +133,15 @@ def attach_lora(
             pairs = [(d[k], w) for d, w in deltas if k in d]
             if pairs and all("a" in d and "b" in d for d, _ in pairs):
                 out[k] = dict(v)
-                out[k]["lora_a"] = jnp.concatenate(
-                    [d["a"] * w for d, w in pairs], axis=-1
-                )
-                out[k]["lora_b"] = jnp.concatenate(
-                    [d["b"] for d, _ in pairs], axis=-2
-                )
+                new_a = [d["a"] * w for d, w in pairs]
+                new_b = [d["b"] for d, _ in pairs]
+                if "lora_a" in v:
+                    # re-attaching composes (like repeated merge_lora):
+                    # keep the already-attached delta in the concat
+                    new_a.insert(0, v["lora_a"])
+                    new_b.insert(0, v["lora_b"])
+                out[k]["lora_a"] = jnp.concatenate(new_a, axis=-1)
+                out[k]["lora_b"] = jnp.concatenate(new_b, axis=-2)
             elif pairs:
                 out[k] = walk(v, pairs)
             else:

@@ -43,7 +43,13 @@ def load_state_dict(path: str, prefer_ema: bool = True) -> Dict[str, np.ndarray]
                 if key in raw and isinstance(raw[key], dict):
                     raw = raw[key]
                     break
-        sd = {k: v.numpy() for k, v in raw.items()}
+        sd = {}
+        for k, v in raw.items():
+            if not hasattr(v, "numpy"):
+                continue  # scalar bookkeeping entries (epoch, iter, ...)
+            if v.dtype in (torch.bfloat16, torch.float16):
+                v = v.float()  # .numpy() rejects bf16
+            sd[k] = v.numpy()
     return {k: np.asarray(v, np.float32) for k, v in sd.items()}
 
 
@@ -158,6 +164,13 @@ def convert_srvgg(sd: Dict[str, np.ndarray]) -> Params:
         if k.startswith("body.") and k.endswith(".weight")
         and sd[k].ndim == 1
     )
+    if not act_idx:
+        raise ValueError(
+            "convert_srvgg: no PReLU parameters in the body — this looks "
+            "like an act_type='leakyrelu' SRVGGNetCompact checkpoint; only "
+            "the prelu variant (the released realesr-general models) maps "
+            "onto this architecture"
+        )
     first, *mid_convs, last = conv_idx
     body = [
         {**_c(sd, f"body.{ci}"), "prelu": jnp.asarray(sd[f"body.{ai}.weight"])}

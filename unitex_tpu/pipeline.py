@@ -111,27 +111,36 @@ class RGBTextureFullPipelineBase:
         tdir = os.path.join(root, "flux", "transformer")
         vdir = os.path.join(root, "flux", "vae")
         try:
-            self.transformer_params = load_flux_transformer(tdir, self.flux_cfg)
-            self.vae_params = load_vae(vdir, self.vae_cfg)
-            for name in ("texture", "delight"):
-                p = os.path.join(root, f"{name}_lora.safetensors")
-                if os.path.exists(p):
-                    lora = load_lora_safetensors(
-                        p, self.flux_cfg.num_layers, self.flux_cfg.num_single_layers
-                    )
-                    setattr(self, f"{name}_lora", lora)
-            # bf16 weights; tensor-parallel over all chips when >1 (the 12B
-            # model needs >=2 v5e chips bf16; int8 "max_memory" fits one)
-            self.transformer_params = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16), self.transformer_params
-            )
-            if self.int8_serving:
-                from .models.flux.quantize import quantize_flux_params
-
-                self.transformer_params = quantize_flux_params(
-                    self.transformer_params,
-                    weight_only_rest=(self.int8_serving == "max_memory"),
+            # STAGE ON HOST: load/cast/quantize on the cpu backend, then
+            # device_put the final serving tree.  Committing the 24 GB bf16
+            # tree to the accelerator first would OOM the single-chip
+            # "max_memory" mode this exists for (16 GB HBM), and doubles
+            # peak HBM in every other mode.
+            host = jax.devices("cpu")[0]
+            with jax.default_device(host):
+                self.transformer_params = load_flux_transformer(
+                    tdir, self.flux_cfg
                 )
+                self.vae_params = load_vae(vdir, self.vae_cfg)
+                for name in ("texture", "delight"):
+                    p = os.path.join(root, f"{name}_lora.safetensors")
+                    if os.path.exists(p):
+                        lora = load_lora_safetensors(
+                            p,
+                            self.flux_cfg.num_layers,
+                            self.flux_cfg.num_single_layers,
+                        )
+                        setattr(self, f"{name}_lora", lora)
+                self.transformer_params = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16), self.transformer_params
+                )
+                if self.int8_serving:
+                    from .models.flux.quantize import quantize_flux_params
+
+                    self.transformer_params = quantize_flux_params(
+                        self.transformer_params,
+                        weight_only_rest=(self.int8_serving == "max_memory"),
+                    )
             if jax.device_count() > 1:
                 from .parallel.mesh import make_mesh
                 from .parallel.sharding import flux_param_shardings, shard_params
@@ -145,6 +154,12 @@ class RGBTextureFullPipelineBase:
                 self.transformer_params = shard_params(
                     self.transformer_params, shardings
                 )
+            else:
+                dev = jax.devices()[0]
+                self.transformer_params = jax.device_put(
+                    self.transformer_params, dev
+                )
+                self.vae_params = jax.device_put(self.vae_params, dev)
             self._flux_loaded = True
         except (FileNotFoundError, OSError) as e:
             if require:
