@@ -40,6 +40,76 @@ def list_images(d):
     return sorted(out)
 
 
+def build_zoo_pipe(arch: str, ckpt: str, upscale: int):
+    """SR-zoo serving: convert a BasicSR checkpoint and return an
+    ``image [H,W,3] in [0,1] -> image`` callable.  Architecture hyper-
+    parameters are inferred from the checkpoint shapes where they matter."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unitex_tpu.models import sr_archs as sa
+    from unitex_tpu.models import sr_convert as sc
+    from unitex_tpu.models import swinir as sw
+
+    if ckpt is None:
+        raise SystemExit(f"--arch {arch} needs --ckpt")
+    sd = sc.load_state_dict(ckpt)
+
+    if arch == "swinir":
+        probe = next(k for k in sd if k.endswith("relative_position_bias_table"))
+        nw, heads = sd[probe].shape
+        window = (int(np.sqrt(nw)) + 1) // 2
+        n_groups = 0
+        depths = []
+        while f"layers.{n_groups}.residual_group.blocks.0.norm1.weight" in sd:
+            d = 0
+            while f"layers.{n_groups}.residual_group.blocks.{d}.norm1.weight" in sd:
+                d += 1
+            depths.append(d)
+            n_groups += 1
+        embed = sd["conv_first.weight"].shape[0]
+        mlp_ratio = (
+            sd["layers.0.residual_group.blocks.0.mlp.fc1.weight"].shape[0] / embed
+        )
+        cfg = sw.SwinIRConfig(
+            embed_dim=embed, depths=tuple(depths), num_heads=heads,
+            window_size=window, mlp_ratio=mlp_ratio, scale=upscale,
+            num_feat=sd["conv_last.weight"].shape[1],
+        )
+        params = sc.convert_swinir(sd)
+
+        def fwd(img):
+            H, W = img.shape[:2]
+            wsz = cfg.window_size
+            ph, pw = (-H) % wsz, (-W) % wsz
+            x = jnp.pad(img[None], ((0, 0), (0, ph), (0, pw), (0, 0)), "reflect")
+            out = sw.swinir_forward(params, cfg, x)
+            return out[0, : H * cfg.scale, : W * cfg.scale]
+
+        return fwd
+
+    convert, config, forward = {
+        "rrdbnet": (sc.convert_rrdbnet, sa.RRDBConfig, sa.rrdbnet_forward),
+        "msrresnet": (sc.convert_msrresnet, sa.MSRResNetConfig, sa.msrresnet_forward),
+        "edsr": (sc.convert_edsr, sa.EDSRConfig, sa.edsr_forward),
+        "rcan": (sc.convert_rcan, sa.RCANConfig, sa.rcan_forward),
+        "srvgg": (sc.convert_srvgg, sa.SRVGGConfig, sa.srvgg_forward),
+    }[arch]
+    params = convert(sd)
+    fields = {"scale": upscale}
+    if arch in ("rrdbnet", "msrresnet", "edsr", "rcan"):
+        fields["num_feat"] = sd["conv_first.weight"].shape[0]
+    if arch == "srvgg":
+        # feat width = first body conv's output channels
+        first = min(int(k.split(".")[1]) for k in sd
+                    if k.startswith("body.") and sd[k].ndim == 4)
+        fields["num_feat"] = sd[f"body.{first}.weight"].shape[0]
+    cfg = dataclasses.replace(config(), **fields)
+    return lambda img: forward(params, cfg, img[None])[0]
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="LR image dir")
@@ -52,6 +122,13 @@ def main():
     ap.add_argument("--align", default="wavelet", choices=["wavelet", "adain", "nofix"])
     ap.add_argument("--int8", action="store_true",
                     help="W8A8 int8 serving for the SD3 transformer")
+    ap.add_argument("--arch", default="tsdsr",
+                    choices=["tsdsr", "rrdbnet", "msrresnet", "edsr", "rcan",
+                             "srvgg", "swinir"],
+                    help="SR model: TSD-SR (default) or a zoo arch served "
+                         "from a BasicSR checkpoint (--ckpt)")
+    ap.add_argument("--ckpt", default=None,
+                    help="BasicSR .pth/.safetensors for the chosen --arch")
     ap.add_argument("--niqe-params", default=None, help="pristine-model .npz")
     ap.add_argument("--lpips-backbone", default=None, help="torchvision vgg16/alexnet .pth")
     ap.add_argument("--lpips-lins", default=None, help="LPIPS lin-head .pth")
@@ -75,15 +152,18 @@ def main():
     os.makedirs(args.output, exist_ok=True)
 
     if not args.metrics_only:
-        from unitex_tpu.models.sd3.sr_pipeline import TSDSRConfig, TSDSRPipeline
+        if args.arch == "tsdsr":
+            from unitex_tpu.models.sd3.sr_pipeline import TSDSRConfig, TSDSRPipeline
 
-        pipe = TSDSRPipeline(
-            pretrain_root=args.pretrain,
-            cfg=TSDSRConfig(
-                upscale=args.upscale, align_method=args.align,
-                int8_serving=args.int8,
-            ),
-        )
+            pipe = TSDSRPipeline(
+                pretrain_root=args.pretrain,
+                cfg=TSDSRConfig(
+                    upscale=args.upscale, align_method=args.align,
+                    int8_serving=args.int8,
+                ),
+            )
+        else:
+            pipe = build_zoo_pipe(args.arch, args.ckpt, args.upscale)
         for path in list_images(args.input):
             name = os.path.basename(path)
             lr = load_image(path)
