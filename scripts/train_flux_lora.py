@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--checkpoint-every", type=int, default=250)
     ap.add_argument("--checkpoints-total-limit", type=int, default=3)
     ap.add_argument("--data-mesh", type=int, default=1, help="data-parallel size")
+    ap.add_argument("--data-dir", default=None,
+                    help="pre-rendered dataset root (DirectoryTextureDataset "
+                         "schema: per-asset dirs of pipeline artifacts); "
+                         "default: the synthetic geometry-rendered stream")
+    ap.add_argument("--mode", default="texture", choices=["texture", "delight"],
+                    help="which adapter's data pairing to train on "
+                         "(--data-dir only)")
     ap.add_argument("--grad-accum", type=int, default=1,
                     help="microbatches accumulated per optimizer step "
                          "(in-jit lax.scan, train_step_accum)")
@@ -69,7 +76,10 @@ def main():
         shard_params,
     )
     from unitex_tpu.training.checkpoint import CheckpointManager
-    from unitex_tpu.training.data import SyntheticTextureDataset
+    from unitex_tpu.training.data import (
+        DirectoryTextureDataset,
+        SyntheticTextureDataset,
+    )
     from unitex_tpu.training.flux_lora import (
         FluxLoraTrainConfig,
         create_train_state,
@@ -162,7 +172,11 @@ def main():
             )
 
     logger = MetricLogger(args.output_dir)
-    ds = iter(SyntheticTextureDataset(view_size=view_size, seed=args.seed))
+    if args.data_dir:
+        ds = iter(DirectoryTextureDataset(
+            args.data_dir, mode=args.mode, seed=args.seed))
+    else:
+        ds = iter(SyntheticTextureDataset(view_size=view_size, seed=args.seed))
 
     step0 = int(state.step)
     for step in range(step0, args.max_train_steps):
@@ -174,10 +188,25 @@ def main():
 
         ctrl_lat = vae_encode(vparams, vae_cfg, control * 2.0 - 1.0)
         HL, WL = latents.shape[1], latents.shape[2]
+        cond_tokens = pack_latents(ctrl_lat)
+        cond_ids = latent_image_ids(HL // 2, WL // 2, offset_y=HL // 2)
+        if examples and "dual" in examples[0]:
+            # reference-image tokens, offset like inference's dual stream
+            # (x + WL/2, y + HL/2; models/flux/pipeline.py)
+            dual = jnp.asarray(np.stack([e["dual"] for e in examples]))
+            dual_lat = vae_encode(vparams, vae_cfg, dual * 2.0 - 1.0)
+            DH, DW = dual_lat.shape[1], dual_lat.shape[2]
+            cond_tokens = jnp.concatenate(
+                [cond_tokens, pack_latents(dual_lat)], axis=1)
+            cond_ids = jnp.concatenate([
+                cond_ids,
+                latent_image_ids(DH // 2, DW // 2,
+                                 offset_x=WL // 2, offset_y=HL // 2),
+            ], axis=0)
         batch = {
             "latents": latents,
-            "cond_tokens": pack_latents(ctrl_lat),
-            "cond_ids": latent_image_ids(HL // 2, WL // 2, offset_y=HL // 2),
+            "cond_tokens": cond_tokens,
+            "cond_ids": cond_ids,
             "prompt_embeds": jnp.zeros((latents.shape[0], 512, cfg.joint_attention_dim)),
             "pooled_embeds": jnp.zeros((latents.shape[0], cfg.pooled_projection_dim)),
         }

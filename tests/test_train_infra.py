@@ -57,3 +57,45 @@ class TestLogger:
         lg.close()
         lines = [json.loads(l) for l in open(lg.path)]
         assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
+
+
+class TestDirectoryDataset:
+    def _write_sample(self, d, with_dual=True):
+        import os
+
+        from unitex_tpu.utils.image_io import save_image
+
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(0)
+        for name in ("mv_normal.png", "mv_ccm.png", "mv_rgb_w_light.png",
+                     "mv_rgb.png"):
+            save_image(os.path.join(d, name),
+                       rng.uniform(size=(16, 24, 3)).astype(np.float32))
+        if with_dual:
+            save_image(os.path.join(d, "processed_image.png"),
+                       rng.uniform(size=(8, 8, 3)).astype(np.float32))
+
+    def test_texture_and_delight_modes(self, tmp_path):
+        from unitex_tpu.training.data import DirectoryTextureDataset
+
+        self._write_sample(tmp_path / "a")
+        self._write_sample(tmp_path / "b" / "cache", with_dual=False)
+
+        ds = iter(DirectoryTextureDataset(str(tmp_path), mode="texture", seed=0))
+        seen = [next(ds), next(ds)]
+        assert all(e["target"].shape == (16, 24, 3) for e in seen)
+        assert all(e["control"].shape == (16, 24, 3) for e in seen)
+        assert any("dual" in e for e in seen)       # sample a has the dual
+        assert not all("dual" in e for e in seen)   # sample b has not
+
+        ds_d = iter(DirectoryTextureDataset(str(tmp_path), mode="delight"))
+        e = next(ds_d)
+        assert e["target"].shape == (16, 24, 3)
+
+    def test_missing_dir_raises(self, tmp_path):
+        import pytest
+
+        from unitex_tpu.training.data import DirectoryTextureDataset
+
+        with pytest.raises(FileNotFoundError, match="no sample dirs"):
+            next(iter(DirectoryTextureDataset(str(tmp_path))))

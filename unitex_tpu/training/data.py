@@ -79,6 +79,81 @@ class SyntheticTextureDataset:
             }
 
 
+@dataclasses.dataclass
+class DirectoryTextureDataset:
+    """Pre-rendered multi-view training pairs from disk.
+
+    The pipeline's own stage artifacts double as the training schema
+    (run the geometry stages over a mesh corpus to build a dataset —
+    the reference's dataset renderer lives in its external UniTEX-FLUX
+    repo, README.md:100-101).  One subdirectory per asset containing:
+
+      ``mv_normal.png`` + ``mv_ccm.png``  -> texture-mode control
+                                             (the 0.5/0.5 mix of infer_mv)
+      ``mv_rgb_w_light.png``              -> texture-mode target and
+                                             delight-mode control
+      ``mv_rgb.png``                      -> delight-mode target (albedo)
+      ``processed_image.png``             -> optional dual/reference image
+
+    Yields ``{"target", "control"[, "dual"]}`` float arrays in [0, 1],
+    shuffled per epoch.
+    """
+
+    root: str
+    mode: str = "texture"  # or "delight"
+    seed: int = 0
+    with_dual: bool = True
+
+    def _required(self) -> tuple:
+        if self.mode == "texture":
+            return ("mv_normal.png", "mv_ccm.png", "mv_rgb_w_light.png")
+        if self.mode == "delight":
+            return ("mv_rgb_w_light.png", "mv_rgb.png")
+        raise ValueError(f"mode {self.mode!r} (texture | delight)")
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import glob
+        import os
+
+        from ..utils.image_io import load_image
+
+        need = self._required()
+
+        def resolve(d):
+            # artifacts either at the sample root or under its cache/
+            # subdir (raw batch_pipeline.py output dirs work as-is)
+            for base in (d, os.path.join(d, "cache")):
+                if all(os.path.exists(os.path.join(base, f)) for f in need):
+                    return base
+            return None
+
+        samples = sorted(
+            base
+            for d in glob.glob(os.path.join(self.root, "*"))
+            if os.path.isdir(d) and (base := resolve(d)) is not None
+        )
+        if not samples:
+            raise FileNotFoundError(
+                f"no sample dirs with {need} under {self.root!r}"
+            )
+        rng = np.random.default_rng(self.seed)
+        while True:
+            for i in rng.permutation(len(samples)):
+                d = samples[i]
+                get = lambda f: load_image(os.path.join(d, f))
+                if self.mode == "texture":
+                    control = 0.5 * get("mv_normal.png") + 0.5 * get("mv_ccm.png")
+                    target = get("mv_rgb_w_light.png")
+                else:
+                    control = get("mv_rgb_w_light.png")
+                    target = get("mv_rgb.png")
+                ex = {"target": target, "control": control}
+                dual_path = os.path.join(d, "processed_image.png")
+                if self.with_dual and os.path.exists(dual_path):
+                    ex["dual"] = load_image(dual_path)
+                yield ex
+
+
 def iterate_host_sharded(
     iterator: Iterator[Dict[str, np.ndarray]],
     global_batch: int,
