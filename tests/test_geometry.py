@@ -290,3 +290,43 @@ def test_unwrap_open_and_flat_meshes():
     plane = HostMesh(v, np.asarray(f, np.int32))
     out2 = unwrap_atlas(plane, size=256, gutter=2)
     assert _uv_overlap_fraction(out2) < 0.02
+
+
+class TestShapeBucketing:
+    def test_padded_mesh_renders_identically(self):
+        """pad_mesh_to_bucket must be invisible: identical raster/bake
+        results, changed (bucketed) static shapes."""
+        import jax.numpy as jnp
+
+        from unitex_tpu.geometry.mesh import Mesh, pad_mesh_to_bucket
+        from unitex_tpu.geometry.primitives import make_icosphere
+        from unitex_tpu.geometry.uv_atlas import unwrap_atlas
+        from unitex_tpu.render.conditioning import render_geometry_condition
+
+        host = unwrap_atlas(make_icosphere(2), size=64, gutter=2)
+        mesh = Mesh(
+            jnp.asarray(host.vertices * 0.9), jnp.asarray(host.faces),
+            uv=jnp.asarray(host.uv), faces_uv=jnp.asarray(host.faces_uv),
+        )
+        padded = pad_mesh_to_bucket(mesh, 512)
+        assert padded.faces.shape[0] % 512 == 0
+        assert padded.vertices.shape[0] % 512 == 0
+        assert padded.faces.shape[0] != mesh.faces.shape[0]
+
+        a = render_geometry_condition(mesh, view_size=32)
+        b = render_geometry_condition(padded, view_size=32)
+        for k in ("alpha", "ccm", "normal"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-5,
+                err_msg=f"{k} changed under padding",
+            )
+
+    def test_zero_bucket_is_identity(self):
+        import jax.numpy as jnp
+
+        from unitex_tpu.geometry.mesh import Mesh, pad_mesh_to_bucket
+        from unitex_tpu.geometry.primitives import make_icosphere
+
+        s = make_icosphere(1)
+        mesh = Mesh(jnp.asarray(s.vertices), jnp.asarray(s.faces))
+        assert pad_mesh_to_bucket(mesh, 0) is mesh

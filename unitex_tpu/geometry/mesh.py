@@ -130,6 +130,57 @@ def compute_vertex_normals(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.nda
     return vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-20)
 
 
+def pad_mesh_to_bucket(mesh: "Mesh", bucket: int, mode: str = "pow2") -> "Mesh":
+    """Pad faces and vertices so differently-sized meshes share one
+    compiled program per bucket (XLA shapes are static; every new face
+    count recompiles — minutes through a remote-compile tunnel).
+
+    mode="pow2" (default): next power of two, floored at ``bucket`` — at
+    most ~4 programs across the 20k-200k face budget, ≤2x padded work in
+    the face-proportional stages.  mode="multiple": next multiple of
+    ``bucket`` (tighter padding, more programs).
+
+    Padding is invisible to every consumer: extra faces are (0, 0, 0) —
+    zero-area, culled by the rasterizers (|area| > eps), missed by the ray
+    intersector (|det| > eps), and zero-contribution to area-weighted
+    vertex normals; extra vertices duplicate vertex 0 (bbox unchanged) and
+    are referenced by no real face.  UV faces pad identically."""
+    import dataclasses as _dc
+
+    if bucket <= 0:
+        return mesh
+
+    def up(n):
+        if mode == "pow2":
+            m = bucket
+            while m < n:
+                m *= 2
+            return m
+        return -(-n // bucket) * bucket
+
+    F, V = mesh.faces.shape[0], mesh.vertices.shape[0]
+    newF, newV = up(F), up(V)
+    if newF == F and newV == V:
+        return mesh
+    vertices = jnp.concatenate(
+        [mesh.vertices, jnp.broadcast_to(mesh.vertices[:1], (newV - V, 3))]
+    ) if newV != V else mesh.vertices
+    faces = jnp.concatenate(
+        [mesh.faces, jnp.zeros((newF - F, 3), mesh.faces.dtype)]
+    ) if newF != F else mesh.faces
+    kwargs = {}
+    if mesh.uv is not None:
+        nuv = mesh.uv.shape[0]
+        kwargs["uv"] = jnp.concatenate(
+            [mesh.uv, jnp.broadcast_to(mesh.uv[:1], (up(nuv) - nuv, 2))]
+        ) if up(nuv) != nuv else mesh.uv
+    if mesh.faces_uv is not None:
+        kwargs["faces_uv"] = jnp.concatenate(
+            [mesh.faces_uv, jnp.zeros((newF - F, 3), mesh.faces_uv.dtype)]
+        ) if newF != F else mesh.faces_uv
+    return _dc.replace(mesh, vertices=vertices, faces=faces, **kwargs)
+
+
 def scale_to_bbox(
     vertices: jnp.ndarray, scale: float = 0.95, uniform: bool = True
 ) -> jnp.ndarray:

@@ -219,6 +219,13 @@ class RGBTextureFullPipelineBase:
             uv=jnp.asarray(mesh.uv) if mesh.uv is not None else None,
             faces_uv=jnp.asarray(mesh.faces_uv) if mesh.faces_uv is not None else None,
         )
+        # bucket the static shapes so differently-sized assets in a batch
+        # share compiled programs (exported artifacts stay unpadded)
+        from .geometry.mesh import pad_mesh_to_bucket
+
+        device_mesh = pad_mesh_to_bucket(
+            device_mesh, self.config.mesh.shape_bucket
+        )
         out = render_geometry_condition(
             device_mesh,
             view_size=cam.view_size,
