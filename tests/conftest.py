@@ -22,3 +22,23 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert jax.device_count() == 8, "tests expect 8 virtual CPU devices"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    One pytest process compiles hundreds of programs across the suite; the
+    accumulated live executables eventually segfault XLA's CPU compiler
+    mid-suite (observed at ~82% as a faulthandler dump inside
+    backend_compile_and_load).  Per-module cache clearing bounds the
+    process footprint; modules recompile their own functions anyway, so
+    the runtime cost is minimal.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
