@@ -206,3 +206,35 @@ class TestPBRBake:
         assert (err ** 2).mean() < 0.01
         # constant bump survives exactly-ish
         assert np.abs(rec[..., 6:9][ok] - 0.5).mean() < 0.05
+
+
+class TestFillCompaction:
+    """_fill_invisible_knn query compaction (measured 3.2 s -> <0.4 s at a
+    2048² bake): compact and dense paths must agree exactly."""
+
+    def test_compact_matches_dense(self):
+        from unitex_tpu.render.renderer_inverse import _fill_invisible_knn
+
+        rng = np.random.default_rng(0)
+        N = 5000
+        pos = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+        col = jnp.asarray(rng.uniform(size=(N, 3)).astype(np.float32))
+        vis = jnp.asarray(rng.uniform(size=N) < 0.7)
+        inv = ~vis & jnp.asarray(rng.uniform(size=N) < 0.5)
+        a = _fill_invisible_knn(pos, col, vis, inv,
+                                max_ref=4096, chunk=1024, max_fill=4096)
+        b = _fill_invisible_knn(pos, col, vis, inv,
+                                max_ref=4096, chunk=1024, max_fill=1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        keep = ~np.asarray(inv)
+        np.testing.assert_array_equal(np.asarray(a)[keep], np.asarray(col)[keep])
+
+    def test_zero_fill_short_circuit(self):
+        from unitex_tpu.render.renderer_inverse import _fill_invisible_knn
+
+        rng = np.random.default_rng(1)
+        pos = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        col = jnp.asarray(rng.uniform(size=(64, 3)).astype(np.float32))
+        vis = jnp.ones(64, bool)
+        out = _fill_invisible_knn(pos, col, vis, jnp.zeros(64, bool))
+        assert out is col

@@ -273,9 +273,18 @@ def _fill_invisible_knn(
     max_ref: int = 65536,
     chunk: int = 4096,
     query_field=None,
+    max_fill: int = 262144,
 ) -> jnp.ndarray:
     """Fill masked target texels with the (mean of) k nearest visible texels
     in 3D (renderer_inverse.py:611-616).  All arrays flat over texels.
+
+    This runs at orchestration level (not under jit), so it counts the
+    fill set on the host first: nothing to fill costs one scalar sync
+    instead of a dense 4M-query KNN (measured 3.2 s of a 3.7 s bake at
+    2048² with zero invisible texels).  Up to ``max_fill`` texels are
+    query-COMPACTED (invisible-first gather, scatter-back) — 16x less KNN
+    work than the dense form; only a fill set larger than the cap falls
+    back to the dense all-texel query.
 
     ``query_field(vertices_visible, colors_visible, vertices_invisible)``
     replaces the KNN fill when registered — the LTM inpainting hook
@@ -287,9 +296,22 @@ def _fill_invisible_knn(
             visible_mask=visible_flat, query_mask=target_mask_flat,
         )
         return jnp.where(target_mask_flat[:, None], field_colors, color_flat)
+    n_fill = int(jnp.count_nonzero(target_mask_flat))  # host sync, ~40 ms
+    if n_fill == 0:
+        return color_flat
     ref_pts, ref_vals, ref_valid = _select_masked_points(
         pos_flat, color_flat, visible_flat, max_ref
     )
+    if n_fill <= max_fill:
+        qidx = jnp.argsort(~target_mask_flat)[:max_fill]
+        d, idx = knn(
+            pos_flat[qidx], ref_pts, k=k, chunk=chunk, ref_valid=ref_valid
+        )
+        nn_color = jnp.mean(ref_vals[idx], axis=-2)
+        upd = jnp.where(
+            target_mask_flat[qidx][:, None], nn_color, color_flat[qidx]
+        )
+        return color_flat.at[qidx].set(upd)
     d, idx = knn(pos_flat, ref_pts, k=k, chunk=chunk, ref_valid=ref_valid)
     nn_color = jnp.mean(ref_vals[idx], axis=-2)
     return jnp.where(target_mask_flat[:, None], nn_color, color_flat)
