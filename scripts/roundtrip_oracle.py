@@ -74,7 +74,7 @@ def main():
         from unitex_tpu.utils.image_io import load_image
 
         tex = jnp.asarray(load_image(args.texture))
-        if tex.shape[0] != args.uv_size:
+        if tex.shape[:2] != (args.uv_size, args.uv_size):
             tex = jax.image.resize(
                 tex, (args.uv_size, args.uv_size, 3), "bilinear")
         tex = jnp.where(uv_out["mask"], tex, 0.0)

@@ -188,9 +188,12 @@ def main():
 
         ctrl_lat = vae_encode(vparams, vae_cfg, control * 2.0 - 1.0)
         HL, WL = latents.shape[1], latents.shape[2]
+        CH, CW = ctrl_lat.shape[1], ctrl_lat.shape[2]
         cond_tokens = pack_latents(ctrl_lat)
-        cond_ids = latent_image_ids(HL // 2, WL // 2, offset_y=HL // 2)
-        if examples and "dual" in examples[0]:
+        # ids from the CONTROL latent's own dims, offset past the noise
+        # grid — exactly inference's layout (models/flux/pipeline.py)
+        cond_ids = latent_image_ids(CH // 2, CW // 2, offset_y=HL // 2)
+        if all("dual" in e for e in examples):
             # reference-image tokens, offset like inference's dual stream
             # (x + WL/2, y + HL/2; models/flux/pipeline.py)
             dual = jnp.asarray(np.stack([e["dual"] for e in examples]))
@@ -203,6 +206,11 @@ def main():
                 latent_image_ids(DH // 2, DW // 2,
                                  offset_x=WL // 2, offset_y=HL // 2),
             ], axis=0)
+        elif any("dual" in e for e in examples):
+            # mixed corpus: conditioning must be shape-static per step —
+            # drop the dual stream rather than crash or skew the batch
+            print("warning: batch mixes samples with/without the dual "
+                  "reference image; dual tokens dropped this step")
         batch = {
             "latents": latents,
             "cond_tokens": cond_tokens,

@@ -60,17 +60,23 @@ class TestLogger:
 
 
 class TestDirectoryDataset:
-    def _write_sample(self, d, with_dual=True):
+    def _write_sample(self, d, with_dual=True, sr_scale=1):
+        """Realistic artifact layouts: mv_normal/ccm/rgb are 2x3 grids
+        (mv_rgb possibly SR-upscaled), mv_rgb_w_light is the 1x6 strip."""
         import os
 
         from unitex_tpu.utils.image_io import save_image
 
         os.makedirs(d, exist_ok=True)
         rng = np.random.default_rng(0)
-        for name in ("mv_normal.png", "mv_ccm.png", "mv_rgb_w_light.png",
-                     "mv_rgb.png"):
+        for name in ("mv_normal.png", "mv_ccm.png"):
             save_image(os.path.join(d, name),
                        rng.uniform(size=(16, 24, 3)).astype(np.float32))
+        save_image(os.path.join(d, "mv_rgb.png"),
+                   rng.uniform(size=(16 * sr_scale, 24 * sr_scale, 3)
+                               ).astype(np.float32))
+        save_image(os.path.join(d, "mv_rgb_w_light.png"),
+                   rng.uniform(size=(8, 48, 3)).astype(np.float32))
         if with_dual:
             save_image(os.path.join(d, "processed_image.png"),
                        rng.uniform(size=(8, 8, 3)).astype(np.float32))
@@ -79,18 +85,44 @@ class TestDirectoryDataset:
         from unitex_tpu.training.data import DirectoryTextureDataset
 
         self._write_sample(tmp_path / "a")
-        self._write_sample(tmp_path / "b" / "cache", with_dual=False)
+        self._write_sample(tmp_path / "b" / "cache", with_dual=False,
+                           sr_scale=4)
 
         ds = iter(DirectoryTextureDataset(str(tmp_path), mode="texture", seed=0))
         seen = [next(ds), next(ds)]
-        assert all(e["target"].shape == (16, 24, 3) for e in seen)
-        assert all(e["control"].shape == (16, 24, 3) for e in seen)
+        # control grids become the 1x6 strip to match serving layout
+        assert all(e["control"].shape == (8, 48, 3) for e in seen)
+        assert all(e["target"].shape == (8, 48, 3) for e in seen)
         assert any("dual" in e for e in seen)       # sample a has the dual
         assert not all("dual" in e for e in seen)   # sample b has not
 
+        # delight: target grid (even SR-upscaled) strips + resizes to the
+        # control strip resolution; dual never attaches (serving has none)
         ds_d = iter(DirectoryTextureDataset(str(tmp_path), mode="delight"))
-        e = next(ds_d)
-        assert e["target"].shape == (16, 24, 3)
+        for _ in range(2):
+            e = next(ds_d)
+            assert e["target"].shape == (8, 48, 3)
+            assert e["control"].shape == (8, 48, 3)
+            assert "dual" not in e
+
+    def test_strip_layout_matches_pipeline(self, tmp_path):
+        """Control pixel (i, j) must equal the pipeline's own
+        grid_to_strip of the stored grids — the serving layout."""
+        import jax.numpy as jnp
+
+        from unitex_tpu.render.conditioning import grid_to_strip
+        from unitex_tpu.training.data import DirectoryTextureDataset
+        from unitex_tpu.utils.image_io import load_image
+        import os
+
+        self._write_sample(tmp_path / "a")
+        ds = iter(DirectoryTextureDataset(str(tmp_path), mode="texture"))
+        e = next(ds)
+        base = str(tmp_path / "a")
+        grid = 0.5 * load_image(os.path.join(base, "mv_normal.png")) \
+            + 0.5 * load_image(os.path.join(base, "mv_ccm.png"))
+        want = np.asarray(grid_to_strip(jnp.asarray(grid)))
+        np.testing.assert_allclose(e["control"], want, atol=1e-6)
 
     def test_missing_dir_raises(self, tmp_path):
         import pytest

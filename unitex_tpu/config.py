@@ -43,7 +43,7 @@ class MeshConfig:
     # power of two (floored here) so meshes with different sizes share ONE
     # compiled program per bucket — ~4 programs over the whole face budget
     # (a new static shape costs minutes through the remote-compile tunnel;
-    # measured 151 s vs 25 s per asset in a mixed batch).  Padding is
+    # measured 151 s vs 14.7 s per asset in a mixed batch).  Padding is
     # degenerate (v0,v0,v0) faces — zero-area, culled by every kernel —
     # and never reaches exported artifacts.  0 disables.
     shape_bucket: int = 4096

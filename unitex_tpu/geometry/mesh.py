@@ -169,6 +169,14 @@ def pad_mesh_to_bucket(mesh: "Mesh", bucket: int, mode: str = "pow2") -> "Mesh":
         [mesh.faces, jnp.zeros((newF - F, 3), mesh.faces.dtype)]
     ) if newF != F else mesh.faces
     kwargs = {}
+    if mesh.vertex_colors is not None and newV != V:
+        kwargs["vertex_colors"] = jnp.concatenate([
+            mesh.vertex_colors,
+            jnp.broadcast_to(
+                mesh.vertex_colors[:1],
+                (newV - V, mesh.vertex_colors.shape[-1]),
+            ),
+        ])
     if mesh.uv is not None:
         nuv = mesh.uv.shape[0]
         kwargs["uv"] = jnp.concatenate(

@@ -93,7 +93,17 @@ class DirectoryTextureDataset:
       ``mv_rgb_w_light.png``              -> texture-mode target and
                                              delight-mode control
       ``mv_rgb.png``                      -> delight-mode target (albedo)
-      ``processed_image.png``             -> optional dual/reference image
+      ``processed_image.png``             -> dual/reference image
+                                             (texture mode only — the
+                                             inference delight pass takes
+                                             no dual, pipeline.py:263-279)
+
+    Everything is converted to the 1x6 FLUX strip layout through the
+    pipeline's OWN grid<->strip permutations (render/conditioning.py), so
+    control pixel (i, j) corresponds to target pixel (i, j) exactly as at
+    serving time: mv_normal/ccm/rgb are stored as 2x3 frtbld grids (mv_rgb
+    possibly SR-upscaled — resized back to the control resolution), while
+    mv_rgb_w_light is already the strip.
 
     Yields ``{"target", "control"[, "dual"]}`` float arrays in [0, 1],
     shuffled per epoch.
@@ -136,20 +146,36 @@ class DirectoryTextureDataset:
             raise FileNotFoundError(
                 f"no sample dirs with {need} under {self.root!r}"
             )
+        import jax
+        import jax.numpy as jnp
+
+        from ..render.conditioning import grid_to_strip
+
         rng = np.random.default_rng(self.seed)
         while True:
             for i in rng.permutation(len(samples)):
                 d = samples[i]
                 get = lambda f: load_image(os.path.join(d, f))
                 if self.mode == "texture":
-                    control = 0.5 * get("mv_normal.png") + 0.5 * get("mv_ccm.png")
-                    target = get("mv_rgb_w_light.png")
+                    grid = 0.5 * get("mv_normal.png") + 0.5 * get("mv_ccm.png")
+                    control = np.asarray(grid_to_strip(jnp.asarray(grid)))
+                    target = get("mv_rgb_w_light.png")  # saved as the strip
                 else:
                     control = get("mv_rgb_w_light.png")
-                    target = get("mv_rgb.png")
+                    tgt_grid = jnp.asarray(get("mv_rgb.png"))
+                    tgt = grid_to_strip(tgt_grid)
+                    if tgt.shape[:2] != control.shape[:2]:
+                        # SR-upscaled albedo: bring back to control res
+                        tgt = jax.image.resize(
+                            tgt, (*control.shape[:2], 3), "bilinear")
+                    target = np.asarray(tgt)
                 ex = {"target": target, "control": control}
                 dual_path = os.path.join(d, "processed_image.png")
-                if self.with_dual and os.path.exists(dual_path):
+                if (
+                    self.with_dual
+                    and self.mode == "texture"  # delight serves without dual
+                    and os.path.exists(dual_path)
+                ):
                     ex["dual"] = load_image(dual_path)
                 yield ex
 
