@@ -66,3 +66,26 @@ def test_export_turntable_grid(tmp_path):
 
     img = Image.open(out)
     assert img.size == (96, 64)  # 3 cols x 2 rows of 32
+
+
+def test_height_sweep(tmp_path):
+    from unitex_tpu.render.video import (
+        export_turntable,
+        render_height_sweep_frames,
+    )
+
+    frames = render_height_sweep_frames(_mesh(), None, n_frames=6, size=32)
+    assert frames.shape == (6, 32, 32, 3)
+    # the three orbit bands look down from different heights: band frames
+    # must differ from the equatorial band's
+    assert np.abs(frames[0].astype(int) - frames[4].astype(int)).mean() > 0.1
+
+    host = unwrap_atlas(make_icosphere(2), size=64, gutter=1)
+    host.texture = np.full((64, 64, 3), 90, np.uint8)
+    path = str(tmp_path / "m.glb")
+    save_mesh(path, host)
+    out = export_turntable(
+        path, str(tmp_path / "sweep.gif"), n_frames=6, size=32,
+        height_sweep=True,
+    )
+    assert os.path.exists(out) and os.path.getsize(out) > 0

@@ -112,6 +112,29 @@ def export_orbit_video(
     return out_path
 
 
+def render_height_sweep_frames(
+    mesh: Mesh,
+    texture: Optional[jnp.ndarray],
+    n_frames: int = 9,
+    size: int = 512,
+    radius: float = 2.8,
+    video_type: str = "rgb",
+) -> np.ndarray:
+    """Three stacked orbits at heights 0 / r·cos60° / r·cos30° (the
+    texture-check exporter's non-orbit mode,
+    export_nvdiffrast_uv_video.py:71-76), n_frames//3 frames each."""
+    per = n_frames // 3
+    chunks = [
+        render_orbit_frames(
+            mesh, texture, n_frames=per, size=size, radius=radius,
+            height=radius * math.cos(math.radians(deg)),
+            video_type=video_type,
+        )
+        for deg in (90.0, 60.0, 30.0)
+    ]
+    return np.concatenate(chunks, axis=0)
+
+
 def export_turntable(
     mesh_path: str,
     save_path: str,
@@ -119,15 +142,17 @@ def export_turntable(
     size: int = 512,
     fps: int = 15,
     video_type: str = "rgb",
+    height_sweep: bool = False,
 ) -> str:
     """Texture-check export (export_nvdiffrast_uv_video.export_video):
     the extension decides the output — .mp4/.gif = orbit video,
-    .png/.jpg/.webp = a tiled frame grid."""
+    .png/.jpg/.webp = a tiled frame grid.  ``height_sweep`` renders the
+    reference's three-height orbit stack instead of a single orbit."""
     import os
 
     ext = os.path.splitext(save_path)[1].lower()
     assert ext in (".png", ".jpg", ".webp", ".mp4", ".gif")
-    if ext in (".mp4", ".gif"):
+    if ext in (".mp4", ".gif") and not height_sweep:
         return export_orbit_video(
             mesh_path, save_path, n_frames=n_frames, size=size, fps=fps,
             video_type=video_type,
@@ -141,9 +166,25 @@ def export_turntable(
         uv=jnp.asarray(host.uv) if host.uv is not None else None,
         faces_uv=jnp.asarray(host.faces_uv) if host.faces_uv is not None else None,
     )
-    frames = render_orbit_frames(
-        mesh, tex, n_frames=n_frames, size=size, video_type=video_type
-    )
+    if height_sweep:
+        frames = render_height_sweep_frames(
+            mesh, tex, n_frames=n_frames, size=size, video_type=video_type
+        )
+        n_frames = frames.shape[0]
+    else:
+        frames = render_orbit_frames(
+            mesh, tex, n_frames=n_frames, size=size, video_type=video_type
+        )
+    if ext in (".mp4", ".gif"):
+        import imageio.v2 as imageio
+
+        try:
+            imageio.mimwrite(save_path, list(frames), fps=fps, quality=8)
+        except (ValueError, ImportError):
+            save_path = os.path.splitext(save_path)[0] + ".gif"
+            imageio.mimwrite(
+                save_path, list(frames), duration=1000.0 / fps, loop=0)
+        return save_path
     # tile into a near-square grid
     cols = int(np.ceil(np.sqrt(n_frames)))
     rows = int(np.ceil(n_frames / cols))
