@@ -155,12 +155,23 @@ def main():
         if args.arch == "tsdsr":
             from unitex_tpu.models.sd3.sr_pipeline import TSDSRConfig, TSDSRPipeline
 
+            import jax
+
+            mesh = None
+            if jax.device_count() > 1:
+                from unitex_tpu.parallel.mesh import make_mesh
+
+                # tiles are independent: favor data parallelism over the
+                # tile batch, TP only if SD3 must shard (it fits per-chip
+                # at ~4.3 GB bf16, so pure DP is the throughput layout)
+                mesh = make_mesh(data=jax.device_count(), model=1)
             pipe = TSDSRPipeline(
                 pretrain_root=args.pretrain,
                 cfg=TSDSRConfig(
                     upscale=args.upscale, align_method=args.align,
                     int8_serving=args.int8,
                 ),
+                mesh=mesh,
             )
         else:
             pipe = build_zoo_pipe(args.arch, args.ckpt, args.upscale)

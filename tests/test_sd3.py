@@ -140,3 +140,69 @@ class TestSRPipeline:
         out = pipe(img)
         assert out.shape == (32, 32, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestSD3Sharding:
+    def test_tp_matches_single_device(self):
+        """TP-sharded SD3 forward must equal the unsharded result
+        (sd3_param_shardings, the TSD-SR multi-chip layout)."""
+        from unitex_tpu.parallel.mesh import make_mesh
+        from unitex_tpu.parallel.sharding import (
+            data_sharding,
+            sd3_param_shardings,
+            shard_params,
+        )
+
+        cfg = SD3Config.tiny()
+        params = init_sd3_params(jax.random.key(0), cfg)
+        B = 2
+        lat = jnp.asarray(
+            np.random.default_rng(0).normal(size=(B, 8, 8, cfg.in_channels)),
+            jnp.float32,
+        )
+        prompt = jnp.zeros((B, 6, cfg.joint_attention_dim))
+        t = jnp.full((B,), 1000.0)
+        pooled = jnp.zeros((B, cfg.pooled_projection_dim))
+        ref = sd3_forward(params, cfg, lat, prompt, t, pooled)
+
+        mesh = make_mesh(data=2, model=4)
+        sharded = shard_params(params, sd3_param_shardings(params, mesh))
+        with jax.set_mesh(mesh):
+            out = jax.jit(
+                lambda p, x: sd3_forward(p, cfg, x, prompt, t, pooled)
+            )(sharded, jax.device_put(lat, data_sharding(mesh, 4)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_pipeline_mesh_path(self):
+        """TSDSRPipeline(mesh=...) output equals the single-device
+        pipeline's (tiles data-parallel, transformer tensor-parallel)."""
+        from unitex_tpu.parallel.mesh import make_mesh
+
+        sd3_cfg = SD3Config.tiny()
+        vae_cfg = VAEConfig.tiny()
+        tparams = init_sd3_params(jax.random.key(0), sd3_cfg)
+        vparams = init_vae_params(jax.random.key(1), vae_cfg)
+        cfg = TSDSRConfig(
+            upscale=2, latent_tile=8, latent_overlap=2,
+            vae_encoder_tile=64, vae_decoder_tile=64, align_method="adain",
+            tile_batch=4,
+        )
+        img = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        )
+        pipe = TSDSRPipeline(
+            None, cfg=cfg, sd3_cfg=sd3_cfg,
+            transformer_params=tparams, vae_params=vparams,
+        )
+        pipe.vae_cfg = vae_cfg
+        ref = pipe(img)
+
+        mpipe = TSDSRPipeline(
+            None, cfg=cfg, sd3_cfg=sd3_cfg,
+            transformer_params=tparams, vae_params=vparams,
+            mesh=make_mesh(data=2, model=4),
+        )
+        mpipe.vae_cfg = vae_cfg
+        out = mpipe(img)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4)

@@ -30,6 +30,16 @@ from .config import SD3Config
 from .model import sd3_forward
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _sd3_tile_step(params, cfg, lat_tiles, prompt, t, pooled):
+    """One jitted transformer dispatch over a tile batch — cached across
+    calls so the mesh path doesn't retrace per tile chunk."""
+    return sd3_forward(params, cfg, lat_tiles, prompt, t, pooled)
+
+
 def gaussian_tile_weights(tile: int, var: float = 0.01) -> jnp.ndarray:
     """[tile, tile] gaussian blend mask (sr_pipeline.py:51-66)."""
     mid = (tile - 1) / 2.0
@@ -166,7 +176,14 @@ class TSDSRPipeline:
 
     With ``pretrain_root`` pointing at SD3 + TSD-SR LoRA weights it runs the
     real model; weightless (None) it degrades to bicubic + identity (for
-    pipeline plumbing tests)."""
+    pipeline plumbing tests).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with ('data', 'model') axes —
+    the SD3 transformer is tensor-parallel over 'model' (Megatron col/row,
+    parallel/sharding.sd3_param_shardings) and the latent tile batches are
+    data-parallel over 'data', so the heaviest pipeline stage (~15.7 s
+    single-chip at 512²→2048²) scales over a v5e-8.  The VAE stays
+    replicated (convs, a small fraction of the stage)."""
 
     def __init__(
         self,
@@ -177,6 +194,7 @@ class TSDSRPipeline:
         vae_params: Optional[Dict[str, Any]] = None,
         prompt_embeds: Optional[jnp.ndarray] = None,
         pooled_embeds: Optional[jnp.ndarray] = None,
+        mesh: Optional[Any] = None,
     ):
         self.cfg = cfg
         self.sd3_cfg = sd3_cfg
@@ -185,12 +203,20 @@ class TSDSRPipeline:
         self.vae_params = vae_params
         self.prompt_embeds = prompt_embeds
         self.pooled_embeds = pooled_embeds
+        self.mesh = mesh
         if pretrain_root is not None and transformer_params is None:
             self._try_load(pretrain_root)
         if cfg.int8_serving and self.transformer_params is not None:
             from ...ops.quant import quantize_linears
 
             self.transformer_params = quantize_linears(self.transformer_params)
+        if mesh is not None and self.transformer_params is not None:
+            from ...parallel.sharding import sd3_param_shardings, shard_params
+
+            self.transformer_params = shard_params(
+                self.transformer_params,
+                sd3_param_shardings(self.transformer_params, mesh),
+            )
 
     def _try_load(self, root: str) -> None:
         from ..flux.loader import iter_safetensors, vae_params_from_state_dict
@@ -252,11 +278,40 @@ class TSDSRPipeline:
             pooled = pooled[None]
         def step(lat_tiles):
             nb = lat_tiles.shape[0]
+            tprompt = jnp.broadcast_to(prompt, (nb,) + prompt.shape[1:])
+            t = jnp.full((nb,), cfg.timestep, jnp.float32)
+            tpooled = jnp.broadcast_to(pooled, (nb,) + pooled.shape[1:])
+            if self.mesh is not None:
+                from ...parallel.sharding import data_sharding
+
+                # the 'data' axis requires a divisible batch: pad the tile
+                # chunk with repeats and slice the results back
+                dsize = self.mesh.shape["data"]
+                pad = (-nb) % dsize
+                tiles = lat_tiles
+                if pad:
+                    tiles = jnp.concatenate(
+                        [tiles,
+                         jnp.broadcast_to(
+                             tiles[:1], (pad,) + tiles.shape[1:])],
+                        axis=0,
+                    )
+                    tprompt = jnp.broadcast_to(
+                        prompt, (nb + pad,) + prompt.shape[1:])
+                    t = jnp.full((nb + pad,), cfg.timestep, jnp.float32)
+                    tpooled = jnp.broadcast_to(
+                        pooled, (nb + pad,) + pooled.shape[1:])
+                with jax.set_mesh(self.mesh):
+                    tiles = jax.device_put(
+                        tiles, data_sharding(self.mesh, 4))
+                    out = _sd3_tile_step(
+                        self.transformer_params, self.sd3_cfg, tiles,
+                        tprompt, t, tpooled,
+                    )
+                return out[:nb]
             return sd3_forward(
                 self.transformer_params, self.sd3_cfg, lat_tiles,
-                jnp.broadcast_to(prompt, (nb,) + prompt.shape[1:]),
-                jnp.full((nb,), cfg.timestep, jnp.float32),
-                jnp.broadcast_to(pooled, (nb,) + pooled.shape[1:]),
+                tprompt, t, tpooled,
             )
 
         pred = tiled_apply_batched(

@@ -142,6 +142,62 @@ def flux_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return spec
 
 
+def sd3_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """NamedSharding pytree for ``init_sd3_params`` output (the TSD-SR
+    backbone, models/sd3/model.py) — same Megatron column/row layout as
+    FLUX: q/k/v + add_*_proj + AdaLN + ff.in column-parallel, to_out /
+    to_add_out / ff.out row-parallel, embedders and norms replicated.
+    The scanned ``blocks`` are stacked [L, ...]; ``final_block``
+    (context_pre_only) is unstacked."""
+    rep = lambda p: _match_linear(p, _linear_spec(mesh, "rep"))
+
+    def attn_spec(p, col, row):
+        out = {
+            k: col(p[k])
+            for k in (
+                "to_q", "to_k", "to_v",
+                "add_q_proj", "add_k_proj", "add_v_proj",
+            )
+        }
+        out["to_out"] = row(p["to_out"])
+        if "to_add_out" in p:
+            out["to_add_out"] = row(p["to_add_out"])
+        return out
+
+    def block_spec(p, stacked: bool):
+        col = lambda q: _match_linear(q, _linear_spec(mesh, "col", stacked=stacked))
+        row = lambda q: _match_linear(q, _linear_spec(mesh, "row", stacked=stacked))
+        out = {
+            "norm1": {"lin": col(p["norm1"]["lin"])},
+            "norm1_context": {"lin": col(p["norm1_context"]["lin"])},
+            "attn": attn_spec(p["attn"], col, row),
+            "ff": {"in": col(p["ff"]["in"]), "out": row(p["ff"]["out"])},
+        }
+        if "ff_context" in p:
+            out["ff_context"] = {
+                "in": col(p["ff_context"]["in"]),
+                "out": row(p["ff_context"]["out"]),
+            }
+        return out
+
+    def embed_spec(p):
+        return {"in": rep(p["in"]), "out": rep(p["out"])}
+
+    return {
+        "pos_embed": {
+            "proj": rep(params["pos_embed"]["proj"]),
+            "pos": _ns(mesh, None, None, None),
+        },
+        "context_embedder": rep(params["context_embedder"]),
+        "time_embed": embed_spec(params["time_embed"]),
+        "pooled_embed": embed_spec(params["pooled_embed"]),
+        "norm_out": {"lin": rep(params["norm_out"]["lin"])},
+        "proj_out": rep(params["proj_out"]),
+        "blocks": block_spec(params["blocks"], stacked=True),
+        "final_block": block_spec(params["final_block"], stacked=False),
+    }
+
+
 def shard_params(params, shardings):
     """Place a param pytree according to a sharding pytree."""
     return jax.tree.map(

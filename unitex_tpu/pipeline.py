@@ -101,7 +101,11 @@ class RGBTextureFullPipelineBase:
         if super_resolutions:
             from .models.sd3.sr_pipeline import TSDSRPipeline
 
-            self.sr_pipeline = TSDSRPipeline(pretrain_models)
+            # share the FLUX device mesh: SD3 runs tensor-parallel over
+            # 'model' and tile-batches data-parallel over 'data'
+            self.sr_pipeline = TSDSRPipeline(
+                pretrain_models, mesh=self.device_mesh
+            )
 
     def _try_load_weights(self, require: bool) -> None:
         from .models.flux.loader import load_flux_transformer, load_vae
