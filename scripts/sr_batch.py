@@ -175,12 +175,26 @@ def main():
             )
         else:
             pipe = build_zoo_pipe(args.arch, args.ckpt, args.upscale)
-        for path in list_images(args.input):
-            name = os.path.basename(path)
-            lr = load_image(path)
-            sr = np.asarray(pipe(jnp.asarray(lr)))
-            save_image(os.path.join(args.output, name), sr)
-            print(json.dumps({"image": name, "out_shape": list(sr.shape)}))
+        # host/device pipelining: image N+1 decodes on a worker thread and
+        # image N-1 encodes on another while image N runs on the device
+        # (the batch_pipeline.py pattern; PNG codec time is host-only)
+        import concurrent.futures as cf
+
+        paths = list_images(args.input)
+        with cf.ThreadPoolExecutor(max_workers=2) as pool:
+            nxt = pool.submit(load_image, paths[0]) if paths else None
+            saves = []
+            for i, path in enumerate(paths):
+                name = os.path.basename(path)
+                lr = nxt.result()
+                nxt = (pool.submit(load_image, paths[i + 1])
+                       if i + 1 < len(paths) else None)
+                sr = np.asarray(pipe(jnp.asarray(lr)))
+                saves.append(pool.submit(
+                    save_image, os.path.join(args.output, name), sr))
+                print(json.dumps({"image": name, "out_shape": list(sr.shape)}))
+            for s in saves:
+                s.result()
 
     nr_metrics = {}
     if args.musiq_ckpt:
