@@ -22,13 +22,31 @@ def main():
                     action="store_const", const="max_memory",
                     help="int8 + weight-only storage: the 12B transformer "
                          "fits one 16 GB chip")
+    ap.add_argument("--fast-steps", type=int, default=0,
+                    help="denoise steps served by velocity extrapolation "
+                         "instead of a transformer evaluation (training-"
+                         "free speedup; 0 = the exact 28-step schedule)")
     args = ap.parse_args()
+
+    import dataclasses
+
+    from unitex_tpu.config import DEFAULT_CONFIG
+
+    config = DEFAULT_CONFIG
+    if args.fast_steps:
+        config = dataclasses.replace(
+            config,
+            diffusion=dataclasses.replace(
+                config.diffusion, velocity_reuse=args.fast_steps
+            ),
+        )
 
     pipeline = CustomRGBTextureFullPipeline(
         pretrain_models=args.pretrain_models,
         super_resolutions=args.super_resolution,
         seed=args.seed,
         int8_serving=args.int8,
+        config=config,
     )
     rembg_png, textured_glb = pipeline(
         args.out, args.image, args.mesh, export_video=args.export_video

@@ -291,3 +291,80 @@ class TestRedux:
             jnp.asarray([3.5]),
         )
         assert out.shape == (1, 8, flux_cfg.in_channels)
+
+
+class TestVelocityReuse:
+    def test_mask_properties(self):
+        from unitex_tpu.models.flux.pipeline import make_reuse_mask
+
+        assert make_reuse_mask(28, 0) is None
+        for n, k in ((28, 7), (28, 12), (8, 3), (50, 20)):
+            m = np.asarray(make_reuse_mask(n, k))
+            assert m.shape == (n,)
+            assert not m[0] and not m[1] and not m[-1]
+            assert not (m[:-1] & m[1:]).any()      # never two in a row
+            assert 0 < m.sum() <= k
+
+    def test_reuse_matches_manual_extrapolation(self):
+        """A reused step must apply v1 + r(v1 - v2) with r the sigma-gap
+        ratio — checked against a hand-rolled Python loop."""
+        from unitex_tpu.models.flux.model import flux_forward
+        from unitex_tpu.models.flux.pipeline import make_reuse_mask
+
+        flux_cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), flux_cfg)
+        noise = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 8, flux_cfg.in_channels)),
+            jnp.float32,
+        )
+        ids = latent_image_ids(2, 4)
+        tids = jnp.zeros((4, 3))
+        prompt = jnp.zeros((1, 4, flux_cfg.joint_attention_dim))
+        pooled = jnp.zeros((1, flux_cfg.pooled_projection_dim))
+        sched = FlowMatchEulerScheduler.create(6, 8)
+        mask = np.zeros(6, bool)
+        mask[3] = True
+        out = denoise(
+            params, flux_cfg, noise, ids, tids, prompt, pooled, sched, 3.5,
+            reuse_mask=jnp.asarray(mask),
+        )
+
+        # manual loop
+        lat = noise
+        vs = []
+        sig = np.asarray(sched.sigmas)
+        for i in range(6):
+            if mask[i]:
+                r = (sig[i] - sig[i - 1]) / (sig[i - 1] - sig[i - 2])
+                v = vs[-1] + r * (vs[-1] - vs[-2])
+            else:
+                t = jnp.full((1,), float(sched.timesteps[i]) / 1000.0)
+                v = flux_forward(
+                    params, flux_cfg, lat, prompt, t, pooled, ids, tids,
+                    guidance=jnp.full((1,), 3.5),
+                )
+            vs.append(v)
+            lat = lat + (sig[i + 1] - sig[i]) * v
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(lat), atol=1e-5)
+
+    def test_zero_reuse_identical(self):
+        """An all-False mask must match the maskless loop (up to XLA's
+        fusion reordering inside lax.cond — observed ~6e-7)."""
+        flux_cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), flux_cfg)
+        noise = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 8, flux_cfg.in_channels)),
+            jnp.float32,
+        )
+        ids = latent_image_ids(2, 4)
+        tids = jnp.zeros((4, 3))
+        prompt = jnp.zeros((1, 4, flux_cfg.joint_attention_dim))
+        pooled = jnp.zeros((1, flux_cfg.pooled_projection_dim))
+        sched = FlowMatchEulerScheduler.create(4, 8)
+        a = denoise(params, flux_cfg, noise, ids, tids, prompt, pooled, sched, 3.5)
+        b = denoise(
+            params, flux_cfg, noise, ids, tids, prompt, pooled, sched, 3.5,
+            reuse_mask=jnp.asarray(np.zeros(4, bool)),
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

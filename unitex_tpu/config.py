@@ -65,6 +65,10 @@ class DiffusionConfig:
     max_image_seq_len: int = 4096
     base_shift: float = 0.5
     max_shift: float = 1.15
+    # steps served by velocity extrapolation instead of a transformer
+    # evaluation (training-free acceleration, models/flux/pipeline.py
+    # make_reuse_mask; 0 = the reference's exact 28-evaluation schedule)
+    velocity_reuse: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,6 +22,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import FluxConfig
 from .model import flux_forward
@@ -73,6 +74,10 @@ class FluxPipelineConfig:
     max_image_seq_len: int = 4096
     base_shift: float = 0.5
     max_shift: float = 1.15
+    # number of denoise steps served by sigma-linear velocity extrapolation
+    # instead of a transformer evaluation (training-free acceleration; see
+    # denoise()/make_reuse_mask).  0 = exact reference schedule.
+    velocity_reuse: int = 0
 
 
 def denoise(
@@ -90,6 +95,7 @@ def denoise(
     known_tokens: Optional[jnp.ndarray] = None,
     inpaint_mask: Optional[jnp.ndarray] = None,
     fixed_noise: Optional[jnp.ndarray] = None,
+    reuse_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Flow-match Euler denoise loop over the packed sequence as a
     ``lax.scan``.  noise [B, S_noise, C]; condition_latents [B, S_cond, C]
@@ -101,7 +107,16 @@ def denoise(
     ``fixed_noise`` enable inpainting: after every Euler step the kept
     region is re-pinned to the clean tokens noised to the NEXT sigma, as in
     diffusers' FluxInpaintPipeline (fast_texture.py's backbone,
-    /root/reference/TextureTools/texturetools/texture/reprojection/fast_texture.py:24,105-112)."""
+    /root/reference/TextureTools/texturetools/texture/reprojection/fast_texture.py:24,105-112).
+
+    ``reuse_mask`` [num_steps] bool: training-free step skipping — on a
+    masked step the transformer is NOT evaluated; the velocity is
+    extrapolated linearly in sigma from the previous two computed steps,
+    v ≈ v₁ + (σᵢ − σᵢ₋₁)/(σᵢ₋₁ − σᵢ₋₂)·(v₁ − v₂) (VDE / TeaCache-style
+    rectified-flow acceleration; the flow-match velocity field is smooth
+    along the sampling trajectory).  Both scan branches compile once; a
+    masked step costs ~0 device time.  Use :func:`make_reuse_mask` — it
+    never masks the first two or the last step and never two in a row."""
     B, S_noise, C = noise.shape
     guidance = (
         jnp.full((B,), guidance_scale, jnp.float32)
@@ -114,36 +129,77 @@ def denoise(
     else:
         latents0 = noise
 
-    def body(latents, i):
+    def body(carry, i):
+        latents, v1, v2 = carry
         if condition_latents is not None:
             latents = jnp.concatenate(
                 [latents[:, :S_noise], condition_latents], axis=1
             )
         t = scheduler.timesteps[i]
         timestep = jnp.full((B,), t / 1000.0, jnp.float32)
-        v = flux_forward(
-            transformer_params,
-            flux_cfg,
-            latents,
-            prompt_embeds,
-            timestep,
-            pooled_embeds,
-            img_ids,
-            txt_ids,
-            guidance=guidance,
-        )
+
+        def compute(lat):
+            return flux_forward(
+                transformer_params,
+                flux_cfg,
+                lat,
+                prompt_embeds,
+                timestep,
+                pooled_embeds,
+                img_ids,
+                txt_ids,
+                guidance=guidance,
+            )
+
+        if reuse_mask is None:
+            v = compute(latents)
+        else:
+            def extrapolate(lat):
+                # v1/v2 were computed at steps i-1 / i-2 (the mask never
+                # sets two consecutive steps)
+                r = (scheduler.sigmas[i] - scheduler.sigmas[i - 1]) / (
+                    scheduler.sigmas[i - 1] - scheduler.sigmas[i - 2]
+                )
+                return (v1 + r * (v1 - v2)).astype(lat.dtype)
+
+            v = jax.lax.cond(reuse_mask[i], extrapolate, compute, latents)
         latents = scheduler.step(v, i, latents)
         if known_tokens is not None:
             pinned = scheduler.scale_noise(known_tokens, i + 1, fixed_noise)
             gen = latents[:, :S_noise]
             repin = jnp.where(inpaint_mask, gen, pinned) if inpaint_mask is not None else pinned
             latents = jnp.concatenate([repin, latents[:, S_noise:]], axis=1)
-        return latents, None
+        return (latents, v, v1), None
 
-    latents, _ = jax.lax.scan(
-        body, latents0, jnp.arange(t_start, scheduler.num_steps)
+    v0 = jnp.zeros_like(latents0)
+    (latents, _, _), _ = jax.lax.scan(
+        body, (latents0, v0, v0), jnp.arange(t_start, scheduler.num_steps)
     )
     return latents[:, :S_noise]
+
+
+def make_reuse_mask(
+    num_steps: int, num_reuse: int, start_frac: float = 0.35
+) -> Optional[jnp.ndarray]:
+    """[num_steps] bool mask with ``num_reuse`` skipped (velocity-reuse)
+    steps spread evenly over [start_frac·T, T-1): never the first two
+    steps (the extrapolator needs two computed velocities), never the last
+    step (it sets the final image), never two in a row."""
+    if num_reuse <= 0:
+        return None
+    mask = np.zeros(num_steps, bool)
+    lo = max(2, int(round(start_frac * num_steps)))
+    candidates = list(range(lo, num_steps - 1))
+    num_reuse = min(num_reuse, (len(candidates) + 1) // 2)
+    # even spread, then push off collisions with the no-two-in-a-row rule
+    idx = np.linspace(0, len(candidates) - 1, num_reuse)
+    for j in np.round(idx).astype(int):
+        k = candidates[j]
+        while k < num_steps - 1 and (mask[k] or mask[k - 1] or mask[k + 1]):
+            k += 1
+        if k < num_steps - 1:
+            mask[k] = True
+    return jnp.asarray(mask)
 
 
 def run_flux_pipeline(
@@ -238,6 +294,9 @@ def run_flux_pipeline(
         scheduler,
         pipe_cfg.guidance_scale,
         condition_latents,
+        reuse_mask=make_reuse_mask(
+            pipe_cfg.num_inference_steps, pipe_cfg.velocity_reuse
+        ),
     )
     latents = unpack_latents(out_tokens, HL, WL)
     image = vae_decode(vae_params, vae_cfg, latents)[0]

@@ -278,6 +278,7 @@ class RGBTextureFullPipelineBase:
                 num_inference_steps=dcfg.num_inference_steps,
                 guidance_scale=dcfg.guidance_scale,
                 max_sequence_length=dcfg.max_sequence_length,
+                velocity_reuse=dcfg.velocity_reuse,
             )
             # texture pass: adapters [1, 0]
             params_tex = apply_lora(
