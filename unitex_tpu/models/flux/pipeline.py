@@ -129,6 +129,11 @@ def denoise(
     else:
         latents0 = noise
 
+    if reuse_mask is not None and t_start > 0:
+        # img2img starts mid-schedule: the extrapolator needs two computed
+        # velocities first, so clear the first two *executed* steps
+        reuse_mask = reuse_mask.at[t_start : t_start + 2].set(False)
+
     def body(carry, i):
         latents, v1, v2 = carry
         if condition_latents is not None:

@@ -40,6 +40,16 @@ def _sd3_tile_step(params, cfg, lat_tiles, prompt, t, pooled):
     return sd3_forward(params, cfg, lat_tiles, prompt, t, pooled)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _vae_encode_jit(params, cfg, x):
+    return vae_encode(params, cfg, x)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _vae_decode_jit(params, cfg, lat):
+    return vae_decode(params, cfg, lat)
+
+
 def gaussian_tile_weights(tile: int, var: float = 0.01) -> jnp.ndarray:
     """[tile, tile] gaussian blend mask (sr_pipeline.py:51-66)."""
     mid = (tile - 1) / 2.0
@@ -165,6 +175,10 @@ class TSDSRConfig:
     timestep: float = 1000.0
     align_method: str = "wavelet"      # wavelet | adain | nofix
     tile_batch: int = 8                # latent tiles per transformer call
+    vae_encode_batch: int = 8          # 512² pixel tiles per VAE-encode call
+    # decode activations are the HBM peak (128² latent -> 1024² x 512-ch):
+    # 8-tile batches OOM a 16 GB v5e chip; 2 measured safe
+    vae_decode_batch: int = 2
     # W8A8 int8 serving for the SD3 transformer blocks (the same transform
     # as FLUX's, models/flux/quantize.py — SD3 shares the linear dispatch);
     # q/k and AdaLN stay bf16 per the measured selective policy
@@ -181,9 +195,12 @@ class TSDSRPipeline:
     ``mesh``: optional ``jax.sharding.Mesh`` with ('data', 'model') axes —
     the SD3 transformer is tensor-parallel over 'model' (Megatron col/row,
     parallel/sharding.sd3_param_shardings) and the latent tile batches are
-    data-parallel over 'data', so the heaviest pipeline stage (~15.7 s
-    single-chip at 512²→2048²) scales over a v5e-8.  The VAE stays
-    replicated (convs, a small fraction of the stage)."""
+    data-parallel over 'data', so the heaviest pipeline stage scales over
+    a v5e-8.  VAE params stay replicated; its tile batches are
+    data-parallel like the transformer's.  The stage is VAE-dominated:
+    batching + jitting the ~50 per-tile VAE dispatches measured
+    12.4 s -> 4.73 s single-chip at 512²→2048² (int8_serving is neutral
+    here — the transformer is a minor fraction of the stage)."""
 
     def __init__(
         self,
@@ -258,7 +275,7 @@ class TSDSRPipeline:
         if max(x.shape[1:3]) > cfg.vae_encoder_tile:
             lq_latent = self._tiled_encode(x)
         else:
-            lq_latent = vae_encode(self.vae_params, self.vae_cfg, x)
+            lq_latent = _vae_encode_jit(self.vae_params, self.vae_cfg, x)
 
         B = 1
         S_txt = 154 if self.prompt_embeds is None else self.prompt_embeds.shape[-2]
@@ -330,31 +347,74 @@ class TSDSRPipeline:
             out = adain_color_fix(out, up)
         return jnp.clip(out, 0.0, 1.0)
 
+    def _run_tile_batches(self, fn, tiles: jnp.ndarray, bs: int) -> jnp.ndarray:
+        """Run ``fn`` over [N, t, t, C] stacked tiles in ``bs``-sized
+        chunks — one big dispatch per chunk instead of one per tile (each
+        eager dispatch also pays the host->device round-trip).  On a mesh
+        the chunk batch is data-parallel (padded to the 'data' axis)."""
+        outs = []
+        for i in range(0, tiles.shape[0], bs):
+            chunk = tiles[i : i + bs]
+            if self.mesh is not None:
+                from ...parallel.sharding import data_sharding
+
+                nb = chunk.shape[0]
+                pad = (-nb) % self.mesh.shape["data"]
+                if pad:
+                    chunk = jnp.concatenate(
+                        [chunk,
+                         jnp.broadcast_to(
+                             chunk[:1], (pad,) + chunk.shape[1:])],
+                        axis=0,
+                    )
+                with jax.set_mesh(self.mesh):
+                    chunk = jax.device_put(
+                        chunk, data_sharding(self.mesh, 4))
+                    outs.append(fn(chunk)[:nb])
+            else:
+                outs.append(fn(chunk))
+        return jnp.concatenate(outs, axis=0)
+
     def _tiled_encode(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         ds = self.vae_cfg.downscale
         tile = cfg.vae_encoder_tile
         _, H, W, _ = x.shape
+        offs = [
+            (oy, ox)
+            for oy in _tile_offsets(H, tile, tile // 4)
+            for ox in _tile_offsets(W, tile, tile // 4)
+        ]
+        tiles = jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(
+                    x, (0, oy, ox, 0), (1, tile, tile, x.shape[-1]))
+                for oy, ox in offs
+            ],
+            axis=0,
+        )
+        t_out = self._run_tile_batches(
+            lambda b: _vae_encode_jit(self.vae_params, self.vae_cfg, b),
+            tiles, self.cfg.vae_encode_batch,
+        ).astype(jnp.float32)
         lat = jnp.zeros((1, H // ds, W // ds, self.vae_cfg.latent_channels), jnp.float32)
         cnt = jnp.zeros((1, H // ds, W // ds, 1), jnp.float32)
         w = gaussian_tile_weights(tile // ds)[None, :, :, None]
-        for oy in _tile_offsets(H, tile, tile // 4):
-            for ox in _tile_offsets(W, tile, tile // 4):
-                t_out = vae_encode(
-                    self.vae_params, self.vae_cfg,
-                    jax.lax.dynamic_slice(x, (0, oy, ox, 0), (1, tile, tile, x.shape[-1])),
-                )
-                ly, lx = oy // ds, ox // ds
-                lat = jax.lax.dynamic_update_slice(
-                    lat,
-                    jax.lax.dynamic_slice(lat, (0, ly, lx, 0), t_out.shape) + t_out * w,
-                    (0, ly, lx, 0),
-                )
-                cnt = jax.lax.dynamic_update_slice(
-                    cnt,
-                    jax.lax.dynamic_slice(cnt, (0, ly, lx, 0), (1, tile // ds, tile // ds, 1)) + w,
-                    (0, ly, lx, 0),
-                )
+        lt = tile // ds
+        for n, (oy, ox) in enumerate(offs):
+            ly, lx = oy // ds, ox // ds
+            lat = jax.lax.dynamic_update_slice(
+                lat,
+                jax.lax.dynamic_slice(
+                    lat, (0, ly, lx, 0), (1, lt, lt, lat.shape[-1]))
+                + t_out[n : n + 1] * w,
+                (0, ly, lx, 0),
+            )
+            cnt = jax.lax.dynamic_update_slice(
+                cnt,
+                jax.lax.dynamic_slice(cnt, (0, ly, lx, 0), (1, lt, lt, 1)) + w,
+                (0, ly, lx, 0),
+            )
         return lat / jnp.maximum(cnt, 1e-8)
 
     def _tiled_decode(self, lat: jnp.ndarray) -> jnp.ndarray:
@@ -363,25 +423,38 @@ class TSDSRPipeline:
         tile = cfg.vae_decoder_tile
         _, h, w_, C = lat.shape
         if h <= tile and w_ <= tile:
-            return vae_decode(self.vae_params, self.vae_cfg, lat)
+            return _vae_decode_jit(self.vae_params, self.vae_cfg, lat)
+        offs = [
+            (oy, ox)
+            for oy in _tile_offsets(h, tile, tile // 4)
+            for ox in _tile_offsets(w_, tile, tile // 4)
+        ]
+        tiles = jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(lat, (0, oy, ox, 0), (1, tile, tile, C))
+                for oy, ox in offs
+            ],
+            axis=0,
+        )
+        t_out = self._run_tile_batches(
+            lambda b: _vae_decode_jit(self.vae_params, self.vae_cfg, b),
+            tiles, self.cfg.vae_decode_batch,
+        ).astype(jnp.float32)
         out = jnp.zeros((1, h * ds, w_ * ds, 3), jnp.float32)
         cnt = jnp.zeros((1, h * ds, w_ * ds, 1), jnp.float32)
         wgt = gaussian_tile_weights(tile * ds)[None, :, :, None]
-        for oy in _tile_offsets(h, tile, tile // 4):
-            for ox in _tile_offsets(w_, tile, tile // 4):
-                t_out = vae_decode(
-                    self.vae_params, self.vae_cfg,
-                    jax.lax.dynamic_slice(lat, (0, oy, ox, 0), (1, tile, tile, C)),
-                )
-                py, px = oy * ds, ox * ds
-                out = jax.lax.dynamic_update_slice(
-                    out,
-                    jax.lax.dynamic_slice(out, (0, py, px, 0), t_out.shape) + t_out * wgt,
-                    (0, py, px, 0),
-                )
-                cnt = jax.lax.dynamic_update_slice(
-                    cnt,
-                    jax.lax.dynamic_slice(cnt, (0, py, px, 0), (1, tile * ds, tile * ds, 1)) + wgt,
-                    (0, py, px, 0),
-                )
+        pt = tile * ds
+        for n, (oy, ox) in enumerate(offs):
+            py, px = oy * ds, ox * ds
+            out = jax.lax.dynamic_update_slice(
+                out,
+                jax.lax.dynamic_slice(out, (0, py, px, 0), (1, pt, pt, 3))
+                + t_out[n : n + 1] * wgt,
+                (0, py, px, 0),
+            )
+            cnt = jax.lax.dynamic_update_slice(
+                cnt,
+                jax.lax.dynamic_slice(cnt, (0, py, px, 0), (1, pt, pt, 1)) + wgt,
+                (0, py, px, 0),
+            )
         return out / jnp.maximum(cnt, 1e-8)
