@@ -27,7 +27,7 @@ import numpy as np
 from .config import FluxConfig
 from .model import flux_forward
 from .scheduler import FlowMatchEulerScheduler
-from .vae import VAEConfig, vae_decode, vae_encode
+from .vae import VAEConfig, vae_decode_jit, vae_encode_jit
 
 
 def pack_latents(latents: jnp.ndarray) -> jnp.ndarray:
@@ -250,14 +250,14 @@ def run_flux_pipeline(
     cond_ids = []
     if control_image is not None:
         ctrl = control_image[None] * 2.0 - 1.0
-        lat = vae_encode(vae_params, vae_cfg, ctrl)
+        lat = vae_encode_jit(vae_params, vae_cfg, ctrl)
         cond_tokens.append(pack_latents(lat))
         cond_ids.append(
             latent_image_ids(lat.shape[1] // 2, lat.shape[2] // 2, offset_y=HL // 2)
         )
     if dual_image is not None:
         dual = dual_image[None] * 2.0 - 1.0
-        lat = vae_encode(vae_params, vae_cfg, dual)
+        lat = vae_encode_jit(vae_params, vae_cfg, dual)
         cond_tokens.append(pack_latents(lat))
         cond_ids.append(
             latent_image_ids(
@@ -304,7 +304,7 @@ def run_flux_pipeline(
         ),
     )
     latents = unpack_latents(out_tokens, HL, WL)
-    image = vae_decode(vae_params, vae_cfg, latents)[0]
+    image = vae_decode_jit(vae_params, vae_cfg, latents)[0]
     return jnp.clip(image * 0.5 + 0.5, 0.0, 1.0)
 
 
@@ -338,7 +338,7 @@ def run_flux_inpaint(
     C_lat = vae_cfg.latent_channels
     B = 1
 
-    x0 = vae_encode(vae_params, vae_cfg, image[None] * 2.0 - 1.0)
+    x0 = vae_encode_jit(vae_params, vae_cfg, image[None] * 2.0 - 1.0)
     x0_tokens = pack_latents(x0)
     S = x0_tokens.shape[1]
 
@@ -384,5 +384,5 @@ def run_flux_inpaint(
         fixed_noise=noise_tokens if mask is not None else None,
     )
     latents = unpack_latents(out_tokens, HL, WL)
-    out = vae_decode(vae_params, vae_cfg, latents)[0]
+    out = vae_decode_jit(vae_params, vae_cfg, latents)[0]
     return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)

@@ -14,6 +14,7 @@ NHWC layout throughout (TPU-native conv layout).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, Tuple
 
@@ -235,3 +236,17 @@ def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndar
             x = jax.image.resize(x, (N, H * 2, W * 2, C), method="nearest")
             x = conv(level["upsample"], x)
     return conv(dec["conv_out"], jax.nn.silu(group_norm(x, dec["norm_out"], g)))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def vae_encode_jit(params: Params, cfg: VAEConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """Jitted :func:`vae_encode` — one fused device program instead of an
+    eager per-conv dispatch chain (each eager op pays scheduling overhead;
+    through the remote-exec tunnel that dominated the tiled-VAE SR stage)."""
+    return vae_encode(params, cfg, images)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def vae_decode_jit(params: Params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
+    """Jitted :func:`vae_decode` (see :func:`vae_encode_jit`)."""
+    return vae_decode(params, cfg, latents)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..flux.vae import VAEConfig, vae_decode, vae_encode
+from ..flux.vae import VAEConfig, vae_decode_jit, vae_encode_jit
 from .color_fix import adain_color_fix, wavelet_color_fix
 from .config import SD3Config
 from .model import sd3_forward
@@ -38,16 +38,6 @@ def _sd3_tile_step(params, cfg, lat_tiles, prompt, t, pooled):
     """One jitted transformer dispatch over a tile batch — cached across
     calls so the mesh path doesn't retrace per tile chunk."""
     return sd3_forward(params, cfg, lat_tiles, prompt, t, pooled)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _vae_encode_jit(params, cfg, x):
-    return vae_encode(params, cfg, x)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _vae_decode_jit(params, cfg, lat):
-    return vae_decode(params, cfg, lat)
 
 
 def gaussian_tile_weights(tile: int, var: float = 0.01) -> jnp.ndarray:
@@ -275,7 +265,7 @@ class TSDSRPipeline:
         if max(x.shape[1:3]) > cfg.vae_encoder_tile:
             lq_latent = self._tiled_encode(x)
         else:
-            lq_latent = _vae_encode_jit(self.vae_params, self.vae_cfg, x)
+            lq_latent = vae_encode_jit(self.vae_params, self.vae_cfg, x)
 
         B = 1
         S_txt = 154 if self.prompt_embeds is None else self.prompt_embeds.shape[-2]
@@ -394,7 +384,7 @@ class TSDSRPipeline:
             axis=0,
         )
         t_out = self._run_tile_batches(
-            lambda b: _vae_encode_jit(self.vae_params, self.vae_cfg, b),
+            lambda b: vae_encode_jit(self.vae_params, self.vae_cfg, b),
             tiles, self.cfg.vae_encode_batch,
         ).astype(jnp.float32)
         lat = jnp.zeros((1, H // ds, W // ds, self.vae_cfg.latent_channels), jnp.float32)
@@ -423,7 +413,7 @@ class TSDSRPipeline:
         tile = cfg.vae_decoder_tile
         _, h, w_, C = lat.shape
         if h <= tile and w_ <= tile:
-            return _vae_decode_jit(self.vae_params, self.vae_cfg, lat)
+            return vae_decode_jit(self.vae_params, self.vae_cfg, lat)
         offs = [
             (oy, ox)
             for oy in _tile_offsets(h, tile, tile // 4)
@@ -437,7 +427,7 @@ class TSDSRPipeline:
             axis=0,
         )
         t_out = self._run_tile_batches(
-            lambda b: _vae_decode_jit(self.vae_params, self.vae_cfg, b),
+            lambda b: vae_decode_jit(self.vae_params, self.vae_cfg, b),
             tiles, self.cfg.vae_decode_batch,
         ).astype(jnp.float32)
         out = jnp.zeros((1, h * ds, w_ * ds, 3), jnp.float32)
