@@ -61,6 +61,10 @@ def main():
                     help="int8 + weight-only storage (12B on one 16 GB chip)")
     ap.add_argument("--small", action="store_true",
                     help="reduced resolutions (smoke tests / CPU)")
+    ap.add_argument("--fast-steps", type=int, default=0,
+                    help="denoise steps served by velocity extrapolation "
+                         "instead of a transformer evaluation (training-"
+                         "free speedup; 0 = the exact 28-step schedule)")
     args = ap.parse_args()
 
     from unitex_tpu.pipeline import CustomRGBTextureFullPipeline
@@ -75,6 +79,19 @@ def main():
             camera=CameraConfig(view_size=64),
             mesh=MeshConfig(min_faces=500, max_faces=4000, uv_size=256),
             bake=BakeConfig(uv_size=256),
+        )
+
+    if args.fast_steps:
+        import dataclasses
+
+        from unitex_tpu.config import DEFAULT_CONFIG
+
+        base = config if config is not None else DEFAULT_CONFIG
+        config = dataclasses.replace(
+            base,
+            diffusion=dataclasses.replace(
+                base.diffusion, velocity_reuse=args.fast_steps
+            ),
         )
 
     jobs = discover_jobs(args.jobs)
