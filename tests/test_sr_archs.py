@@ -172,3 +172,73 @@ def test_unsupported_scale_raises():
         init_edsr_params(jax.random.PRNGKey(0), EDSRConfig(scale=5))
     with pytest.raises(ValueError):
         init_msrresnet_params(jax.random.PRNGKey(0), MSRResNetConfig(scale=5))
+
+
+class TestECBSR:
+    """Re-parameterizable edge-oriented blocks (ecbsr_arch.py): the
+    structural multi-branch forward must equal the collapsed single-conv
+    serving forward exactly (the reference's rep_params contract)."""
+
+    @pytest.mark.parametrize("with_idt", [False, True])
+    def test_reparam_parity(self, with_idt):
+        from unitex_tpu.models.sr_archs import (
+            ECBSRConfig, ecbsr_forward, ecbsr_forward_rep,
+            ecbsr_reparameterize, init_ecbsr_params)
+
+        cfg = ECBSRConfig(num_block=2, num_channel=8, scale=2,
+                          with_idt=with_idt)
+        p = init_ecbsr_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 12, 10, 3))
+        y_struct = ecbsr_forward(p, cfg, x)
+        y_rep = ecbsr_forward_rep(ecbsr_reparameterize(p, cfg), cfg, x)
+        assert y_struct.shape == (2, 24, 20, 3)
+        np.testing.assert_allclose(np.asarray(y_struct), np.asarray(y_rep),
+                                   atol=2e-5)
+
+    def test_single_channel_shortcut(self):
+        from unitex_tpu.models.sr_archs import (
+            ECBSRConfig, ecbsr_forward, init_ecbsr_params)
+
+        cfg = ECBSRConfig(num_in_ch=1, num_out_ch=1, num_block=1,
+                          num_channel=4, scale=2)
+        p = init_ecbsr_params(jax.random.PRNGKey(0), cfg)
+        out = ecbsr_forward(p, cfg, jnp.ones((1, 8, 8, 1)))
+        assert out.shape == (1, 16, 16, 1)
+
+    def test_gradients_flow(self):
+        from unitex_tpu.models.sr_archs import (
+            ECBSRConfig, ecbsr_forward, init_ecbsr_params)
+
+        cfg = ECBSRConfig.tiny()
+        p = init_ecbsr_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 3))
+        g = jax.grad(lambda q: jnp.sum(ecbsr_forward(q, cfg, x) ** 2))(p)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+class TestRIDNet:
+    def test_forward_shape_and_residual(self):
+        from unitex_tpu.models.sr_archs import (
+            RIDNetConfig, init_ridnet_params, ridnet_forward)
+
+        cfg = RIDNetConfig.tiny()
+        p = init_ridnet_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3)) * 255.0
+        out = ridnet_forward(p, cfg, x)
+        assert out.shape == x.shape
+        assert bool(jnp.isfinite(out).all())
+
+    def test_mean_shift_roundtrip(self):
+        """sub_mean then add_mean is the identity (same eye/std kernel,
+        opposite-sign bias)."""
+        from unitex_tpu.models.sr_archs import RIDNetConfig, _mean_shift_params
+        from unitex_tpu.models.sr_archs import _conv
+
+        cfg = RIDNetConfig()
+        sub = _mean_shift_params(cfg, -1)
+        add = _mean_shift_params(cfg, 1)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 4, 4, 3)) * 255.0
+        y = _conv(add, _conv(sub, x))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-3)

@@ -313,3 +313,173 @@ class TestLoaderRobustness:
         conv_sd(sd, "body.2", 8, 48)
         with pytest.raises(ValueError, match="leakyrelu"):
             sc.convert_srvgg(sd)
+
+
+def bn_sd(sd, name, c):
+    sd[f"{name}.weight"] = np.ones(c, np.float32)
+    sd[f"{name}.bias"] = np.zeros(c, np.float32)
+    sd[f"{name}.running_mean"] = np.zeros(c, np.float32)
+    sd[f"{name}.running_var"] = np.ones(c, np.float32)
+
+
+class TestExtraArchs:
+    def test_ecbsr(self):
+        cfg = sa.ECBSRConfig(num_block=2, num_channel=8, scale=2)
+        nc, m = cfg.num_channel, cfg.depth_multiplier
+        sd = {}
+        dims = [(cfg.num_in_ch, nc)] + [(nc, nc)] * cfg.num_block \
+            + [(nc, cfg.num_out_ch * cfg.scale**2)]
+        for i, (cin, cout) in enumerate(dims):
+            b = f"backbone.{i}"
+            conv_sd(sd, f"{b}.conv3x3", cin, cout)
+            mid = int(cout * m)
+            sd[f"{b}.conv1x1_3x3.k0"] = rng.normal(
+                size=(mid, cin, 1, 1)).astype(np.float32) * 0.05
+            sd[f"{b}.conv1x1_3x3.b0"] = np.zeros(mid, np.float32)
+            sd[f"{b}.conv1x1_3x3.k1"] = rng.normal(
+                size=(cout, mid, 3, 3)).astype(np.float32) * 0.05
+            sd[f"{b}.conv1x1_3x3.b1"] = np.zeros(cout, np.float32)
+            for br in ("sbx", "sby", "lpl"):
+                sd[f"{b}.conv1x1_{br}.k0"] = rng.normal(
+                    size=(cout, cin, 1, 1)).astype(np.float32) * 0.05
+                sd[f"{b}.conv1x1_{br}.b0"] = np.zeros(cout, np.float32)
+                sd[f"{b}.conv1x1_{br}.scale"] = rng.normal(
+                    size=(cout, 1, 1, 1)).astype(np.float32) * 1e-3
+                sd[f"{b}.conv1x1_{br}.bias"] = np.zeros(cout, np.float32)
+                sd[f"{b}.conv1x1_{br}.mask"] = np.zeros((cout, 1, 3, 3), np.float32)
+            if i < len(dims) - 1:
+                sd[f"{b}.act.weight"] = np.full(cout, 0.25, np.float32)
+        p = sc.convert_ecbsr(sd)
+        assert_matches_init(p, sa.init_ecbsr_params(jax.random.PRNGKey(0), cfg))
+        x = jnp.asarray(rng.uniform(size=(1, 8, 8, 3)), jnp.float32)
+        out = sa.ecbsr_forward(p, cfg, x)
+        rep = sa.ecbsr_reparameterize(p, cfg)
+        out2 = sa.ecbsr_forward_rep(rep, cfg, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+    def test_ridnet(self):
+        cfg = sa.RIDNetConfig.tiny()
+        nf, sq = cfg.mid_channels, cfg.squeeze_factor
+        sd = {}
+        conv_sd(sd, "sub_mean", 3, 3, k=1)
+        conv_sd(sd, "add_mean", 3, 3, k=1)
+        conv_sd(sd, "head", cfg.in_channels, nf)
+        for i in range(cfg.num_block):
+            b = f"body.{i}"
+            conv_sd(sd, f"{b}.merge.dilation1.0", nf, nf)
+            conv_sd(sd, f"{b}.merge.dilation1.2", nf, nf)
+            conv_sd(sd, f"{b}.merge.dilation2.0", nf, nf)
+            conv_sd(sd, f"{b}.merge.dilation2.2", nf, nf)
+            conv_sd(sd, f"{b}.merge.aggregation.0", 2 * nf, nf)
+            conv_sd(sd, f"{b}.block1.conv1", nf, nf)
+            conv_sd(sd, f"{b}.block1.conv2", nf, nf)
+            conv_sd(sd, f"{b}.block2.body.0", nf, nf)
+            conv_sd(sd, f"{b}.block2.body.2", nf, nf)
+            conv_sd(sd, f"{b}.block2.body.4", nf, nf, k=1)
+            conv_sd(sd, f"{b}.ca.attention.1", nf, nf // sq, k=1)
+            conv_sd(sd, f"{b}.ca.attention.3", nf // sq, nf, k=1)
+        conv_sd(sd, "tail", nf, cfg.out_channels)
+        p = sc.convert_ridnet(sd)
+        assert_matches_init(p, sa.init_ridnet_params(jax.random.PRNGKey(0), cfg))
+        out = sa.ridnet_forward(
+            p, cfg, jnp.asarray(rng.uniform(size=(1, 8, 8, 3)), jnp.float32))
+        assert bool(jnp.isfinite(out).all())
+
+    def test_toflow(self):
+        sd = {}
+        chans = ((8, 32), (32, 64), (64, 32), (32, 16), (16, 2))
+        for i in range(4):
+            base = f"spynet.basic_module.{i}.basic_module"
+            for j, (idx, (cin, cout)) in enumerate(zip((0, 3, 6, 9, 12), chans)):
+                sd[f"{base}.{idx}.weight"] = rng.normal(
+                    size=(cout, cin, 7, 7)).astype(np.float32) * 0.02
+                if j == 4:
+                    sd[f"{base}.{idx}.bias"] = np.zeros(cout, np.float32)
+                else:
+                    bn_sd(sd, f"{base}.{idx + 1}", cout)
+        sd["conv_1.weight"] = rng.normal(size=(64, 21, 9, 9)).astype(np.float32) * 0.02
+        sd["conv_1.bias"] = np.zeros(64, np.float32)
+        conv_sd(sd, "conv_2", 64, 64, k=9)
+        conv_sd(sd, "conv_3", 64, 64, k=1)
+        conv_sd(sd, "conv_4", 64, 3, k=1)
+        p = sc.convert_toflow(sd)
+        assert_matches_init(p, vs.init_toflow_params(jax.random.PRNGKey(0)))
+        out = vs.toflow_forward(
+            p, jnp.asarray(rng.uniform(size=(7, 32, 32, 3)), jnp.float32))
+        assert out.shape == (32, 32, 3)
+
+    def test_duf(self):
+        cfg = vs.DUFConfig.tiny()
+        nb, gc, s2 = cfg.num_block, cfg.num_grow_ch, cfg.scale ** 2
+        sd = {}
+
+        def c3_sd(name, cin, cout, kt, k):
+            sd[f"{name}.weight"] = rng.normal(
+                size=(cout, cin, kt, k, k)).astype(np.float32) * 0.02
+            sd[f"{name}.bias"] = np.zeros(cout, np.float32)
+
+        def unit_sd(prefix, cin):
+            bn_sd(sd, f"{prefix}.0", cin)
+            c3_sd(f"{prefix}.2", cin, cin, 1, 1)
+            bn_sd(sd, f"{prefix}.3", cin)
+            c3_sd(f"{prefix}.5", cin, gc, 3, 3)
+
+        c3_sd("conv3d1", 3, 64, 1, 3)
+        for i in range(nb):
+            unit_sd(f"dense_block1.dense_blocks.{i}", 64 + i * gc)
+        c1 = 64 + nb * gc
+        for j, cin in enumerate((c1, c1 + gc, c1 + 2 * gc)):
+            unit_sd(f"dense_block2.temporal_reduce{j + 1}", cin)
+        ch = c1 + 3 * gc
+        bn_sd(sd, "bn3d2", ch)
+        c3_sd("conv3d2", ch, 256, 1, 3)
+        c3_sd("conv3d_r1", 256, 256, 1, 1)
+        c3_sd("conv3d_r2", 256, 3 * s2, 1, 1)
+        c3_sd("conv3d_f1", 256, 512, 1, 1)
+        c3_sd("conv3d_f2", 512, 25 * s2, 1, 1)
+        p = sc.convert_duf(sd)
+        assert_matches_init(p, vs.init_duf_params(jax.random.PRNGKey(0), cfg))
+        out = vs.duf_forward(
+            p, cfg, jnp.asarray(rng.uniform(size=(7, 8, 8, 3)), jnp.float32))
+        assert out.shape == (8 * cfg.scale, 8 * cfg.scale, 3)
+
+    def test_basicvsrpp(self):
+        cfg = vs.BasicVSRPPConfig.tiny()
+        mid, G = cfg.mid_channels, cfg.deformable_groups
+        sd = {}
+        for i in range(6):
+            base = f"spynet.basic_module.{i}.basic_module"
+            for idx, (cin, cout) in zip((0, 2, 4, 6, 8),
+                                        ((8, 32), (32, 64), (64, 32),
+                                         (32, 16), (16, 2))):
+                sd[f"{base}.{idx}.weight"] = rng.normal(
+                    size=(cout, cin, 7, 7)).astype(np.float32) * 0.02
+                sd[f"{base}.{idx}.bias"] = np.zeros(cout, np.float32)
+
+        def trunk_sd(name, cin, n):
+            conv_sd(sd, f"{name}.main.0", cin, mid)
+            for i in range(n):
+                conv_sd(sd, f"{name}.main.2.{i}.conv1", mid, mid)
+                conv_sd(sd, f"{name}.main.2.{i}.conv2", mid, mid)
+
+        trunk_sd("feat_extract", 3, 5)
+        for i, name in enumerate(("backward_1", "forward_1",
+                                  "backward_2", "forward_2")):
+            da = f"deform_align.{name}"
+            conv_sd(sd, da, 2 * mid, mid)
+            conv_sd(sd, f"{da}.conv_offset.0", 3 * mid + 4, mid)
+            conv_sd(sd, f"{da}.conv_offset.2", mid, mid)
+            conv_sd(sd, f"{da}.conv_offset.4", mid, mid)
+            conv_sd(sd, f"{da}.conv_offset.6", mid, 27 * G)
+            trunk_sd(f"backbone.{name}", (2 + i) * mid, cfg.num_blocks)
+        trunk_sd("reconstruction", 5 * mid, 5)
+        conv_sd(sd, "upconv1", mid, mid * 4)
+        conv_sd(sd, "upconv2", mid, 64 * 4)
+        conv_sd(sd, "conv_hr", 64, 64)
+        conv_sd(sd, "conv_last", 64, 3)
+        p = sc.convert_basicvsrpp(sd)
+        assert_matches_init(
+            p, vs.init_basicvsrpp_params(jax.random.PRNGKey(0), cfg))
+        out = vs.basicvsrpp_forward(
+            p, cfg, jnp.asarray(rng.uniform(size=(3, 32, 32, 3)), jnp.float32))
+        assert out.shape == (3, 128, 128, 3)

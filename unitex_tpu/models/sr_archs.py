@@ -16,6 +16,11 @@ production single-image family is provided here in functional jnp:
   blocks).
 - VGGStyleDiscriminator — basicsr/archs/discriminator_arch.py (SRGAN/
   ESRGAN adversarial training head; batch-statistic norm kept functional).
+- ECBSR — basicsr/archs/ecbsr_arch.py (re-parameterizable edge-oriented
+  blocks; ``ecbsr_reparameterize`` collapses each block into one 3x3 conv
+  for serving — the TPU-ideal inference form).
+- RIDNet — basicsr/archs/ridnet_arch.py (real-image denoising: merge-and-
+  run dilated branches + enhancement attention modules).
 
 Deep trunks are stacked [L, ...] and lax.scan-ed (depth-constant compile,
 the repo-wide convention). Params are nested dicts of f32 leaves.
@@ -29,6 +34,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = Dict[str, jnp.ndarray]
 
@@ -518,3 +524,275 @@ def vgg_discriminator_forward(
     feat = feat.reshape(feat.shape[0], -1)
     h = _lrelu02(feat @ params["linear1"]["kernel"] + params["linear1"]["bias"])
     return h @ params["linear2"]["kernel"] + params["linear2"]["bias"]
+
+
+# ---------------------------------------------------------------------------
+# ECBSR (ecbsr_arch.py) — re-parameterizable edge-oriented blocks
+# ---------------------------------------------------------------------------
+#
+# Training form: each block is conv3x3 + (1x1->3x3) + three (1x1->fixed edge
+# filter) branches summed (+ optional identity), PReLU between blocks
+# (basicsr/archs/ecbsr_arch.py:155-231).  Serving form: every block collapses
+# EXACTLY into one zero-padded 3x3 conv (ecbsr_reparameterize) — the branch
+# composition is linear because the reference pads the intermediate 1x1
+# output with its own bias (ecbsr_arch.py:104-128), which equals composing
+# zero-padded convs.  On TPU we re-param once at load and serve a scanned
+# stack of plain convs.
+
+_SOBEL_X = np.array([[1.0, 0.0, -1.0], [2.0, 0.0, -2.0], [1.0, 0.0, -1.0]],
+                    np.float32)
+_SOBEL_Y = _SOBEL_X.T.copy()
+_LAPLACIAN = np.array([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]],
+                      np.float32)
+_ECB_MASKS = {"sbx": _SOBEL_X, "sby": _SOBEL_Y, "lpl": _LAPLACIAN}
+
+
+@dataclasses.dataclass(frozen=True)
+class ECBSRConfig:
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    num_block: int = 4       # trunk blocks between the head/tail ECBs
+    num_channel: int = 16
+    with_idt: bool = False
+    act_type: str = "prelu"  # prelu | relu | linear (trunk; tail is linear)
+    scale: int = 2
+    depth_multiplier: float = 2.0
+
+    @classmethod
+    def tiny(cls) -> "ECBSRConfig":
+        return cls(num_block=1, num_channel=8, scale=2)
+
+
+def _ecb_init(key, cin, cout, mult, act_type):
+    ks = jax.random.split(key, 9)
+    mid = int(cout * mult)
+    p = {
+        "conv3x3": _conv_init(ks[0], 3, cin, cout),
+        "c13_k0": _conv_init(ks[1], 1, cin, mid),
+        "c13_k1": _conv_init(ks[2], 3, mid, cout),
+    }
+    for bi, br in enumerate(("sbx", "sby", "lpl")):
+        p[f"{br}_k0"] = _conv_init(ks[3 + bi], 1, cin, cout)
+        p[f"{br}_scale"] = jax.random.normal(ks[6], (cout,)) * 1e-3
+        p[f"{br}_bias"] = jax.random.normal(ks[7], (cout,)) * 1e-3
+    if act_type == "prelu":
+        p["prelu"] = jnp.full((cout,), 0.25, jnp.float32)
+    return p
+
+
+def _conv_valid(kernel, x):
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _ecb_branches(p, x, with_idt):
+    """Structural (training-form) ECB forward: five branches summed.
+    The 1x1 intermediates are padded with their bias (= zero-pad the
+    biasless output, then add b0 everywhere including the ring)."""
+    cout = p["conv3x3"]["kernel"].shape[-1]
+    y = _conv(p["conv3x3"], x)
+    pad = ((0, 0), (1, 1), (1, 1), (0, 0))
+    y0 = jnp.pad(_conv_valid(p["c13_k0"]["kernel"], x), pad) + p["c13_k0"]["bias"]
+    y = y + _conv_valid(p["c13_k1"]["kernel"], y0) + p["c13_k1"]["bias"]
+    for br, mask in _ECB_MASKS.items():
+        y0 = jnp.pad(_conv_valid(p[f"{br}_k0"]["kernel"], x), pad) \
+            + p[f"{br}_k0"]["bias"]
+        dw = (jnp.asarray(mask)[:, :, None, None]
+              * p[f"{br}_scale"][None, None, None, :])  # [3,3,1,cout]
+        y = y + jax.lax.conv_general_dilated(
+            y0, dw, (1, 1), "VALID", feature_group_count=cout,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p[f"{br}_bias"]
+    # identity only when shapes allow (ecbsr_arch.py:177-180)
+    if with_idt and x.shape[-1] == cout:
+        y = y + x
+    return y
+
+
+def _ecb_rep(p, with_idt):
+    """Collapse one ECB's branches into a single 3x3 conv (rep_params,
+    ecbsr_arch.py:213-231), in HWIO layout."""
+    k = p["conv3x3"]["kernel"]
+    b = p["conv3x3"]["bias"]
+    # conv1x1 -> conv3x3
+    k0, b0 = p["c13_k0"]["kernel"][0, 0], p["c13_k0"]["bias"]
+    k1, b1 = p["c13_k1"]["kernel"], p["c13_k1"]["bias"]
+    k = k + jnp.einsum("cm,hwmo->hwco", k0, k1)
+    b = b + jnp.einsum("hwmo,m->o", k1, b0) + b1
+    # conv1x1 -> fixed depthwise edge filter
+    for br, mask in _ECB_MASKS.items():
+        k0, b0 = p[f"{br}_k0"]["kernel"][0, 0], p[f"{br}_k0"]["bias"]
+        dw = jnp.asarray(mask)[:, :, None] * p[f"{br}_scale"]  # [3,3,cout]
+        k = k + jnp.einsum("co,hwo->hwco", k0, dw)
+        b = b + jnp.sum(dw, axis=(0, 1)) * b0 + p[f"{br}_bias"]
+    if with_idt and k.shape[-2] == k.shape[-1]:
+        k = k.at[1, 1].add(jnp.eye(k.shape[-1], dtype=k.dtype))
+    out = {"kernel": k, "bias": b}
+    if "prelu" in p:
+        out["prelu"] = p["prelu"]
+    return out
+
+
+def init_ecbsr_params(key, cfg: ECBSRConfig) -> Params:
+    ks = jax.random.split(key, cfg.num_block + 2)
+    nc, m = cfg.num_channel, cfg.depth_multiplier
+    return {
+        "head": _ecb_init(ks[0], cfg.num_in_ch, nc, m, cfg.act_type),
+        "body": jax.tree.map(lambda *xs: jnp.stack(xs), *[
+            _ecb_init(ks[1 + i], nc, nc, m, cfg.act_type)
+            for i in range(cfg.num_block)
+        ]) if cfg.num_block else None,
+        "tail": _ecb_init(ks[-1], nc, cfg.num_out_ch * cfg.scale**2, m,
+                          "linear"),
+    }
+
+
+def _ecb_act(p, x, act_type):
+    if act_type == "prelu":
+        return _prelu(x, p["prelu"])
+    if act_type == "relu":
+        return jax.nn.relu(x)
+    return x
+
+
+def ecbsr_forward(params: Params, cfg: ECBSRConfig, x: jnp.ndarray):
+    """Structural forward (training): x [N,H,W,C] in [0,1] ->
+    [N,sH,sW,C] (ecbsr_arch.py:267-274; global nearest-up skip via
+    channel-repeat + pixel shuffle)."""
+    y = _ecb_act(params["head"], _ecb_branches(params["head"], x,
+                                               cfg.with_idt), cfg.act_type)
+    if params["body"] is not None:
+        def body(h, blk):
+            return _ecb_act(blk, _ecb_branches(blk, h, cfg.with_idt),
+                            cfg.act_type), None
+        y, _ = jax.lax.scan(body, y, params["body"])
+    y = _ecb_branches(params["tail"], y, cfg.with_idt)
+    shortcut = jnp.repeat(x, cfg.scale**2, axis=-1) if cfg.num_in_ch > 1 else x
+    return pixel_shuffle(y + shortcut, cfg.scale)
+
+
+def ecbsr_reparameterize(params: Params, cfg: ECBSRConfig) -> Params:
+    """Collapse every block to one conv; run with ecbsr_forward_rep."""
+    return {
+        "head": _ecb_rep(params["head"], cfg.with_idt),
+        "body": jax.vmap(lambda p: _ecb_rep(p, cfg.with_idt))(params["body"])
+        if params["body"] is not None else None,
+        "tail": _ecb_rep(params["tail"], cfg.with_idt),
+    }
+
+
+def ecbsr_forward_rep(params: Params, cfg: ECBSRConfig, x: jnp.ndarray):
+    """Serving forward over re-parameterized single-conv blocks."""
+    y = _ecb_act(params["head"], _conv(params["head"], x), cfg.act_type)
+    if params["body"] is not None:
+        def body(h, blk):
+            return _ecb_act(blk, _conv(blk, h), cfg.act_type), None
+        y, _ = jax.lax.scan(body, y, params["body"])
+    y = _conv(params["tail"], y)
+    shortcut = jnp.repeat(x, cfg.scale**2, axis=-1) if cfg.num_in_ch > 1 else x
+    return pixel_shuffle(y + shortcut, cfg.scale)
+
+
+# ---------------------------------------------------------------------------
+# RIDNet (ridnet_arch.py) — real image denoising with feature attention
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RIDNetConfig:
+    in_channels: int = 3
+    mid_channels: int = 64
+    out_channels: int = 3
+    num_block: int = 4
+    img_range: float = 255.0
+    rgb_mean: tuple = (0.4488, 0.4371, 0.4040)
+    rgb_std: tuple = (1.0, 1.0, 1.0)
+    squeeze_factor: int = 16
+
+    @classmethod
+    def tiny(cls) -> "RIDNetConfig":
+        return cls(mid_channels=16, num_block=2, squeeze_factor=4)
+
+
+def _mean_shift_params(cfg: RIDNetConfig, sign: int) -> Params:
+    """MeanShift 1x1 conv (ridnet_arch.py:8-28): eye/std kernel,
+    sign*range*mean/std bias.  Stored as a conv (the torch module's weights
+    land in checkpoints) so converted checkpoints override it."""
+    std = np.asarray(cfg.rgb_std, np.float32)
+    kernel = (np.eye(3, dtype=np.float32) / std[:, None]).T[None, None]
+    bias = sign * cfg.img_range * np.asarray(cfg.rgb_mean, np.float32) / std
+    return {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)}
+
+
+def _conv_dil(p, x, d):
+    return jax.lax.conv_general_dilated(
+        x, p["kernel"], (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["bias"]
+
+
+def _eam_init(key, nf, squeeze):
+    ks = jax.random.split(key, 12)
+    return {
+        "merge": {
+            "d1a": _conv_init(ks[0], 3, nf, nf),
+            "d1b": _conv_init(ks[1], 3, nf, nf),
+            "d2a": _conv_init(ks[2], 3, nf, nf),
+            "d2b": _conv_init(ks[3], 3, nf, nf),
+            "agg": _conv_init(ks[4], 3, 2 * nf, nf),
+        },
+        "block1": {"conv1": _conv_init(ks[5], 3, nf, nf),
+                   "conv2": _conv_init(ks[6], 3, nf, nf)},
+        "block2": {"conv1": _conv_init(ks[7], 3, nf, nf),
+                   "conv2": _conv_init(ks[8], 3, nf, nf),
+                   "conv3": _conv_init(ks[9], 1, nf, nf)},
+        "ca": {"down": _conv_init(ks[10], 1, nf, nf // squeeze),
+               "up": _conv_init(ks[11], 1, nf // squeeze, nf)},
+    }
+
+
+def _eam(p, x):
+    """Enhancement attention module (ridnet_arch.py:110-138): merge-and-run
+    (two dilated branches), residual block (+relu), enhanced residual block,
+    channel attention."""
+    m = p["merge"]
+    d1 = jax.nn.relu(_conv_dil(m["d1b"], jax.nn.relu(_conv(m["d1a"], x)), 2))
+    d2 = jax.nn.relu(_conv_dil(m["d2b"],
+                               jax.nn.relu(_conv_dil(m["d2a"], x, 3)), 4))
+    out = jax.nn.relu(_conv(m["agg"], jnp.concatenate([d1, d2], -1))) + x
+    out = jax.nn.relu(_resblock_nobn(p["block1"], out))
+    b2 = p["block2"]
+    r = _conv(b2["conv3"], jax.nn.relu(
+        _conv(b2["conv2"], jax.nn.relu(_conv(b2["conv1"], out)))))
+    out = jax.nn.relu(r + out)
+    att = jnp.mean(out, axis=(1, 2), keepdims=True)
+    att = jax.nn.sigmoid(
+        _conv(p["ca"]["up"], jax.nn.relu(_conv(p["ca"]["down"], att))))
+    return out * att
+
+
+def init_ridnet_params(key, cfg: RIDNetConfig) -> Params:
+    ks = jax.random.split(key, cfg.num_block + 2)
+    return {
+        "sub_mean": _mean_shift_params(cfg, -1),
+        "add_mean": _mean_shift_params(cfg, 1),
+        "head": _conv_init(ks[0], 3, cfg.in_channels, cfg.mid_channels),
+        "body": jax.tree.map(lambda *xs: jnp.stack(xs), *[
+            _eam_init(ks[1 + i], cfg.mid_channels, cfg.squeeze_factor)
+            for i in range(cfg.num_block)
+        ]),
+        "tail": _conv_init(ks[-1], 3, cfg.mid_channels, cfg.out_channels),
+    }
+
+
+def ridnet_forward(params: Params, cfg: RIDNetConfig, x: jnp.ndarray):
+    """x [N,H,W,3] (in the checkpoint's img_range scale) -> denoised
+    (ridnet_arch.py:178-184: global residual around mean-shifted trunk)."""
+    res = _conv(params["sub_mean"], x)
+    res = jax.nn.relu(_conv(params["head"], res))
+    def body(h, blk):
+        return _eam(blk, h), None
+    res, _ = jax.lax.scan(body, res, params["body"])
+    res = _conv(params["tail"], res)
+    res = _conv(params["add_mean"], res)
+    return x + res

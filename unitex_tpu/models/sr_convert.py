@@ -347,3 +347,242 @@ def convert_edvr(sd: Dict[str, np.ndarray]) -> Params:
         "conv_hr": _c(sd, "conv_hr"),
         "conv_last": _c(sd, "conv_last"),
     }
+
+
+def convert_ecbsr(sd: Dict[str, np.ndarray]) -> Params:
+    """basicsr ecbsr_arch.ECBSR: a flat ``backbone`` Sequential of ECB
+    blocks (head, trunk, linear tail), each with conv3x3 + k0/b0/k1/b1
+    (1x1->3x3) + three edge branches (k0/b0/scale/bias; the fixed mask
+    buffer is a constant here).  Use with ``ecbsr_forward`` or collapse via
+    ``ecbsr_reparameterize`` for serving."""
+    n_total = _count(sd, lambda i: f"backbone.{i}.conv3x3.weight")
+
+    def ecb(i):
+        base = f"backbone.{i}"
+        p = {"conv3x3": _c(sd, f"{base}.conv3x3")}
+        p["c13_k0"] = {"kernel": jnp.asarray(np.transpose(
+            sd[f"{base}.conv1x1_3x3.k0"], (2, 3, 1, 0))),
+            "bias": jnp.asarray(sd[f"{base}.conv1x1_3x3.b0"])}
+        p["c13_k1"] = {"kernel": jnp.asarray(np.transpose(
+            sd[f"{base}.conv1x1_3x3.k1"], (2, 3, 1, 0))),
+            "bias": jnp.asarray(sd[f"{base}.conv1x1_3x3.b1"])}
+        for br, tname in (("sbx", "sbx"), ("sby", "sby"), ("lpl", "lpl")):
+            tb = f"{base}.conv1x1_{tname}"
+            p[f"{br}_k0"] = {"kernel": jnp.asarray(np.transpose(
+                sd[f"{tb}.k0"], (2, 3, 1, 0))),
+                "bias": jnp.asarray(sd[f"{tb}.b0"])}
+            p[f"{br}_scale"] = jnp.asarray(sd[f"{tb}.scale"].reshape(-1))
+            p[f"{br}_bias"] = jnp.asarray(sd[f"{tb}.bias"].reshape(-1))
+        if f"{base}.act.weight" in sd:
+            p["prelu"] = jnp.asarray(sd[f"{base}.act.weight"])
+        return p
+
+    return {
+        "head": ecb(0),
+        "body": _stack([ecb(i) for i in range(1, n_total - 1)])
+        if n_total > 2 else None,
+        "tail": ecb(n_total - 1),
+    }
+
+
+def convert_ridnet(sd: Dict[str, np.ndarray]) -> Params:
+    """basicsr ridnet_arch.RIDNet: sub/add MeanShift convs, head/tail,
+    body.{i} EAMs (merge dilation branches, ResidualBlockNoBN, enhanced
+    residual block, channel attention)."""
+    n = _count(sd, lambda i: f"body.{i}.merge.dilation1.0.weight")
+    body = []
+    for i in range(n):
+        b = f"body.{i}"
+        body.append({
+            "merge": {
+                "d1a": _c(sd, f"{b}.merge.dilation1.0"),
+                "d1b": _c(sd, f"{b}.merge.dilation1.2"),
+                "d2a": _c(sd, f"{b}.merge.dilation2.0"),
+                "d2b": _c(sd, f"{b}.merge.dilation2.2"),
+                "agg": _c(sd, f"{b}.merge.aggregation.0"),
+            },
+            "block1": {"conv1": _c(sd, f"{b}.block1.conv1"),
+                       "conv2": _c(sd, f"{b}.block1.conv2")},
+            "block2": {"conv1": _c(sd, f"{b}.block2.body.0"),
+                       "conv2": _c(sd, f"{b}.block2.body.2"),
+                       "conv3": _c(sd, f"{b}.block2.body.4")},
+            "ca": {"down": _c(sd, f"{b}.ca.attention.1"),
+                   "up": _c(sd, f"{b}.ca.attention.3")},
+        })
+    return {
+        "sub_mean": _c(sd, "sub_mean"),
+        "add_mean": _c(sd, "add_mean"),
+        "head": _c(sd, "head"),
+        "body": _stack(body),
+        "tail": _c(sd, "tail"),
+    }
+
+
+def _bn(sd, name) -> Params:
+    return {"scale": jnp.asarray(sd[f"{name}.weight"]),
+            "offset": jnp.asarray(sd[f"{name}.bias"]),
+            "mean": jnp.asarray(sd[f"{name}.running_mean"]),
+            "var": jnp.asarray(sd[f"{name}.running_var"])}
+
+
+def convert_toflow(sd: Dict[str, np.ndarray]) -> Params:
+    """basicsr tof_arch.TOFlow: spynet.basic_module.{i}.basic_module
+    Sequential (convs at 0,3,6,9,12; BNs at 1,4,7,10), conv_1..conv_4."""
+    mods = []
+    for i in range(4):
+        base = f"spynet.basic_module.{i}.basic_module"
+        layers, bns = [], []
+        for j, idx in enumerate((0, 3, 6, 9, 12)):
+            w = np.transpose(sd[f"{base}.{idx}.weight"], (2, 3, 1, 0))
+            p = {"kernel": jnp.asarray(w)}
+            if f"{base}.{idx}.bias" in sd:
+                p["bias"] = jnp.asarray(sd[f"{base}.{idx}.bias"])
+            if j < 4:
+                bns.append(_bn(sd, f"{base}.{idx + 1}"))
+            layers.append(p)
+        mods.append({"layers": layers, "bns": bns})
+    return {
+        "spynet": mods,
+        "conv_1": _c(sd, "conv_1"),
+        "conv_2": _c(sd, "conv_2"),
+        "conv_3": _c(sd, "conv_3"),
+        "conv_4": _c(sd, "conv_4"),
+    }
+
+
+def _c3(sd, name) -> Params:
+    """Conv3d -> {"kernel" [kt,kh,kw,cin,cout], "bias"}."""
+    w = np.transpose(sd[f"{name}.weight"], (2, 3, 4, 1, 0))
+    return {"kernel": jnp.asarray(w), "bias": jnp.asarray(sd[f"{name}.bias"])}
+
+
+def convert_duf(sd: Dict[str, np.ndarray]) -> Params:
+    """basicsr duf_arch.DUF: dense_block1.dense_blocks.{i} Sequentials
+    (BN 0, conv1x1 2, BN 3, conv3x3 5), dense_block2.temporal_reduce{1..3}
+    (same layout), heads conv3d_r1/r2/f1/f2."""
+    n = _count(sd, lambda i: f"dense_block1.dense_blocks.{i}.2.weight")
+
+    def unit(prefix):
+        return {"bn1": _bn(sd, f"{prefix}.0"), "conv1": _c3(sd, f"{prefix}.2"),
+                "bn2": _bn(sd, f"{prefix}.3"), "conv2": _c3(sd, f"{prefix}.5")}
+
+    return {
+        "conv3d1": _c3(sd, "conv3d1"),
+        "dense1": [unit(f"dense_block1.dense_blocks.{i}") for i in range(n)],
+        "reduce": [unit(f"dense_block2.temporal_reduce{i}")
+                   for i in (1, 2, 3)],
+        "bn3d2": _bn(sd, "bn3d2"),
+        "conv3d2": _c3(sd, "conv3d2"),
+        "conv3d_r1": _c3(sd, "conv3d_r1"),
+        "conv3d_r2": _c3(sd, "conv3d_r2"),
+        "conv3d_f1": _c3(sd, "conv3d_f1"),
+        "conv3d_f2": _c3(sd, "conv3d_f2"),
+    }
+
+
+def convert_basicvsrpp(sd: Dict[str, np.ndarray]) -> Params:
+    """basicsr basicvsrpp_arch.BasicVSRPlusPlus (low-res-input variant):
+    spynet + feat_extract/reconstruction ConvResidualBlocks + 4 propagation
+    branches (deform_align.{name} SecondOrderDeformableAlignment with
+    conv_offset.{0,2,4,6}, backbone.{name} trunks)."""
+    def trunk(name):
+        n = _count(sd, lambda i: f"{name}.main.2.{i}.conv1.weight")
+        return {
+            "head": _c(sd, f"{name}.main.0"),
+            "blocks": _stack([
+                {"conv1": _c(sd, f"{name}.main.2.{i}.conv1"),
+                 "conv2": _c(sd, f"{name}.main.2.{i}.conv2")}
+                for i in range(n)
+            ]),
+        }
+
+    p: Params = {
+        "spynet": convert_spynet(sd, "spynet."),
+        "feat_extract": trunk("feat_extract"),
+        "reconstruction": trunk("reconstruction"),
+        "upconv1": _c(sd, "upconv1"),
+        "upconv2": _c(sd, "upconv2"),
+        "conv_hr": _c(sd, "conv_hr"),
+        "conv_last": _c(sd, "conv_last"),
+    }
+    for name in ("backward_1", "forward_1", "backward_2", "forward_2"):
+        p[f"deform_align_{name}"] = {
+            "conv_offset": [
+                _c(sd, f"deform_align.{name}.conv_offset.{i}")
+                for i in (0, 2, 4, 6)
+            ],
+            "dcn": _c(sd, f"deform_align.{name}"),
+        }
+        p[f"backbone_{name}"] = trunk(f"backbone.{name}")
+    return p
+
+
+def convert_stylegan2_generator(sd: Dict[str, np.ndarray]) -> Params:
+    """basicsr stylegan2_arch.StyleGAN2Generator: style_mlp.{1..n}
+    EqualLinears (index 0 is the parameter-free NormStyleCode),
+    constant_input, style_conv1/to_rgb1, style_convs.{i}/to_rgbs.{i}
+    (modulated_conv.weight [1,cout,cin,k,k], modulation EqualLinear,
+    noise scalar ``weight``, FusedLeakyReLU ``activate.bias``)."""
+    def eq_lin(name):
+        return {"weight": jnp.asarray(sd[f"{name}.weight"].T),
+                "bias": jnp.asarray(sd[f"{name}.bias"])}
+
+    def mod_conv(name):
+        w = sd[f"{name}.weight"][0]                  # [cout, cin, k, k]
+        return {"weight": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+                "modulation": eq_lin(f"{name}.modulation")}
+
+    def style_conv(name):
+        return {"conv": mod_conv(f"{name}.modulated_conv"),
+                "noise_weight": jnp.asarray(sd[f"{name}.weight"].reshape(())),
+                "act_bias": jnp.asarray(sd[f"{name}.activate.bias"])}
+
+    def to_rgb(name):
+        return {"conv": mod_conv(f"{name}.modulated_conv"),
+                "bias": jnp.asarray(sd[f"{name}.bias"].reshape(-1))}
+
+    n_mlp = _count(sd, lambda i: f"style_mlp.{i + 1}.weight")
+    n_rgb = _count(sd, lambda i: f"to_rgbs.{i}.bias")
+    return {
+        "style_mlp": [eq_lin(f"style_mlp.{i + 1}") for i in range(n_mlp)],
+        "constant_input": jnp.asarray(
+            np.transpose(sd["constant_input.weight"][0], (1, 2, 0))),
+        "style_conv1": style_conv("style_conv1"),
+        "to_rgb1": to_rgb("to_rgb1"),
+        "style_convs": [style_conv(f"style_convs.{i}")
+                        for i in range(2 * n_rgb)],
+        "to_rgbs": [to_rgb(f"to_rgbs.{i}") for i in range(n_rgb)],
+    }
+
+
+def convert_stylegan2_discriminator(sd: Dict[str, np.ndarray]) -> Params:
+    """basicsr stylegan2_arch.StyleGAN2Discriminator: conv_body.0 head
+    ConvLayer, conv_body.{i>=1} ResBlocks (conv1 [conv,act], conv2
+    [smooth,conv,act], skip [smooth,conv]), final conv + linears."""
+    def eqc(name, act=None):
+        p = {"conv": {"weight": jnp.asarray(
+            np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0)))}}
+        if f"{name}.bias" in sd:
+            p["conv"]["bias"] = jnp.asarray(sd[f"{name}.bias"])
+        if act is not None and f"{act}.bias" in sd:
+            p["act_bias"] = jnp.asarray(sd[f"{act}.bias"])
+        return p
+
+    n_blocks = _count(sd, lambda i: f"conv_body.{i + 1}.conv1.0.weight")
+    blocks = []
+    for i in range(1, n_blocks + 1):
+        b = f"conv_body.{i}"
+        blocks.append({
+            "conv1": eqc(f"{b}.conv1.0", f"{b}.conv1.1"),
+            "conv2": eqc(f"{b}.conv2.1", f"{b}.conv2.2"),
+            "skip": eqc(f"{b}.skip.1"),
+        })
+    return {
+        "conv_first": eqc("conv_body.0.0", "conv_body.0.1"),
+        "blocks": blocks,
+        "final_conv": eqc("final_conv.0", "final_conv.1"),
+        "final_linear1": {"weight": jnp.asarray(sd["final_linear.0.weight"].T),
+                          "bias": jnp.asarray(sd["final_linear.0.bias"])},
+        "final_linear2": {"weight": jnp.asarray(sd["final_linear.1.weight"].T),
+                          "bias": jnp.asarray(sd["final_linear.1.bias"])},
+    }

@@ -18,6 +18,15 @@ canonical families in functional jnp:
   (ops.basicsr_ops.deform_conv2d), TSA (temporal-spatial attention)
   fusion, residual reconstruction trunk, pixel-shuffle upsampling,
   bilinear center-frame base.
+* ``BasicVSR++`` — second-order propagation (basicsr/archs/
+  basicvsrpp_arch.py): four backward/forward branches with flow-guided
+  second-order deformable alignment; the reference's i==0 / i<=1 Python
+  index guards become per-step masks inside one lax.scan per branch.
+* ``TOFlow``   — task-oriented flow VSR (basicsr/archs/tof_arch.py):
+  4-level BatchNorm SPyNet variant, 7-frame warp + fusion head.
+* ``DUF``      — dynamic upsampling filters (basicsr/archs/duf_arch.py):
+  3D-conv dense trunk with temporal reduction, per-pixel softmaxed 5x5
+  filters applied to the center frame (im2col patches + MXU contraction).
 
 TPU shape: recurrences are lax.scan-ed over time; residual trunks are
 stacked [L, ...] and scanned (depth-constant compile, repo convention);
@@ -496,3 +505,401 @@ def edvr_forward(params: Params, cfg: EDVRConfig, lrs: jnp.ndarray):
     out = _conv(params["conv_last"], out)[0]
     base = jax.image.resize(lrs[center], (4 * H, 4 * W, 3), "bilinear")
     return out + base
+
+
+# ------------------------------------------------------------------ TOFlow
+#
+# basicsr/archs/tof_arch.py: 7-frame task-oriented-flow VSR on pre-upsampled
+# inputs.  SPyNetTOF is a 4-level pyramid whose basic modules carry
+# BatchNorm (eval mode here: stored running statistics folded in).
+
+
+def _bn_eval(p, x, eps=1e-5):
+    """BatchNorm inference: stored running stats (torch eval semantics)."""
+    inv = jax.lax.rsqrt(p["var"] + eps)
+    return (x - p["mean"]) * inv * p["scale"] + p["offset"]
+
+
+def _bn_eval_init(c):
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "offset": jnp.zeros((c,), jnp.float32),
+            "mean": jnp.zeros((c,), jnp.float32),
+            "var": jnp.ones((c,), jnp.float32)}
+
+
+_SPYTOF_CHANNELS = ((8, 32), (32, 64), (64, 32), (32, 16), (16, 2))
+
+
+def init_spynet_tof_params(key: jax.Array) -> List[Params]:
+    """4 basic modules of 5 7x7 convs; BN after all but the last conv
+    (tof_arch.py:16-39; the first four convs are bias-free)."""
+    mods = []
+    for lv in range(4):
+        layers, bns = [], []
+        for li, (cin, cout) in enumerate(_SPYTOF_CHANNELS):
+            p = _conv_init(jax.random.fold_in(key, lv * 8 + li), 7, cin, cout)
+            if li < 4:
+                p.pop("bias")
+                bns.append(_bn_eval_init(cout))
+            layers.append(p)
+        mods.append({"layers": layers, "bns": bns})
+    return mods
+
+
+def _conv_nobias(p, x):
+    k = p["kernel"].shape[0]
+    pad = (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, p["kernel"], (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def spynet_tof_flow(params: List[Params], ref: jnp.ndarray, supp: jnp.ndarray):
+    """ref/supp [N, H, W, 3] (already ImageNet-normalized by the caller, as
+    TOFlow does) -> flow [N, H, W, 2]; H, W % 16 == 0 (4 levels)."""
+    refs, supps = [ref], [supp]
+    for _ in range(3):
+        refs.insert(0, jax.lax.reduce_window(
+            refs[0], 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0)
+        supps.insert(0, jax.lax.reduce_window(
+            supps[0], 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0)
+
+    # flow starts one level BELOW the coarsest frames (h/16 vs h/8) and is
+    # upsampled at every level including the first (tof_arch.py:85-89)
+    N, H8, W8, _ = refs[0].shape
+    flow = jnp.zeros((N, H8 // 2, W8 // 2, 2), ref.dtype)
+    for lv in range(4):
+        flow_up = _upflow2(flow)
+        x = jnp.concatenate(
+            [refs[lv], flow_warp(supps[lv], flow_up), flow_up], axis=-1)
+        for li in range(5):
+            p = params[lv]["layers"][li]
+            if li < 4:
+                x = jax.nn.relu(_bn_eval(params[lv]["bns"][li],
+                                         _conv_nobias(p, x)))
+            else:
+                x = _conv(p, x)
+        flow = flow_up + x
+    return flow
+
+
+def init_toflow_params(key: jax.Array) -> Params:
+    ks = jax.random.split(key, 5)
+    return {
+        "spynet": init_spynet_tof_params(ks[0]),
+        "conv_1": _conv_init(ks[1], 9, 21, 64),
+        "conv_2": _conv_init(ks[2], 9, 64, 64),
+        "conv_3": _conv_init(ks[3], 1, 64, 64),
+        "conv_4": _conv_init(ks[4], 1, 64, 3),
+    }
+
+
+def toflow_forward(params: Params, lrs: jnp.ndarray,
+                   ref_idx: int = 3) -> jnp.ndarray:
+    """lrs [7, H, W, 3] in [0, 1] (pre-upsampled to GT size) -> [H, W, 3]
+    (tof_arch.py:137-172).  ref_idx=0 for adapt_official_weights inputs
+    already reordered by the caller."""
+    T, H, W, _ = lrs.shape
+    norm = (lrs - _IMAGENET_MEAN) / _IMAGENET_STD
+    ref = norm[ref_idx]
+    aligned = []
+    for i in range(T):
+        if i == ref_idx:
+            aligned.append(ref)
+        else:
+            flow = spynet_tof_flow(params["spynet"], ref[None], norm[i][None])
+            aligned.append(flow_warp(norm[i][None], flow)[0])
+    x = jnp.concatenate(aligned, axis=-1)[None]     # [1, H, W, 21]
+    x = jax.nn.relu(_conv(params["conv_1"], x))
+    x = jax.nn.relu(_conv(params["conv_2"], x))
+    x = jax.nn.relu(_conv(params["conv_3"], x))
+    x = _conv(params["conv_4"], x)[0] + ref
+    return x * _IMAGENET_STD + _IMAGENET_MEAN
+
+
+# --------------------------------------------------------------------- DUF
+#
+# basicsr/archs/duf_arch.py: dynamic upsampling filters.  3D-conv dense
+# trunk over the 7-frame clip (BatchNorm3d in eval mode), two heads: a
+# residual image and per-pixel 5x5 softmax filters applied to the center
+# frame, then pixel shuffle.
+
+
+def _conv3d(p, x, pad):
+    """x [N, T, H, W, C]; kernel [kt, kh, kw, cin, cout]; pad (t, h, w)."""
+    return jax.lax.conv_general_dilated(
+        x, p["kernel"], (1, 1, 1),
+        ((pad[0], pad[0]), (pad[1], pad[1]), (pad[2], pad[2])),
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+    ) + p["bias"]
+
+
+def _conv3d_init(key, kt, kh, kw, cin, cout):
+    fan_in = kt * kh * kw * cin
+    std = 1.0 / np.sqrt(fan_in)
+    return {"kernel": jax.random.normal(key, (kt, kh, kw, cin, cout)) * std,
+            "bias": jnp.zeros((cout,), jnp.float32)}
+
+
+@dataclasses.dataclass(frozen=True)
+class DUFConfig:
+    scale: int = 4
+    num_layer: int = 52   # 16 | 28 | 52
+
+    @property
+    def num_block(self) -> int:
+        return {16: 3, 28: 9, 52: 21}[self.num_layer]
+
+    @property
+    def num_grow_ch(self) -> int:
+        return {16: 32, 28: 16, 52: 16}[self.num_layer]
+
+    @classmethod
+    def tiny(cls) -> "DUFConfig":
+        return cls(scale=2, num_layer=16)
+
+
+def _duf_dense_unit_init(key, cin, gc):
+    return {
+        "bn1": _bn_eval_init(cin),
+        "conv1": _conv3d_init(jax.random.fold_in(key, 0), 1, 1, 1, cin, cin),
+        "bn2": _bn_eval_init(cin),
+        "conv2": _conv3d_init(jax.random.fold_in(key, 1), 3, 3, 3, cin, gc),
+    }
+
+
+def _duf_dense_unit(p, x, pad_t):
+    y = _conv3d(p["conv1"], jax.nn.relu(_bn_eval(p["bn1"], x)), (0, 0, 0))
+    return _conv3d(p["conv2"], jax.nn.relu(_bn_eval(p["bn2"], y)),
+                   (pad_t, 1, 1))
+
+
+def init_duf_params(key: jax.Array, cfg: DUFConfig) -> Params:
+    nb, gc = cfg.num_block, cfg.num_grow_ch
+    ks = jax.random.split(key, nb + 12)
+    dense1 = [_duf_dense_unit_init(ks[i], 64 + i * gc, gc)
+              for i in range(nb)]
+    c1 = 64 + nb * gc
+    reduce = [
+        _duf_dense_unit_init(ks[nb], c1, gc),
+        _duf_dense_unit_init(ks[nb + 1], c1 + gc, gc),
+        _duf_dense_unit_init(ks[nb + 2], c1 + 2 * gc, gc),
+    ]
+    ch = c1 + 3 * gc
+    s2 = cfg.scale ** 2
+    return {
+        "conv3d1": _conv3d_init(ks[nb + 3], 1, 3, 3, 3, 64),
+        "dense1": dense1,
+        "reduce": reduce,
+        "bn3d2": _bn_eval_init(ch),
+        "conv3d2": _conv3d_init(ks[nb + 4], 1, 3, 3, ch, 256),
+        "conv3d_r1": _conv3d_init(ks[nb + 5], 1, 1, 1, 256, 256),
+        "conv3d_r2": _conv3d_init(ks[nb + 6], 1, 1, 1, 256, 3 * s2),
+        "conv3d_f1": _conv3d_init(ks[nb + 7], 1, 1, 1, 256, 512),
+        "conv3d_f2": _conv3d_init(ks[nb + 8], 1, 1, 1, 512, 25 * s2),
+    }
+
+
+def _dynamic_upsampling_filter(x, filters):
+    """x [H, W, 3]; filters [H, W, 25, s2] (softmaxed 5x5 taps) ->
+    [H, W, 3*s2] (duf_arch.py:156-179; same filters for all 3 channels).
+    The im2col expansion is a patch extraction; the tap contraction rides
+    the MXU."""
+    H, W, _ = x.shape
+    patches = jax.lax.conv_general_dilated_patches(
+        x[None], (5, 5), (1, 1), ((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]   # [H, W, 3*25] (c-major)
+    patches = patches.reshape(H, W, 3, 25)
+    out = jnp.einsum("hwcp,hwps->hwcs", patches, filters)
+    return out.reshape(H, W, 3 * filters.shape[-1])
+
+
+def duf_forward(params: Params, cfg: DUFConfig, lrs: jnp.ndarray):
+    """lrs [7, H, W, 3] in [0, 1] -> [sH, sW, 3] SR of the center frame
+    (duf_arch.py:246-277)."""
+    T, H, W, _ = lrs.shape
+    x = lrs[None]                                   # [1, T, H, W, 3]
+    center = x[0, T // 2]
+    x = _conv3d(params["conv3d1"], x, (0, 1, 1))
+    for unit in params["dense1"]:
+        x = jnp.concatenate([x, _duf_dense_unit(unit, x, 1)], axis=-1)
+    for unit in params["reduce"]:
+        y = _duf_dense_unit(unit, x, 0)
+        x = jnp.concatenate([x[:, 1:-1], y], axis=-1)
+    x = jax.nn.relu(_bn_eval(params["bn3d2"], x))
+    x = jax.nn.relu(_conv3d(params["conv3d2"], x, (0, 1, 1)))
+
+    res = _conv3d(params["conv3d_r2"],
+                  jax.nn.relu(_conv3d(params["conv3d_r1"], x, (0, 0, 0))),
+                  (0, 0, 0))[0, 0]                  # [H, W, 3*s2]
+    filt = _conv3d(params["conv3d_f2"],
+                   jax.nn.relu(_conv3d(params["conv3d_f1"], x, (0, 0, 0))),
+                   (0, 0, 0))[0, 0]                 # [H, W, 25*s2]
+    s2 = cfg.scale ** 2
+    # torch views (25, s2): channel index = tap * s2 + shuffle-slot
+    filt = jax.nn.softmax(filt.reshape(H, W, 25, s2), axis=2)
+    out = _dynamic_upsampling_filter(center, filt) + res
+    return pixel_shuffle(out[None], cfg.scale)[0]
+
+
+# --------------------------------------------------------------- BasicVSR++
+#
+# basicsr/archs/basicvsrpp_arch.py: four propagation branches
+# (backward/forward x 2) with second-order flow-guided deformable
+# alignment.  Each branch is one lax.scan; the reference's i==0 / i<=1
+# index guards become per-step masks (first step emits the un-aligned
+# trunk, second step zeroes the second-order condition).
+
+
+@dataclasses.dataclass(frozen=True)
+class BasicVSRPPConfig:
+    mid_channels: int = 64
+    num_blocks: int = 7
+    max_residue_magnitude: float = 10.0
+    deformable_groups: int = 16
+
+    @classmethod
+    def tiny(cls) -> "BasicVSRPPConfig":
+        return cls(mid_channels=8, num_blocks=1, deformable_groups=2)
+
+
+_VSRPP_BRANCHES = ("backward_1", "forward_1", "backward_2", "forward_2")
+
+
+def _soda_init(key, mid, groups):
+    """SecondOrderDeformableAlignment (basicvsrpp_arch.py:338-398):
+    4-conv offset head (last zero-init) + modulated deform conv."""
+    ks = jax.random.split(key, 5)
+    return {
+        "conv_offset": [
+            _conv_init(ks[0], 3, 3 * mid + 4, mid),
+            _conv_init(ks[1], 3, mid, mid),
+            _conv_init(ks[2], 3, mid, mid),
+            _conv_init(ks[3], 3, mid, 27 * groups, gain=1e-8),
+        ],
+        "dcn": _conv_init(ks[4], 3, 2 * mid, mid),
+    }
+
+
+def _soda(p, cfg, x, extra_feat, flow_1, flow_2):
+    """x [N,H,W,2*mid] (feat_prop ‖ feat_n2), extra_feat
+    [N,H,W,3*mid] (cond_n1 ‖ current ‖ cond_n2), flows [N,H,W,2] (dx,dy)."""
+    G = cfg.deformable_groups
+    h = jnp.concatenate([extra_feat, flow_1, flow_2], axis=-1)
+    for i, conv in enumerate(p["conv_offset"]):
+        h = _conv(conv, h)
+        if i < 3:
+            h = _lrelu(h)
+    o1, o2, mask = jnp.split(h, 3, axis=-1)
+    offset = cfg.max_residue_magnitude * jnp.tanh(
+        jnp.concatenate([o1, o2], axis=-1))
+    n_rep = offset.shape[-1] // 4
+    off_1 = offset[..., :offset.shape[-1] // 2] \
+        + jnp.tile(flow_1[..., ::-1], (1, 1, 1, n_rep))
+    off_2 = offset[..., offset.shape[-1] // 2:] \
+        + jnp.tile(flow_2[..., ::-1], (1, 1, 1, n_rep))
+    off = jnp.concatenate([off_1, off_2], axis=-1)
+    return deform_conv2d(
+        x, off, p["dcn"]["kernel"], p["dcn"]["bias"],
+        mask=jax.nn.sigmoid(mask), deformable_groups=G)
+
+
+def init_basicvsrpp_params(key: jax.Array, cfg: BasicVSRPPConfig) -> Params:
+    mid = cfg.mid_channels
+    ks = jax.random.split(key, 16)
+    p: Params = {
+        "spynet": init_spynet_params(ks[0]),
+        "feat_extract": _trunk_init(ks[1], 3, mid, 5),
+        "reconstruction": _trunk_init(ks[2], 5 * mid, mid, 5),
+        "upconv1": _conv_init(ks[3], 3, mid, mid * 4),
+        "upconv2": _conv_init(ks[4], 3, mid, 64 * 4),
+        "conv_hr": _conv_init(ks[5], 3, 64, 64),
+        "conv_last": _conv_init(ks[6], 3, 64, 3),
+    }
+    for i, name in enumerate(_VSRPP_BRANCHES):
+        p[f"deform_align_{name}"] = _soda_init(
+            ks[7 + 2 * i], mid, cfg.deformable_groups)
+        p[f"backbone_{name}"] = _trunk_init(
+            ks[8 + 2 * i], (2 + i) * mid, mid, cfg.num_blocks)
+    return p
+
+
+def _vsrpp_propagate(params, cfg, name, spatial, prev_branches, flows,
+                     backward):
+    """One propagation branch as a scan.  spatial [T,H,W,mid];
+    prev_branches: list of [T,H,W,mid] from earlier branches; flows
+    [T-1,H,W,2] between consecutive frames.  Returns [T,H,W,mid]."""
+    T, H, W, mid = spatial.shape
+    da, trunk = params[f"deform_align_{name}"], params[f"backbone_{name}"]
+
+    cur = jnp.concatenate([spatial[:, None]] + [b[:, None] for b in
+                          prev_branches], axis=1) if prev_branches else \
+        spatial[:, None]                           # [T, 1+P, H, W, mid]
+    if backward:
+        cur = cur[::-1]
+        # step i (frame T-1-i) aligns with flows[T-1-i]; clip the unused
+        # first-step index into range
+        idx1 = np.clip(T - 1 - np.arange(T), 0, max(T - 2, 0))
+        idx2 = np.clip(T - np.arange(T), 0, max(T - 2, 0))
+    else:
+        idx1 = np.clip(np.arange(T) - 1, 0, max(T - 2, 0))
+        idx2 = np.clip(np.arange(T) - 2, 0, max(T - 2, 0))
+    f1 = flows[idx1] if T > 1 else jnp.zeros((T, H, W, 2), flows.dtype)
+    f2 = flows[idx2] if T > 1 else jnp.zeros((T, H, W, 2), flows.dtype)
+    not_first = (jnp.arange(T) >= 1).astype(spatial.dtype)
+    second_plus = (jnp.arange(T) >= 2).astype(spatial.dtype)
+
+    def step(carry, inp):
+        feat_p, feat_p2 = carry
+        cur_i, flow_n1, flow_n2, m1, m2 = inp
+        flow_n1 = flow_n1 * m1
+        cond_n1 = flow_warp(feat_p[None], flow_n1[None])[0]
+        flow_n2c = (flow_n1 + flow_warp(flow_n2[None],
+                                        flow_n1[None])[0]) * m2
+        feat_n2 = feat_p2 * m2
+        cond_n2 = flow_warp(feat_n2[None], flow_n2c[None])[0] * m2
+        cond = jnp.concatenate([cond_n1, cur_i[0], cond_n2], axis=-1)
+        dcn_in = jnp.concatenate([feat_p, feat_n2], axis=-1)
+        aligned = _soda(da, cfg, dcn_in[None], cond[None],
+                        flow_n1[None], flow_n2c[None])[0]
+        feat_prop = aligned * m1                    # first step: zeros
+        trunk_in = jnp.concatenate(
+            [cur_i[j] for j in range(cur_i.shape[0])] + [feat_prop], axis=-1)
+        feat_prop = feat_prop + _trunk(trunk, trunk_in[None])[0]
+        return (feat_prop, feat_p), feat_prop
+
+    zero = jnp.zeros((H, W, mid), spatial.dtype)
+    _, outs = jax.lax.scan(
+        step, (zero, zero),
+        (cur, f1, f2, not_first[:, None, None, None],
+         second_plus[:, None, None, None]))
+    return outs[::-1] if backward else outs
+
+
+def basicvsrpp_forward(params: Params, cfg: BasicVSRPPConfig,
+                       lqs: jnp.ndarray) -> jnp.ndarray:
+    """lqs [T, H, W, 3] in [0, 1] -> [T, 4H, 4W, 3]
+    (basicvsrpp_arch.py:273-335, low-res-input x4 variant).  H, W must be
+    multiples of 32 (SPyNet pyramid)."""
+    T, H, W, _ = lqs.shape
+    spatial = _trunk(params["feat_extract"], lqs)
+    flows_backward = spynet_flow(params["spynet"], lqs[:-1], lqs[1:]) \
+        if T > 1 else jnp.zeros((0, H, W, 2), lqs.dtype)
+    flows_forward = spynet_flow(params["spynet"], lqs[1:], lqs[:-1]) \
+        if T > 1 else jnp.zeros((0, H, W, 2), lqs.dtype)
+
+    branches = []
+    for name in _VSRPP_BRANCHES:
+        backward = name.startswith("backward")
+        flows = flows_backward if backward else flows_forward
+        branches.append(_vsrpp_propagate(
+            params, cfg, name, spatial, branches, flows, backward))
+
+    hr = jnp.concatenate([spatial] + branches, axis=-1)  # [T,H,W,5*mid]
+    hr = _trunk(params["reconstruction"], hr)
+    hr = _lrelu(pixel_shuffle(_conv(params["upconv1"], hr), 2))
+    hr = _lrelu(pixel_shuffle(_conv(params["upconv2"], hr), 2))
+    hr = _lrelu(_conv(params["conv_hr"], hr))
+    hr = _conv(params["conv_last"], hr)
+    base = jax.image.resize(lqs, (T, 4 * H, 4 * W, 3), "bilinear")
+    return hr + base
