@@ -47,6 +47,10 @@ def gan_loss(
         return jnp.mean((logits - label) ** 2)
     if gan_type == "wgan":
         return -logits.mean() if target_is_real else logits.mean()
+    if gan_type == "wgan_softplus":
+        # the logistic loss StyleGAN2 trains with (gan_loss.py:80-98)
+        return jax.nn.softplus(-logits).mean() if target_is_real \
+            else jax.nn.softplus(logits).mean()
     if gan_type == "hinge":
         if is_disc:
             return jax.nn.relu(1.0 - logits).mean() if target_is_real else jax.nn.relu(1.0 + logits).mean()
@@ -143,3 +147,19 @@ def make_srgan_train_step(
         return (g_params, d_params, g_state, d_state), metrics
 
     return step
+
+
+def gradient_penalty_loss(
+    d_forward: Callable[[dict, jnp.ndarray], jnp.ndarray],
+    d_params: dict,
+    real: jnp.ndarray,
+    fake: jnp.ndarray,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """WGAN-GP gradient penalty (basicsr gan_loss.py:172-208): unit
+    gradient norm of D at random real/fake interpolates."""
+    alpha = jax.random.uniform(key, (real.shape[0], 1, 1, 1))
+    interp = alpha * real + (1.0 - alpha) * fake
+    grad = jax.grad(lambda x: jnp.sum(d_forward(d_params, x)))(interp)
+    norm = jnp.sqrt(jnp.sum(grad.reshape(grad.shape[0], -1) ** 2, axis=1) + 1e-12)
+    return jnp.mean((norm - 1.0) ** 2)
