@@ -586,3 +586,98 @@ def convert_stylegan2_discriminator(sd: Dict[str, np.ndarray]) -> Params:
         "final_linear2": {"weight": jnp.asarray(sd["final_linear.1.weight"].T),
                           "bias": jnp.asarray(sd["final_linear.1.bias"])},
     }
+
+
+def _spectral_resolve(sd, name) -> np.ndarray:
+    """Collapse torch spectral_norm state (weight_orig, weight_u, weight_v)
+    into the normalized weight: W / (u^T W_mat v).  The power iteration is
+    a training-time constraint; serving uses the resolved conv."""
+    w = sd[f"{name}.weight_orig"]
+    u = sd[f"{name}.weight_u"]
+    v = sd[f"{name}.weight_v"]
+    sigma = float(u @ w.reshape(w.shape[0], -1) @ v)
+    return w / sigma
+
+
+def _c_sn(sd, name) -> Params:
+    """Spectral-normed Conv2d -> {"kernel" HWIO, "bias"?}."""
+    if f"{name}.weight_orig" in sd:
+        w = _spectral_resolve(sd, name)
+    else:
+        w = sd[f"{name}.weight"]
+    out = {"kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))}
+    if f"{name}.bias" in sd:
+        out["bias"] = jnp.asarray(sd[f"{name}.bias"])
+    return out
+
+
+def convert_hifacegan(sd: Dict[str, np.ndarray]) -> Params:
+    """basicsr hifacegan_arch.HiFaceGAN (generator): LIP encoder
+    Sequential, SPADE resblocks with spectral-normed convs, to_rgbs.3 (the
+    only head used at full-phase inference).  The base class's unused
+    ``fc`` conv is ignored."""
+    def spade(name):
+        return {
+            "mlp_shared": _c(sd, f"{name}.mlp_shared.0"),
+            "mlp_gamma": _c(sd, f"{name}.mlp_gamma"),
+            "mlp_beta": _c(sd, f"{name}.mlp_beta"),
+        }
+
+    def resblock(name):
+        p = {
+            "conv_0": _c_sn(sd, f"{name}.conv_0"),
+            "conv_1": _c_sn(sd, f"{name}.conv_1"),
+            "norm_0": spade(f"{name}.norm_0"),
+            "norm_1": spade(f"{name}.norm_1"),
+        }
+        if f"{name}.conv_s.weight_orig" in sd or f"{name}.conv_s.weight" in sd:
+            p["conv_s"] = _c_sn(sd, f"{name}.conv_s")
+            p["norm_s"] = spade(f"{name}.norm_s")
+        return p
+
+    # LIP encoder Sequential: 0 conv, (1 IN, 2 relu), then per down block
+    # [LIP, conv, IN(, relu)] — LIP at 3+4i, conv at 4+4i
+    downs = []
+    i = 0
+    while f"lip_encoder.model.{3 + 4 * i}.logit.0.weight" in sd:
+        base = f"lip_encoder.model.{3 + 4 * i}"
+        downs.append({
+            "lip": {
+                "conv": _c(sd, f"{base}.logit.0"),
+                "in_scale": jnp.asarray(sd[f"{base}.logit.1.weight"]),
+                "in_offset": jnp.asarray(sd[f"{base}.logit.1.bias"]),
+            },
+            "conv": _c(sd, f"lip_encoder.model.{4 + 4 * i}"),
+        })
+        i += 1
+    n_rgb = _count(sd, lambda i: f"to_rgbs.{i}.weight")
+    return {
+        "lip_encoder": {"head": _c(sd, "lip_encoder.model.0"),
+                        "downs": downs},
+        "head_0": resblock("head_0"),
+        "g_middle_0": resblock("g_middle_0"),
+        "g_middle_1": resblock("g_middle_1"),
+        "ups": [resblock(f"ups.{i}") for i in range(4)],
+        "to_rgb": _c(sd, f"to_rgbs.{n_rgb - 1}"),
+    }
+
+
+def convert_hifacegan_discriminator(sd: Dict[str, np.ndarray]) -> Params:
+    """basicsr hifacegan_arch.HiFaceGANDiscriminator: discriminator_{d}
+    PatchGANs — model0 [conv, lrelu], middles [[spectral conv, IN],
+    lrelu], final [conv]."""
+    ds = []
+    d = 0
+    while f"discriminator_{d}.model0.0.weight" in sd:
+        base = f"discriminator_{d}"
+        layers = [{"conv": _c(sd, f"{base}.model0.0")}]
+        n = 1
+        while f"{base}.model{n}.0.0.weight_orig" in sd \
+                or f"{base}.model{n}.0.0.weight" in sd:
+            layers.append({"conv": _c_sn(sd, f"{base}.model{n}.0.0"),
+                           "in": True})
+            n += 1
+        layers.append({"conv": _c(sd, f"{base}.model{n}.0")})
+        ds.append(layers)
+        d += 1
+    return {"discriminators": ds}
