@@ -239,3 +239,33 @@ def test_postprocess_inverse_of_preprocess():
     a = np.asarray(back)[30:70, 40:90].astype(int)
     b = orig[30:70, 40:90, :3].astype(int)
     assert np.abs(a - b).mean() < 30
+
+
+class TestBasicSRConventionMetrics:
+    """calculate_psnr/_ssim against the reference formulas reimplemented
+    in numpy (psnr_ssim.py:12-49, 85-131 semantics)."""
+
+    def test_psnr_y_channel_and_crop(self):
+        from unitex_tpu.utils.metrics import calculate_psnr
+        rng = np.random.default_rng(0)
+        a = rng.uniform(0, 255, size=(24, 24, 3)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 12, a.shape), 0, 255).astype(np.float32)
+
+        def y(img):  # BGR -> MATLAB Y on [0,255]
+            r, g, bl = img[..., 2], img[..., 1], img[..., 0]
+            return (65.481 * r + 128.553 * g + 24.966 * bl) / 255.0 + 16.0
+
+        ac, bc = a[4:-4, 4:-4], b[4:-4, 4:-4]
+        mse = np.mean((y(ac).astype(np.float64) - y(bc).astype(np.float64)) ** 2)
+        expect = 10 * np.log10(255 ** 2 / mse)
+        got = calculate_psnr(a, b, crop_border=4, test_y_channel=True)
+        np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+    def test_ssim_identical_is_one(self):
+        from unitex_tpu.utils.metrics import calculate_ssim
+        rng = np.random.default_rng(1)
+        a = rng.uniform(0, 255, size=(32, 32, 3)).astype(np.float32)
+        assert abs(calculate_ssim(a, a) - 1.0) < 1e-5
+        noisy = np.clip(a + rng.normal(0, 25, a.shape), 0, 255)
+        s = calculate_ssim(a, noisy.astype(np.float32))
+        assert 0.0 < s < 0.95

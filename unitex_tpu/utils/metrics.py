@@ -90,3 +90,46 @@ def ssim(
         (mu_aa + mu_bb + c1) * (sigma_aa + sigma_bb + c2)
     )
     return s.mean()
+
+
+def _to_y_channel(img: jnp.ndarray, bgr: bool) -> jnp.ndarray:
+    """basicsr metric_util.to_y_channel: [0, 255] image -> [0, 255] Y
+    (MATLAB convention; basicsr images are BGR from cv2)."""
+    from ..image.matlab import bgr2ycbcr, rgb2ycbcr
+    f = bgr2ycbcr if bgr else rgb2ycbcr
+    return f(jnp.asarray(img, jnp.float32) / 255.0, y_only=True) * 255.0
+
+
+def calculate_psnr(img: jnp.ndarray, img2: jnp.ndarray,
+                   crop_border: int = 0, test_y_channel: bool = False,
+                   bgr: bool = True) -> float:
+    """BasicSR-convention PSNR (psnr_ssim.py:12-49): [0, 255]-range HWC
+    arrays, optional border crop and MATLAB-Y-channel scoring."""
+    img = jnp.asarray(img, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
+    if crop_border:
+        img = img[crop_border:-crop_border, crop_border:-crop_border]
+        img2 = img2[crop_border:-crop_border, crop_border:-crop_border]
+    if test_y_channel:
+        img = _to_y_channel(img, bgr)
+        img2 = _to_y_channel(img2, bgr)
+    mse = float(jnp.mean((img - img2) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return float(psnr(img, img2, data_range=255.0))
+
+
+def calculate_ssim(img: jnp.ndarray, img2: jnp.ndarray,
+                   crop_border: int = 0, test_y_channel: bool = False,
+                   bgr: bool = True) -> float:
+    """BasicSR-convention SSIM (psnr_ssim.py:85-131): per-channel 11x11
+    gaussian SSIM on the [0, 255] scale, channel-averaged."""
+    img = jnp.asarray(img, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
+    if crop_border:
+        img = img[crop_border:-crop_border, crop_border:-crop_border]
+        img2 = img2[crop_border:-crop_border, crop_border:-crop_border]
+    if test_y_channel:
+        img = _to_y_channel(img, bgr)
+        img2 = _to_y_channel(img2, bgr)
+    return float(ssim(img, img2, data_range=255.0))
