@@ -172,3 +172,82 @@ class TestConverter:
         out = hf.hifacegan_discriminator(
             p, cfg, jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 6)))
         assert out[0][-1].shape[-1] == 1
+
+
+class TestHiFaceGANTraining:
+    def _setup(self, cfg=None):
+        from unitex_tpu.training import hifacegan as ht
+        import optax
+        rng = np.random.default_rng(11)
+
+        def rand(*s):
+            return jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.1)
+
+        g_params = {"w": rand(3, 3)}
+
+        def g_forward(p, lq):
+            return jnp.tanh(lq @ p["w"]) * 0.5 + 0.5
+
+        # toy conditional multiscale D: 2 scales, 2 layers each (feat, logit)
+        d_params = {"w1": rand(6, 4), "w2": rand(4, 1),
+                    "v1": rand(6, 4), "v2": rand(4, 1)}
+
+        def d_forward(p, x6):
+            f1 = jnp.tanh(x6 @ p["w1"])
+            s1 = [f1, f1 @ p["w2"]]
+            x2 = x6[:, ::2, ::2]
+            f2 = jnp.tanh(x2 @ p["v1"])
+            s2 = [f2, f2 @ p["v2"]]
+            return [s1, s2]
+
+        cfg = cfg or ht.HiFaceGANTrainConfig()
+        g_opt = optax.adam(1e-3)
+        d_opt = optax.adam(1e-3)
+        step = ht.make_hifacegan_train_step(
+            g_forward, d_forward, g_opt, d_opt, cfg)
+        state = ht.init_hifacegan_state(g_params, d_params, g_opt, d_opt)
+        lq = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32))
+        gt = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32))
+        return ht, step, state, lq, gt
+
+    def test_step_runs_and_losses_finite(self):
+        ht, step, state, lq, gt = self._setup()
+        s1, m = step(state, lq, gt)
+        for k in ("l_g_gan", "l_g_feat", "l_d_real", "l_d_fake", "l_d"):
+            assert np.isfinite(float(m[k])), k
+        assert float(m["g_updated"]) == 1.0
+        assert not np.allclose(np.asarray(s1.g_params["w"]),
+                               np.asarray(state.g_params["w"]))
+        assert not np.allclose(np.asarray(s1.d_params["w1"]),
+                               np.asarray(state.d_params["w1"]))
+
+    def test_net_d_init_iters_gates_g(self):
+        from unitex_tpu.training import hifacegan as htm
+        cfg = htm.HiFaceGANTrainConfig(net_d_init_iters=1)
+        _, step, state, lq, gt = self._setup(cfg)
+        s1, m1 = step(state, lq, gt)
+        assert float(m1["g_updated"]) == 0.0
+        np.testing.assert_array_equal(np.asarray(s1.g_params["w"]),
+                                      np.asarray(state.g_params["w"]))
+        # D still updated
+        assert not np.allclose(np.asarray(s1.d_params["w1"]),
+                               np.asarray(state.d_params["w1"]))
+        s2, m2 = step(s1, lq, gt)
+        assert float(m2["g_updated"]) == 1.0
+        assert not np.allclose(np.asarray(s2.g_params["w"]),
+                               np.asarray(s1.g_params["w"]))
+
+    def test_feat_loss_excludes_logit_and_detaches_real(self):
+        from unitex_tpu.training import hifacegan as ht
+        f = [[jnp.ones((2, 4)), jnp.full((2, 1), 100.0)]]
+        r = [[jnp.zeros((2, 4)), jnp.zeros((2, 1))]]
+        # logit layer (diff 100) must not contribute
+        np.testing.assert_allclose(float(ht.gan_feat_loss(f, r)), 1.0)
+
+    def test_multiscale_gan_loss_uses_last_and_averages(self):
+        from unitex_tpu.training import hifacegan as ht
+        preds = [[jnp.zeros((2, 4)), jnp.full((2, 1), 2.0)],
+                 [jnp.full((2, 1), 4.0)]]
+        # hinge G loss: -mean(logit) per scale -> (-2 + -4)/2 = -3
+        got = float(ht.multiscale_gan_loss(preds, True, "hinge"))
+        np.testing.assert_allclose(got, -3.0)

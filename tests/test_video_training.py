@@ -154,3 +154,67 @@ class TestVideoTest:
             lambda x: x, folders, {"psnr": lambda a, b: psnr(a, b)})
         assert len(res["clip_a"]["psnr"]) == 3
         assert res["clip_a"]["psnr"][0] > 60.0
+
+
+class TestEDVRTraining:
+    def _setup(self, tsa_iter):
+        params = {
+            "pcd": {"dcn_l1": {"w": rand(3, 3)}, "offset_conv": {"w": rand(3, 3)}},
+            "tsa": {"w": rand(3, 3)},
+            "trunk": {"w": rand(3, 3)},
+        }
+
+        def g_forward(p, lq):
+            h = lq @ p["trunk"]["w"] + lq @ p["tsa"]["w"]
+            return h + 0.1 * (lq @ p["pcd"]["dcn_l1"]["w"]) \
+                + 0.1 * (lq @ p["pcd"]["offset_conv"]["w"])
+
+        opt = optax.adam(1e-2)
+        step = vt.make_edvr_train_step(
+            g_forward, opt, vt.EDVRTrainConfig(tsa_iter=tsa_iter))
+        state = vt.VideoTrainState(params, opt.init(params), jnp.int32(0))
+        return params, step, state
+
+    def test_dcn_labels(self):
+        params, _, _ = self._setup(0)
+        labels = vt.edvr_param_labels(params)
+        assert labels["pcd"]["dcn_l1"]["w"] == "dcn"
+        assert labels["pcd"]["offset_conv"]["w"] == "normal"
+        assert labels["tsa"]["w"] == "normal"
+
+    def test_tsa_warmup_freezes_non_fusion(self):
+        params, step, state = self._setup(tsa_iter=2)
+        lq, gt = rand(4, 3), rand(4, 3)
+        s1, m = step(state, lq, gt)
+        assert np.isfinite(float(m["l_pix"]))
+        # steps 0,1: only tsa moves
+        for k in ("pcd", "trunk"):
+            np.testing.assert_array_equal(
+                np.asarray(s1.params[k]["w"] if k == "trunk"
+                           else s1.params[k]["dcn_l1"]["w"]),
+                np.asarray(params[k]["w"] if k == "trunk"
+                           else params[k]["dcn_l1"]["w"]))
+        assert not np.allclose(np.asarray(s1.params["tsa"]["w"]),
+                               np.asarray(params["tsa"]["w"]))
+        s2, _ = step(s1, lq, gt)
+        np.testing.assert_array_equal(np.asarray(s2.params["trunk"]["w"]),
+                                      np.asarray(params["trunk"]["w"]))
+        # step 2 (>= tsa_iter): everything trains
+        s3, _ = step(s2, lq, gt)
+        assert not np.allclose(np.asarray(s3.params["trunk"]["w"]),
+                               np.asarray(s2.params["trunk"]["w"]))
+        assert not np.allclose(np.asarray(s3.params["pcd"]["dcn_l1"]["w"]),
+                               np.asarray(s2.params["pcd"]["dcn_l1"]["w"]))
+
+    def test_dcn_lr_mul_scales_updates(self):
+        params, _, _ = self._setup(0)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        opt_full = vt.make_edvr_optimizer(1e-2, 1.0, params)
+        opt_quarter = vt.make_edvr_optimizer(1e-2, 0.25, params)
+        u_full, _ = opt_full.update(grads, opt_full.init(params), params)
+        u_q, _ = opt_quarter.update(grads, opt_quarter.init(params), params)
+        np.testing.assert_allclose(
+            np.asarray(u_q["pcd"]["dcn_l1"]["w"]),
+            np.asarray(u_full["pcd"]["dcn_l1"]["w"]) * 0.25, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(u_q["trunk"]["w"]),
+                                   np.asarray(u_full["trunk"]["w"]), rtol=1e-6)

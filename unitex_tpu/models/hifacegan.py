@@ -242,7 +242,7 @@ def init_hifacegan_discriminator_params(key, cfg: HiFaceGANConfig,
             layers.append({
                 "conv": _conv_init(jax.random.fold_in(kk, n), 4, nf_prev, nf,
                                    bias=False),
-                "in": True,
+                "in": jnp.zeros((0,), jnp.float32),
             })
         layers.append({"conv": _conv_init(jax.random.fold_in(kk, 99), 4,
                                           nf, 1)})

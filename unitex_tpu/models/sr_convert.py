@@ -675,7 +675,7 @@ def convert_hifacegan_discriminator(sd: Dict[str, np.ndarray]) -> Params:
         while f"{base}.model{n}.0.0.weight_orig" in sd \
                 or f"{base}.model{n}.0.0.weight" in sd:
             layers.append({"conv": _c_sn(sd, f"{base}.model{n}.0.0"),
-                           "in": True})
+                           "in": jnp.zeros((0,), jnp.float32)})
             n += 1
         layers.append({"conv": _c(sd, f"{base}.model{n}.0")})
         ds.append(layers)

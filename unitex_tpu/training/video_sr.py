@@ -138,6 +138,92 @@ def make_video_recurrent_train_step(
 
 
 # ---------------------------------------------------------------------------
+# EDVR training — EDVRModel (edvr_model.py)
+# ---------------------------------------------------------------------------
+
+def _label_by_path(tree, pred, label, other="normal", path=()):
+    if isinstance(tree, dict):
+        return {k: _label_by_path(v, pred, label, other, path + (k,))
+                for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        out = [_label_by_path(v, pred, label, other, path) for v in tree]
+        return type(tree)(out)
+    return label if pred(path) else other
+
+
+def edvr_param_labels(params: Params) -> Params:
+    """'dcn' for params under a DCNv2Pack (keys containing 'dcn' —
+    matches the reference's ``'dcn' in name`` test over torch names,
+    where the pack's offset conv lives inside the dcn module,
+    edvr_model.py:26-41), 'normal' elsewhere."""
+    return _label_by_path(
+        params, lambda p: any("dcn" in k for k in p), "dcn")
+
+
+def make_edvr_optimizer(lr, dcn_lr_mul: float, params: Params,
+                        b1: float = 0.9, b2: float = 0.99
+                        ) -> optax.GradientTransformation:
+    """Adam with a scaled DCN-group learning rate (edvr_model.py:18-46;
+    EDVR configs use dcn_lr_mul=1 for from-scratch, 0.25 when
+    fine-tuning from a no-TSA checkpoint)."""
+    if dcn_lr_mul == 1.0:
+        return optax.adam(lr, b1=b1, b2=b2)
+    labels = edvr_param_labels(params)
+
+    def scaled(mul):
+        if callable(lr):
+            return optax.adam(lambda s: lr(s) * mul, b1=b1, b2=b2)
+        return optax.adam(lr * mul, b1=b1, b2=b2)
+
+    return optax.multi_transform(
+        {"normal": scaled(1.0), "dcn": scaled(dcn_lr_mul)}, labels)
+
+
+@dataclasses.dataclass(frozen=True)
+class EDVRTrainConfig:
+    tsa_iter: int = 0                 # 0 disables the warmup
+    pixel_loss: str = "charbonnier"
+    charbonnier_eps: float = 1e-12
+
+
+def make_edvr_train_step(
+    g_forward: Callable[[Params, jnp.ndarray], jnp.ndarray],
+    opt: optax.GradientTransformation,
+    cfg: EDVRTrainConfig = EDVRTrainConfig(),
+    tsa_key: str = "tsa",
+):
+    """EDVR train step with the TSA-only warmup (edvr_model.py:48-61):
+    for the first ``tsa_iter`` iterations only the TSA-fusion subtree
+    receives gradients (the reference sets requires_grad=False on every
+    param without 'fusion' in its name; with a fresh optimizer the
+    zero-grad window is bit-identical — Adam moments stay zero).
+
+    step(state, lq [B,T,h,w,3], gt [B,H,W,3]) -> (state, metrics).
+    """
+
+    def loss_fn(params, lq, gt):
+        return _pixel_loss(cfg.pixel_loss, cfg.charbonnier_eps,
+                           g_forward(params, lq), gt)
+
+    @jax.jit
+    def step(state: VideoTrainState, lq, gt):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, lq, gt)
+        if cfg.tsa_iter > 0:
+            live = (state.step >= cfg.tsa_iter).astype(jnp.float32)
+            grads = {
+                k: (v if k == tsa_key else
+                    jax.tree_util.tree_map(lambda g: g * live, v))
+                for k, v in grads.items()
+            }
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (VideoTrainState(params, opt_state, state.step + 1),
+                {"l_pix": loss})
+
+    return step
+
+
+# ---------------------------------------------------------------------------
 # Recurrent GAN training — VideoRecurrentGANModel
 # ---------------------------------------------------------------------------
 
