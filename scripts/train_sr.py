@@ -1,0 +1,272 @@
+#!/usr/bin/env python
+"""BasicSR-style yml-driven SR training (basicsr/train.py pipeline:
+parse -opt yml -> build datasets/networks/model by registry type ->
+iterate with scheduler, logging, checkpoints, validation).
+
+Usage:
+  python scripts/train_sr.py -opt options/train_msrresnet_x4.yml
+  python scripts/train_sr.py -opt cfg.yml --force-yml train:total_iter=100
+
+Model types supported: SRModel, SwinIRModel (pixel loss + optional EMA),
+SRGANModel, ESRGANModel (GAN; relativistic for ESRGAN),
+VideoRecurrentModel, EDVRModel.  Datasets: PairedImageDataset,
+REDSDataset (center-GT window), REDSRecurrentDataset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_dataset(dopt):
+    from unitex_tpu.training import sr_data as sd
+    dtype = dopt["type"]
+    phase = dopt.get("phase", "train")
+    if dtype == "PairedImageDataset":
+        return sd.PairedImageDataset(sd.PairedImageConfig(
+            lq_folder=dopt["dataroot_lq"], gt_folder=dopt["dataroot_gt"],
+            scale=dopt.get("scale", 4), phase=phase,
+            gt_size=dopt.get("gt_size", 128),
+            use_hflip=dopt.get("use_hflip", True),
+            use_rot=dopt.get("use_rot", True),
+            filename_tmpl=dopt.get("filename_tmpl", "{}"),
+            backend=("packed" if dopt.get("io_backend", {}).get("type")
+                     in ("lmdb", "packed") else "disk"),
+            meta_info_file=dopt.get("meta_info_file")))
+    if dtype in ("REDSDataset", "REDSRecurrentDataset"):
+        return sd.VideoFrameDataset(sd.VideoFrameConfig(
+            lq_root=dopt["dataroot_lq"], gt_root=dopt["dataroot_gt"],
+            num_frame=dopt.get("num_frame", 5),
+            scale=dopt.get("scale", 4), phase=phase,
+            gt_size=dopt.get("gt_size", 256),
+            interval_list=tuple(dopt.get("interval_list", [1])),
+            random_reverse=dopt.get("random_reverse", False),
+            use_hflip=dopt.get("use_hflip", True),
+            use_rot=dopt.get("use_rot", True),
+            center_gt=(dtype == "REDSDataset")))
+    raise KeyError(f"dataset type {dtype!r} not supported")
+
+
+def build_schedule(train_opt):
+    from unitex_tpu.training import schedules
+    lr = float(train_opt["optim_g"]["lr"])
+    sopt = dict(train_opt.get("scheduler") or {})
+    stype = sopt.pop("type", None)
+    if stype is None:
+        return lr
+    if stype == "MultiStepLR":
+        return schedules.multistep_restart_lr(
+            lr, sopt.get("milestones", []), sopt.get("gamma", 0.5))
+    if stype == "MultiStepRestartLR":
+        return schedules.multistep_restart_lr(
+            lr, sopt.get("milestones", []), sopt.get("gamma", 0.1),
+            sopt.get("restarts", (0,)), sopt.get("restart_weights", (1.0,)))
+    if stype == "CosineAnnealingRestartLR":
+        return schedules.cosine_annealing_restart_lr(
+            lr, sopt["periods"], sopt.get("restart_weights", (1.0,)),
+            sopt.get("eta_min", 0.0))
+    raise KeyError(f"scheduler {stype!r} not supported")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-opt", required=True)
+    ap.add_argument("--force-yml", nargs="+", default=None)
+    ap.add_argument("--debug", action="store_true")
+    ap.add_argument("--root", default=".")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (tests/CI)")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from unitex_tpu.models.zoo import build_arch
+    from unitex_tpu.training import sr_data as sd
+    from unitex_tpu.training.checkpoint import CheckpointManager
+    from unitex_tpu.utils.logging import MetricLogger
+    from unitex_tpu.utils.metrics import calculate_psnr, calculate_ssim
+    from unitex_tpu.utils.options import dict2str, parse_options
+
+    opt = parse_options(args.opt, args.root, is_train=True,
+                        force_yml=args.force_yml, debug=args.debug)
+    print(dict2str(opt))
+    seed = int(opt.get("manual_seed") or 0)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    train_opt = opt["train"]
+    model_type = opt["model_type"]
+    total_iter = int(train_opt["total_iter"])
+    dopt = opt["datasets"]["train"]
+    dataset = build_dataset(dopt)
+    batch = int(dopt.get("batch_size_per_gpu", 4))
+    val_set = None
+    if "val" in opt.get("datasets", {}):
+        val_set = build_dataset(opt["datasets"]["val"])
+
+    g = build_arch(opt["network_g"])
+    key, gk = jax.random.split(key)
+    g_params = g.init(gk)
+    if opt["path"].get("pretrain_network_g"):
+        from unitex_tpu.models import sr_convert  # noqa: F401
+        raise SystemExit("pretrain_network_g: convert the checkpoint via "
+                         "unitex_tpu.models.sr_convert and resume instead")
+
+    lr_sched = build_schedule(train_opt)
+    betas = train_opt["optim_g"].get("betas", (0.9, 0.99))
+    opt_g = optax.adam(lr_sched, b1=float(betas[0]), b2=float(betas[1]))
+
+    logger = MetricLogger(opt["path"]["log"])
+    ckpt = CheckpointManager(
+        opt["path"]["models"],
+        save_every=int(opt.get("logger", {}).get(
+            "save_checkpoint_freq", 5000)),
+        total_limit=opt.get("logger", {}).get("checkpoints_total_limit"))
+    print_freq = int(opt.get("logger", {}).get("print_freq", 100))
+
+    # ---- assemble the train step by model type
+    if model_type in ("SRModel", "SwinIRModel", "RealESRNetModel"):
+        pix_type = (train_opt.get("pixel_opt") or {}).get("type", "L1Loss")
+
+        def loss_fn(params, lq, gt):
+            sr = g.forward(params, lq)
+            if pix_type == "MSELoss":
+                return jnp.mean((sr - gt) ** 2)
+            if pix_type == "CharbonnierLoss":
+                eps = float(train_opt["pixel_opt"].get("eps", 1e-12))
+                return jnp.mean(jnp.sqrt((sr - gt) ** 2 + eps))
+            return jnp.mean(jnp.abs(sr - gt))
+
+        @jax.jit
+        def step(state, lq, gt):
+            params, opt_state = state
+            loss, grads = jax.value_and_grad(loss_fn)(params, lq, gt)
+            updates, opt_state = opt_g.update(grads, opt_state, params)
+            return ((optax.apply_updates(params, updates), opt_state),
+                    {"l_pix": loss})
+
+        state = (g_params, opt_g.init(g_params))
+
+        def run_step(state, batch_d):
+            return step(state, jnp.asarray(batch_d["lq"]),
+                        jnp.asarray(batch_d["gt"]))
+
+        def current_g(state):
+            return state[0]
+
+    elif model_type in ("SRGANModel", "ESRGANModel"):
+        from unitex_tpu.training.sr_gan import SRGANConfig, \
+            make_srgan_train_step
+        d = build_arch(opt["network_d"])
+        key, dk = jax.random.split(key)
+        d_params = d.init(dk)
+        betas_d = train_opt["optim_d"].get("betas", (0.9, 0.99))
+        opt_d = optax.adam(float(train_opt["optim_d"]["lr"]),
+                           b1=float(betas_d[0]), b2=float(betas_d[1]))
+        gan_opt = train_opt.get("gan_opt") or {}
+        cfg = SRGANConfig(
+            gan_type=gan_opt.get("gan_type", "vanilla"),
+            pixel_weight=float((train_opt.get("pixel_opt") or {})
+                               .get("loss_weight", 1.0)),
+            gan_weight=float(gan_opt.get("loss_weight", 5e-3)),
+            relativistic=(model_type == "ESRGANModel"))
+        sstep = make_srgan_train_step(g.forward, d.forward, opt_g, opt_d, cfg)
+        state = (g_params, d_params, opt_g.init(g_params),
+                 opt_d.init(d_params))
+
+        def run_step(state, batch_d):
+            return sstep(state, jnp.asarray(batch_d["lq"]),
+                         jnp.asarray(batch_d["gt"]))
+
+        def current_g(state):
+            return state[0]
+
+    elif model_type == "VideoRecurrentModel":
+        from unitex_tpu.training import video_sr as vt
+        opt_gv = vt.make_video_optimizer(
+            lr_sched, float(train_opt.get("flow_lr_mul", 1.0)), g_params)
+        vstep = vt.make_video_recurrent_train_step(
+            g.forward, opt_gv, vt.VideoRecurrentConfig(
+                fix_flow_iter=int(train_opt.get("fix_flow_iter", 0))))
+        state = vt.VideoTrainState(g_params, opt_gv.init(g_params),
+                                   jnp.int32(0))
+
+        def run_step(state, batch_d):
+            return vstep(state, jnp.asarray(batch_d["lq"]),
+                         jnp.asarray(batch_d["gt"]))
+
+        def current_g(state):
+            return state.params
+
+    elif model_type == "EDVRModel":
+        from unitex_tpu.training import video_sr as vt
+        opt_gv = vt.make_edvr_optimizer(
+            lr_sched, float(train_opt.get("dcn_lr_mul", 1.0)), g_params)
+        vstep = vt.make_edvr_train_step(
+            g.forward, opt_gv, vt.EDVRTrainConfig(
+                tsa_iter=int(train_opt.get("tsa_iter") or 0)))
+        state = vt.VideoTrainState(g_params, opt_gv.init(g_params),
+                                   jnp.int32(0))
+
+        def run_step(state, batch_d):
+            return vstep(state, jnp.asarray(batch_d["lq"]),
+                         jnp.asarray(batch_d["gt"]))
+
+        def current_g(state):
+            return state.params
+
+    else:
+        raise KeyError(f"model_type {model_type!r} not supported")
+
+    # ---- the loop
+    it = 0
+    while it < total_iter:
+        for batch_d in sd.batch_iterator(dataset, batch, rng):
+            state, metrics = run_step(state, batch_d)
+            it += 1
+            if it % print_freq == 0 or it == total_iter:
+                logger.log(it, metrics)
+                msg = ", ".join(f"{k}={float(v):.4g}"
+                                for k, v in metrics.items())
+                print(f"iter {it}/{total_iter}  {msg}", flush=True)
+            if ckpt.should_save(it):
+                ckpt.save(it, current_g(state))
+            if val_set is not None and "val" in opt and \
+                    it % int(opt["val"].get("val_freq", 5000)) == 0:
+                psnrs, ssims = [], []
+                params = current_g(state)
+                for i in range(len(val_set)):
+                    s = val_set[i]
+                    sr = np.asarray(g.forward(params, s["lq"][None])[0])
+                    cb = int(opt["val"].get("metrics", {})
+                             .get("psnr", {}).get("crop_border", 0))
+                    psnrs.append(calculate_psnr(sr * 255, s["gt"] * 255,
+                                                crop_border=cb))
+                    ssims.append(calculate_ssim(sr * 255, s["gt"] * 255,
+                                                crop_border=cb))
+                logger.log(it, {"val/psnr": float(np.mean(psnrs)),
+                                "val/ssim": float(np.mean(ssims))})
+                print(f"iter {it}  val psnr={np.mean(psnrs):.3f} "
+                      f"ssim={np.mean(ssims):.4f}", flush=True)
+            if it >= total_iter:
+                break
+    ckpt.save(total_iter, current_g(state))
+    logger.close()
+    print("training done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

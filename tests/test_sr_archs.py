@@ -242,3 +242,70 @@ class TestRIDNet:
         x = jax.random.uniform(jax.random.PRNGKey(0), (1, 4, 4, 3)) * 255.0
         y = _conv(add, _conv(sub, x))
         np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-3)
+
+
+class TestUNetDiscriminatorSN:
+    def test_shapes_and_skip(self):
+        from unitex_tpu.models import sr_archs as sa
+        cfg = sa.UNetDiscriminatorConfig.tiny()
+        p = sa.init_unet_discriminator_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        out = sa.unet_discriminator_forward(p, cfg, x)
+        assert out.shape == (2, 16, 16, 1)
+        cfg2 = sa.UNetDiscriminatorConfig(num_feat=8, skip_connection=False)
+        out2 = sa.unet_discriminator_forward(p, cfg2, x)
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    def test_spectral_normalize_unit_sigma(self):
+        from unitex_tpu.models.sr_archs import spectral_normalize
+        rng = np.random.default_rng(0)
+        kern = jnp.asarray(rng.normal(size=(3, 3, 4, 8)).astype(np.float32) * 3)
+        u = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+        for _ in range(30):  # converge the power iteration
+            kern_n, u = spectral_normalize(kern, u)
+        w = np.asarray(kern_n).transpose(3, 2, 0, 1).reshape(8, -1)
+        s = np.linalg.svd(w, compute_uv=False)[0]
+        np.testing.assert_allclose(s, 1.0, rtol=1e-3)
+
+    def test_update_u_changes_buffer_only(self):
+        from unitex_tpu.models import sr_archs as sa
+        cfg = sa.UNetDiscriminatorConfig.tiny()
+        p = sa.init_unet_discriminator_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 3))
+        out, p2 = sa.unet_discriminator_forward(p, cfg, x, update_u=True)
+        assert not np.allclose(np.asarray(p2["conv1"]["u"]),
+                               np.asarray(p["conv1"]["u"]))
+        np.testing.assert_array_equal(np.asarray(p2["conv1"]["kernel"]),
+                                      np.asarray(p["conv1"]["kernel"]))
+        # second forward with updated buffers is deterministic
+        out_b = sa.unet_discriminator_forward(p2, cfg, x)
+        assert out_b.shape == out.shape
+
+    def test_converter_structure(self):
+        from unitex_tpu.models import sr_archs as sa
+        from unitex_tpu.models import sr_convert as sc
+        rng = np.random.default_rng(2)
+        nf = 8
+        sd = {"conv0.weight": rng.normal(size=(nf, 3, 3, 3)).astype(np.float32),
+              "conv0.bias": np.zeros(nf, np.float32),
+              "conv9.weight": rng.normal(size=(1, nf, 3, 3)).astype(np.float32),
+              "conv9.bias": np.zeros(1, np.float32)}
+        chans = [(nf, nf * 2, 4), (nf * 2, nf * 4, 4), (nf * 4, nf * 8, 4),
+                 (nf * 8, nf * 4, 3), (nf * 4, nf * 2, 3), (nf * 2, nf, 3),
+                 (nf, nf, 3), (nf, nf, 3)]
+        for i, (cin, cout, k) in enumerate(chans, start=1):
+            sd[f"conv{i}.weight_orig"] = rng.normal(
+                size=(cout, cin, k, k)).astype(np.float32)
+            sd[f"conv{i}.weight_u"] = rng.normal(size=(cout,)).astype(np.float32)
+            sd[f"conv{i}.weight_v"] = rng.normal(
+                size=(cin * k * k,)).astype(np.float32)
+        p = sc.convert_unet_discriminator(sd)
+        cfg = sa.UNetDiscriminatorConfig(num_feat=nf)
+        init = sa.init_unet_discriminator_params(jax.random.PRNGKey(0), cfg)
+        ps, ptree = jax.tree_util.tree_flatten(p)
+        qs, qtree = jax.tree_util.tree_flatten(init)
+        assert ptree == qtree
+        assert all(a.shape == b.shape for a, b in zip(ps, qs))
+        out = sa.unet_discriminator_forward(
+            p, cfg, jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 3)))
+        assert out.shape == (1, 16, 16, 1)

@@ -1,0 +1,223 @@
+"""YAML options + arch registry + yml-driven train runner
+(utils/options.py, models/zoo.py, scripts/train_sr.py)."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from unitex_tpu.models.zoo import ARCH_REGISTRY, build_arch
+from unitex_tpu.utils import options as uo
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+class TestOptions:
+    def test_postprocess_values(self):
+        f = uo.postprocess_yml_value
+        assert f("~") is None and f("None") is None
+        assert f("true") is True and f("False") is False
+        assert f("!!float 1e-4") == pytest.approx(1e-4)
+        assert f("42") == 42
+        assert f("2.5") == 2.5
+        assert f("[1, 2, 3]") == [1, 2, 3]
+        assert f("hello") == "hello"
+
+    def test_parse_options_layout(self, tmp_path):
+        yml = tmp_path / "opt.yml"
+        yml.write_text(
+            "name: exp1\nmodel_type: SRModel\nscale: 2\n"
+            "datasets:\n  train:\n    type: PairedImageDataset\n"
+            "    dataroot_gt: ~/gt\n    dataroot_lq: ~/lq\n"
+            "  val_1:\n    type: PairedImageDataset\n"
+            "    dataroot_gt: ~/vgt\n    dataroot_lq: ~/vlq\n"
+            "path:\n  pretrain_network_g: ~\n"
+            "train:\n  total_iter: 10\n")
+        opt = uo.parse_options(str(yml), str(tmp_path), is_train=True)
+        assert opt["datasets"]["train"]["phase"] == "train"
+        assert opt["datasets"]["val_1"]["phase"] == "val"
+        assert opt["datasets"]["train"]["scale"] == 2
+        assert opt["datasets"]["train"]["dataroot_gt"].startswith(
+            os.path.expanduser("~"))
+        assert opt["path"]["models"].endswith(
+            os.path.join("experiments", "exp1", "models"))
+        assert opt["is_train"] is True
+
+    def test_force_yml(self, tmp_path):
+        yml = tmp_path / "o.yml"
+        yml.write_text("name: x\ntrain:\n  total_iter: 100\n  ema: 0.9\n")
+        opt = uo.parse_options(str(yml), is_train=False,
+                               force_yml=["train:total_iter=5",
+                                          "train:ema=!!float 0.5"])
+        assert opt["train"]["total_iter"] == 5
+        assert opt["train"]["ema"] == 0.5
+        with pytest.raises(KeyError):
+            uo.parse_options(str(yml), force_yml=["train:nope=1"])
+
+    def test_dict2str(self):
+        s = uo.dict2str({"a": 1, "b": {"c": "x"}})
+        assert "a: 1" in s and "b:[" in s and "c: x" in s
+
+
+class TestArchRegistry:
+    @pytest.mark.parametrize("opt,in_shape,out_shape", [
+        ({"type": "MSRResNet", "num_in_ch": 3, "num_out_ch": 3,
+          "num_feat": 8, "num_block": 1, "upscale": 2},
+         (1, 8, 8, 3), (1, 16, 16, 3)),
+        ({"type": "RRDBNet", "num_feat": 8, "num_block": 1,
+          "num_grow_ch": 8, "scale": 2}, (1, 8, 8, 3), (1, 16, 16, 3)),
+        ({"type": "SRVGGNetCompact", "num_feat": 8, "num_conv": 2,
+          "upscale": 2, "act_type": "prelu"},
+         (1, 8, 8, 3), (1, 16, 16, 3)),
+        ({"type": "UNetDiscriminatorSN", "num_in_ch": 3, "num_feat": 8},
+         (1, 16, 16, 3), (1, 16, 16, 1)),
+    ])
+    def test_build_and_forward(self, opt, in_shape, out_shape):
+        b = build_arch(opt)
+        p = b.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), in_shape)
+        assert b.forward(p, x).shape == out_shape
+
+    def test_swinir_mapping(self):
+        b = build_arch({"type": "SwinIR", "upscale": 2, "in_chans": 3,
+                        "img_size": 48, "window_size": 4,
+                        "depths": [2, 2], "embed_dim": 16,
+                        "num_heads": [2, 2], "mlp_ratio": 2,
+                        "upsampler": "pixelshuffle"})
+        assert b.cfg.scale == 2 and b.cfg.num_heads == 2
+        with pytest.raises(ValueError, match="uniform"):
+            build_arch({"type": "SwinIR", "num_heads": [2, 4]})
+
+    def test_video_arch_batched(self):
+        b = build_arch({"type": "EDVR", "num_feat": 8, "num_frame": 3,
+                        "deformable_groups": 2, "num_extract_block": 1,
+                        "num_reconstruct_block": 1})
+        p = b.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 8, 8, 3))
+        assert b.forward(p, x).shape == (2, 32, 32, 3)
+
+    def test_unknown_raises(self):
+        with pytest.raises(KeyError, match="registry"):
+            build_arch({"type": "NoSuchNet"})
+        with pytest.raises(ValueError, match="unsupported"):
+            build_arch({"type": "RRDBNet", "frobnicate": 1})
+
+    def test_registry_covers_the_zoo(self):
+        for name in ("RRDBNet", "MSRResNet", "EDSR", "RCAN",
+                     "SRVGGNetCompact", "ECBSR", "RIDNet", "SwinIR",
+                     "VGGStyleDiscriminator", "UNetDiscriminatorSN",
+                     "EDVR", "BasicVSR", "BasicVSRPlusPlus", "DUF",
+                     "SPyNet"):
+            assert name in ARCH_REGISTRY
+
+
+class TestTrainSRRunner:
+    def _write_data(self, tmp_path, n=4, scale=2, lq=8):
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(0)
+        for sub, side in (("gt", lq * scale), ("lq", lq)):
+            d = tmp_path / "data" / sub
+            os.makedirs(str(d))
+            for i in range(n):
+                save_image(str(d / f"{i:03d}.png"),
+                           rng.uniform(0, 1, (side, side, 3)))
+        return str(tmp_path / "data")
+
+    def test_srmodel_end_to_end(self, tmp_path):
+        import train_sr
+        data = self._write_data(tmp_path)
+        yml = tmp_path / "opt.yml"
+        yml.write_text(f"""
+name: smoke
+model_type: SRModel
+scale: 2
+manual_seed: 0
+datasets:
+  train:
+    type: PairedImageDataset
+    dataroot_gt: {data}/gt
+    dataroot_lq: {data}/lq
+    gt_size: 8
+    batch_size_per_gpu: 2
+  val:
+    type: PairedImageDataset
+    dataroot_gt: {data}/gt
+    dataroot_lq: {data}/lq
+network_g:
+  type: MSRResNet
+  num_in_ch: 3
+  num_out_ch: 3
+  num_feat: 8
+  num_block: 1
+  upscale: 2
+path:
+  pretrain_network_g: ~
+train:
+  total_iter: 4
+  optim_g:
+    lr: !!float 1e-3
+  scheduler:
+    type: MultiStepLR
+    milestones: [2]
+    gamma: 0.5
+  pixel_opt:
+    type: L1Loss
+val:
+  val_freq: 4
+  metrics:
+    psnr:
+      crop_border: 2
+logger:
+  print_freq: 2
+  save_checkpoint_freq: 4
+""")
+        train_sr.main(["-opt", str(yml), "--root", str(tmp_path), "--cpu"])
+        exp = tmp_path / "experiments" / "smoke"
+        assert (exp / "models" / "checkpoint-4").exists()
+        assert (exp / "train.jsonl").exists()
+        log = (exp / "train.jsonl").read_text()
+        assert "l_pix" in log and "val/psnr" in log
+
+    def test_esrgan_model_end_to_end(self, tmp_path):
+        import train_sr
+        data = self._write_data(tmp_path)
+        yml = tmp_path / "opt.yml"
+        yml.write_text(f"""
+name: gan_smoke
+model_type: ESRGANModel
+scale: 2
+datasets:
+  train:
+    type: PairedImageDataset
+    dataroot_gt: {data}/gt
+    dataroot_lq: {data}/lq
+    gt_size: 8
+    batch_size_per_gpu: 2
+network_g:
+  type: MSRResNet
+  num_feat: 8
+  num_block: 1
+  upscale: 2
+network_d:
+  type: UNetDiscriminatorSN
+  num_in_ch: 3
+  num_feat: 8
+path: {{}}
+train:
+  total_iter: 2
+  optim_g:
+    lr: !!float 1e-4
+  optim_d:
+    lr: !!float 1e-4
+  gan_opt:
+    gan_type: vanilla
+    loss_weight: !!float 5e-3
+logger:
+  print_freq: 1
+""")
+        train_sr.main(["-opt", str(yml), "--root", str(tmp_path), "--cpu"])
+        log = (tmp_path / "experiments" / "gan_smoke"
+               / "train.jsonl").read_text()
+        assert "l_g_gan" in log and "l_d" in log

@@ -796,3 +796,114 @@ def ridnet_forward(params: Params, cfg: RIDNetConfig, x: jnp.ndarray):
     res = _conv(params["tail"], res)
     res = _conv(params["add_mean"], res)
     return x + res
+
+
+# ---------------------------------------------------------------------------
+# UNetDiscriminatorSN — Real-ESRGAN's discriminator
+# (discriminator_arch.py:91-151)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class UNetDiscriminatorConfig:
+    in_channels: int = 3
+    num_feat: int = 64
+    skip_connection: bool = True
+
+    @classmethod
+    def tiny(cls) -> "UNetDiscriminatorConfig":
+        return cls(num_feat=8)
+
+
+def _sn_conv_init(key, k, cin, cout):
+    fan_in = k * k * cin
+    return {
+        "kernel": jax.random.normal(key, (k, k, cin, cout), jnp.float32)
+        / math.sqrt(fan_in),
+        "u": jax.random.normal(jax.random.fold_in(key, 1), (cout,),
+                               jnp.float32),
+    }
+
+
+def spectral_normalize(kernel: jnp.ndarray, u: jnp.ndarray,
+                       n_power_iterations: int = 1, eps: float = 1e-12):
+    """torch.nn.utils.spectral_norm semantics: power-iterate u/v under
+    stop_gradient (torch does it in no_grad), divide the weight by
+    sigma = u^T W v (gradient flows through W).  Weight rows follow the
+    torch [cout, cin*kh*kw] flattening so converted u vectors line up.
+    Returns (normalized kernel, updated u)."""
+    cout = kernel.shape[-1]
+    w = kernel.transpose(3, 2, 0, 1).reshape(cout, -1)
+
+    def l2(v):
+        return v / (jnp.linalg.norm(v) + eps)
+
+    for _ in range(n_power_iterations):
+        v = l2(w.T @ u)
+        u = l2(w @ v)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = u @ (w @ v)
+    return kernel / sigma, u
+
+
+def init_unet_discriminator_params(key,
+                                   cfg: UNetDiscriminatorConfig) -> Params:
+    nf = cfg.num_feat
+    ks = jax.random.split(key, 10)
+    chans = [(nf, nf * 2), (nf * 2, nf * 4), (nf * 4, nf * 8),   # down 4x4/s2
+             (nf * 8, nf * 4), (nf * 4, nf * 2), (nf * 2, nf),   # up 3x3
+             (nf, nf), (nf, nf)]                                 # extra 3x3
+    p = {"conv0": _conv_init(ks[0], 3, cfg.in_channels, nf)}
+    for i, (cin, cout) in enumerate(chans, start=1):
+        k = 4 if i <= 3 else 3
+        p[f"conv{i}"] = _sn_conv_init(ks[i], k, cin, cout)
+    p["conv9"] = _conv_init(ks[9], 3, nf, 1)
+    return p
+
+
+def _up2_bilinear(x):
+    from ..image.matlab import interpolate
+    return interpolate(x, (x.shape[1] * 2, x.shape[2] * 2), "bilinear")
+
+
+def unet_discriminator_forward(params: Params, cfg: UNetDiscriminatorConfig,
+                               x: jnp.ndarray,
+                               update_u: bool = False):
+    """x [N,H,W,C] -> patch logits [N,H,W,1]
+    (discriminator_arch.py:121-151).  With ``update_u`` also returns the
+    params with power-iterated u buffers (torch updates them every
+    training forward)."""
+    new = dict(params)
+
+    def sn(name, h, stride=1):
+        kern, u = spectral_normalize(params[name]["kernel"],
+                                     params[name]["u"])
+        if update_u:
+            new[name] = {"kernel": params[name]["kernel"], "u": u}
+        pad = ((1, 1), (1, 1)) if kern.shape[0] == 4 else "SAME"
+        return jax.lax.conv_general_dilated(
+            h, kern.astype(h.dtype), (stride, stride), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    x0 = _lrelu(_conv(params["conv0"], x))
+    x1 = _lrelu(sn("conv1", x0, 2))
+    x2 = _lrelu(sn("conv2", x1, 2))
+    x3 = _lrelu(sn("conv3", x2, 2))
+    x3 = _up2_bilinear(x3)
+    x4 = _lrelu(sn("conv4", x3))
+    if cfg.skip_connection:
+        x4 = x4 + x2
+    x4 = _up2_bilinear(x4)
+    x5 = _lrelu(sn("conv5", x4))
+    if cfg.skip_connection:
+        x5 = x5 + x1
+    x5 = _up2_bilinear(x5)
+    x6 = _lrelu(sn("conv6", x5))
+    if cfg.skip_connection:
+        x6 = x6 + x0
+    out = _lrelu(sn("conv7", x6))
+    out = _lrelu(sn("conv8", out))
+    out = _conv(params["conv9"], out)
+    if update_u:
+        return out, new
+    return out

@@ -681,3 +681,21 @@ def convert_hifacegan_discriminator(sd: Dict[str, np.ndarray]) -> Params:
         ds.append(layers)
         d += 1
     return {"discriminators": ds}
+
+
+def convert_unet_discriminator(sd: Dict[str, np.ndarray]) -> Params:
+    """basicsr discriminator_arch.UNetDiscriminatorSN
+    (discriminator_arch.py:91-151): conv1..conv8 keep their raw
+    ``weight_orig`` kernel plus the ``weight_u`` power-iteration buffer
+    (the spectral constraint stays live for continued training —
+    sr_archs.spectral_normalize re-derives v from u); conv0/conv9 are
+    plain convs."""
+    p = {"conv0": _c(sd, "conv0"), "conv9": _c(sd, "conv9")}
+    for i in range(1, 9):
+        name = f"conv{i}"
+        p[name] = {
+            "kernel": jnp.asarray(np.transpose(
+                sd[f"{name}.weight_orig"], (2, 3, 1, 0))),
+            "u": jnp.asarray(sd[f"{name}.weight_u"]),
+        }
+    return p
