@@ -221,3 +221,48 @@ logger:
         log = (tmp_path / "experiments" / "gan_smoke"
                / "train.jsonl").read_text()
         assert "l_g_gan" in log and "l_d" in log
+
+
+class TestTestSRRunner:
+    def test_eval_end_to_end(self, tmp_path):
+        import test_sr
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(1)
+        for sub, side in (("gt", 16), ("lq", 8)):
+            d = tmp_path / "data" / sub
+            os.makedirs(str(d))
+            for i in range(2):
+                save_image(str(d / f"{i:03d}.png"),
+                           rng.uniform(0, 1, (side, side, 3)))
+        yml = tmp_path / "test.yml"
+        yml.write_text(f"""
+name: eval_smoke
+model_type: SRModel
+scale: 2
+datasets:
+  test_1:
+    name: setA
+    type: PairedImageDataset
+    dataroot_gt: {tmp_path}/data/gt
+    dataroot_lq: {tmp_path}/data/lq
+network_g:
+  type: MSRResNet
+  num_feat: 8
+  num_block: 1
+  upscale: 2
+path: {{}}
+val:
+  save_img: true
+  metrics:
+    psnr:
+      crop_border: 2
+    ssim:
+      crop_border: 2
+""")
+        res = test_sr.main(["-opt", str(yml), "--root", str(tmp_path),
+                            "--cpu"])
+        assert "setA" in res and len(res["setA"]["per_image"]) == 2
+        assert np.isfinite(res["setA"]["mean"]["psnr"])
+        out = (tmp_path / "results" / "eval_smoke")
+        assert (out / "test_eval_smoke.json").exists()
+        assert any((out / "visualization" / "setA").iterdir())
