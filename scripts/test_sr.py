@@ -30,21 +30,7 @@ def load_params(opt, bundle, key):
     path = opt["path"].get("pretrain_network_g")
     if path:
         from unitex_tpu.models import sr_convert as sc
-        sd = sc.load_state_dict(path)
-        name = opt["network_g"]["type"]
-        fn = {
-            "RRDBNet": sc.convert_rrdbnet, "MSRResNet": sc.convert_msrresnet,
-            "EDSR": sc.convert_edsr, "RCAN": sc.convert_rcan,
-            "SRVGGNetCompact": sc.convert_srvgg, "SwinIR": sc.convert_swinir,
-            "ECBSR": sc.convert_ecbsr, "RIDNet": sc.convert_ridnet,
-            "BasicVSR": sc.convert_basicvsr, "EDVR": sc.convert_edvr,
-            "BasicVSRPlusPlus": sc.convert_basicvsrpp,
-            "DUF": sc.convert_duf,
-            "UNetDiscriminatorSN": sc.convert_unet_discriminator,
-        }.get(name)
-        if fn is None:
-            raise SystemExit(f"no torch converter wired for {name}")
-        return fn(sd)
+        return sc.convert_for_arch(opt["network_g"]["type"], path)
     ckpt_dir = opt["path"].get("checkpoint_g")
     if ckpt_dir:
         import orbax.checkpoint as ocp

@@ -39,6 +39,17 @@ def build_dataset(dopt):
             backend=("packed" if dopt.get("io_backend", {}).get("type")
                      in ("lmdb", "packed") else "disk"),
             meta_info_file=dopt.get("meta_info_file")))
+    if dtype in ("RealESRGANDataset", "FFHQDataset", "GTImageDataset"):
+        # RealESRGANDataset crops to a fixed pre-synthesis size (400 in
+        # the reference); the model paired-crops to gt_size afterwards
+        size = (dopt.get("crop_pad_size", 400)
+                if dtype == "RealESRGANDataset"
+                else dopt.get("gt_size", 256))
+        return sd.GTImageDataset(sd.GTImageConfig(
+            gt_folder=dopt["dataroot_gt"],
+            gt_size=size, phase=phase,
+            use_hflip=dopt.get("use_hflip", True),
+            use_rot=dopt.get("use_rot", True)))
     if dtype in ("REDSDataset", "REDSRecurrentDataset"):
         return sd.VideoFrameDataset(sd.VideoFrameConfig(
             lq_root=dopt["dataroot_lq"], gt_root=dopt["dataroot_gt"],
@@ -119,11 +130,13 @@ def main(argv=None):
 
     g = build_arch(opt["network_g"])
     key, gk = jax.random.split(key)
-    g_params = g.init(gk)
     if opt["path"].get("pretrain_network_g"):
-        from unitex_tpu.models import sr_convert  # noqa: F401
-        raise SystemExit("pretrain_network_g: convert the checkpoint via "
-                         "unitex_tpu.models.sr_convert and resume instead")
+        from unitex_tpu.models.sr_convert import convert_for_arch
+        g_params = convert_for_arch(opt["network_g"]["type"],
+                                    opt["path"]["pretrain_network_g"])
+        print("loaded pretrain_network_g", flush=True)
+    else:
+        g_params = g.init(gk)
 
     lr_sched = build_schedule(train_opt)
     betas = train_opt["optim_g"].get("betas", (0.9, 0.99))
@@ -138,7 +151,8 @@ def main(argv=None):
     print_freq = int(opt.get("logger", {}).get("print_freq", 100))
 
     # ---- assemble the train step by model type
-    if model_type in ("SRModel", "SwinIRModel", "RealESRNetModel"):
+    ema_decay = float(train_opt.get("ema_decay", 0.0) or 0.0)
+    if model_type in ("SRModel", "SwinIRModel"):
         pix_type = (train_opt.get("pixel_opt") or {}).get("type", "L1Loss")
 
         def loss_fn(params, lq, gt):
@@ -152,27 +166,113 @@ def main(argv=None):
 
         @jax.jit
         def step(state, lq, gt):
-            params, opt_state = state
+            params, ema, opt_state = state
             loss, grads = jax.value_and_grad(loss_fn)(params, lq, gt)
             updates, opt_state = opt_g.update(grads, opt_state, params)
-            return ((optax.apply_updates(params, updates), opt_state),
-                    {"l_pix": loss})
+            params = optax.apply_updates(params, updates)
+            if ema_decay > 0.0:
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    ema, params)
+            return (params, ema, opt_state), {"l_pix": loss}
 
-        state = (g_params, opt_g.init(g_params))
+        state = (g_params, g_params, opt_g.init(g_params))
 
         def run_step(state, batch_d):
             return step(state, jnp.asarray(batch_d["lq"]),
                         jnp.asarray(batch_d["gt"]))
 
         def current_g(state):
-            return state[0]
+            # validate/serve with the EMA weights when tracked (sr_model.py)
+            return state[1] if ema_decay > 0.0 else state[0]
+
+    elif model_type in ("RealESRNetModel", "RealESRGANModel"):
+        from unitex_tpu.training import degradations as dg
+        from unitex_tpu.training import realesrgan as re_t
+        dconf_fields = {f.name for f in
+                        __import__("dataclasses").fields(dg.DegradationConfig)}
+        deg_kwargs = {k: (tuple(v) if isinstance(v, list) else v)
+                      for src in (dopt, train_opt) for k, v in src.items()
+                      if k in dconf_fields and k not in ("scale", "gt_size")}
+        deg_cfg = dg.DegradationConfig(
+            scale=int(opt.get("scale", 4)),
+            gt_size=int(dopt.get("gt_size", 256)), **deg_kwargs)
+        pool = dg.PairPool(int(train_opt.get("queue_size", 180)))
+        deg_key = jax.random.PRNGKey(seed + 1)
+        usm = jax.jit(dg.usm_sharp)
+
+        def synth(batch_d):
+            nonlocal deg_key
+            gt = jnp.asarray(batch_d["gt"])
+            deg_key, sub = jax.random.split(deg_key)
+            lq = dg.synthesize_lq(rng, sub, gt, deg_cfg)
+            gt_c, lq_c = dg.paired_random_crop(rng, gt, lq, deg_cfg.gt_size,
+                                               deg_cfg.scale)
+            lq_np, gt_np = pool.exchange(rng, np.asarray(lq_c),
+                                         np.asarray(gt_c))
+            gt_j = jnp.asarray(gt_np)
+            return jnp.asarray(lq_np), gt_j, usm(gt_j)
+
+        if model_type == "RealESRNetModel":
+            nstep = re_t.make_realesrnet_train_step(
+                g.forward, opt_g,
+                ema_decay=ema_decay or 0.999,
+                gt_usm=bool(train_opt.get("gt_usm", True)))
+            state = (g_params, g_params, opt_g.init(g_params))
+
+            def run_step(state, batch_d):
+                return nstep(state, *synth(batch_d))
+
+            def current_g(state):
+                return state[1]
+        else:
+            d = build_arch(opt["network_d"])
+            key, dk = jax.random.split(key)
+            if opt["path"].get("pretrain_network_d"):
+                from unitex_tpu.models.sr_convert import convert_for_arch
+                d_params = convert_for_arch(
+                    opt["network_d"]["type"],
+                    opt["path"]["pretrain_network_d"])
+            else:
+                d_params = d.init(dk)
+            betas_d = train_opt["optim_d"].get("betas", (0.9, 0.99))
+            opt_d = optax.adam(float(train_opt["optim_d"]["lr"]),
+                               b1=float(betas_d[0]), b2=float(betas_d[1]))
+            gan_opt = train_opt.get("gan_opt") or {}
+            cfg = re_t.RealESRGANConfig(
+                gan_type=gan_opt.get("gan_type", "vanilla"),
+                pixel_weight=float((train_opt.get("pixel_opt") or {})
+                                   .get("loss_weight", 1.0)),
+                gan_weight=float(gan_opt.get("loss_weight", 0.1)),
+                percep_weight=0.0,   # VGG feature net not bundled
+                ldl_weight=float(train_opt.get("ldl_weight", 0.0)),
+                ema_decay=ema_decay or 0.999,
+                l1_gt_usm=bool(train_opt.get("l1_gt_usm", True)),
+                percep_gt_usm=bool(train_opt.get("percep_gt_usm", True)),
+                gan_gt_usm=bool(train_opt.get("gan_gt_usm", False)))
+            gstep = re_t.make_realesrgan_train_step(
+                g.forward, d.forward, opt_g, opt_d, cfg)
+            state = re_t.RealESRGANState(
+                g_params, d_params, g_params, opt_g.init(g_params),
+                opt_d.init(d_params))
+
+            def run_step(state, batch_d):
+                return gstep(state, *synth(batch_d))
+
+            def current_g(state):
+                return state.g_ema
 
     elif model_type in ("SRGANModel", "ESRGANModel"):
         from unitex_tpu.training.sr_gan import SRGANConfig, \
             make_srgan_train_step
         d = build_arch(opt["network_d"])
         key, dk = jax.random.split(key)
-        d_params = d.init(dk)
+        if opt["path"].get("pretrain_network_d"):
+            from unitex_tpu.models.sr_convert import convert_for_arch
+            d_params = convert_for_arch(opt["network_d"]["type"],
+                                        opt["path"]["pretrain_network_d"])
+        else:
+            d_params = d.init(dk)
         betas_d = train_opt["optim_d"].get("betas", (0.9, 0.99))
         opt_d = optax.adam(float(train_opt["optim_d"]["lr"]),
                            b1=float(betas_d[0]), b2=float(betas_d[1]))
@@ -234,7 +334,11 @@ def main(argv=None):
     # ---- the loop
     it = 0
     while it < total_iter:
-        for batch_d in sd.batch_iterator(dataset, batch, rng):
+        batch_keys = (("gt",) if model_type in ("RealESRNetModel",
+                                                "RealESRGANModel")
+                      else ("lq", "gt"))
+        for batch_d in sd.batch_iterator(dataset, batch, rng,
+                                         keys=batch_keys):
             state, metrics = run_step(state, batch_d)
             it += 1
             if it % print_freq == 0 or it == total_iter:

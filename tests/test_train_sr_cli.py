@@ -266,3 +266,156 @@ val:
         out = (tmp_path / "results" / "eval_smoke")
         assert (out / "test_eval_smoke.json").exists()
         assert any((out / "visualization" / "setA").iterdir())
+
+
+class TestRealESRGANRunner:
+    def _write_gt(self, tmp_path, n=3, side=64):
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(5)
+        d = tmp_path / "data" / "gt"
+        os.makedirs(str(d))
+        for i in range(n):
+            save_image(str(d / f"{i:03d}.png"),
+                       rng.uniform(0, 1, (side, side, 3)))
+        return str(d)
+
+    def test_realesrnet_end_to_end(self, tmp_path):
+        import train_sr
+        gt = self._write_gt(tmp_path)
+        yml = tmp_path / "opt.yml"
+        yml.write_text(f"""
+name: ren_smoke
+model_type: RealESRNetModel
+scale: 2
+datasets:
+  train:
+    type: RealESRGANDataset
+    dataroot_gt: {gt}
+    crop_pad_size: 48
+    gt_size: 32
+    batch_size_per_gpu: 2
+network_g:
+  type: MSRResNet
+  num_feat: 8
+  num_block: 1
+  upscale: 2
+path: {{}}
+train:
+  total_iter: 2
+  queue_size: 2
+  ema_decay: 0.999
+  optim_g:
+    lr: !!float 1e-4
+logger:
+  print_freq: 1
+""")
+        train_sr.main(["-opt", str(yml), "--root", str(tmp_path), "--cpu"])
+        log = (tmp_path / "experiments" / "ren_smoke"
+               / "train.jsonl").read_text()
+        assert "l_pix" in log
+
+    def test_realesrgan_end_to_end(self, tmp_path):
+        import train_sr
+        gt = self._write_gt(tmp_path)
+        yml = tmp_path / "opt.yml"
+        yml.write_text(f"""
+name: reg_smoke
+model_type: RealESRGANModel
+scale: 2
+datasets:
+  train:
+    type: RealESRGANDataset
+    dataroot_gt: {gt}
+    crop_pad_size: 48
+    gt_size: 32
+    batch_size_per_gpu: 2
+network_g:
+  type: MSRResNet
+  num_feat: 8
+  num_block: 1
+  upscale: 2
+network_d:
+  type: UNetDiscriminatorSN
+  num_in_ch: 3
+  num_feat: 8
+path: {{}}
+train:
+  total_iter: 2
+  queue_size: 2
+  optim_g:
+    lr: !!float 1e-4
+  optim_d:
+    lr: !!float 1e-4
+  gan_opt:
+    gan_type: vanilla
+    loss_weight: !!float 0.1
+  ldl_weight: !!float 0.5
+logger:
+  print_freq: 1
+""")
+        train_sr.main(["-opt", str(yml), "--root", str(tmp_path), "--cpu"])
+        log = (tmp_path / "experiments" / "reg_smoke"
+               / "train.jsonl").read_text()
+        assert "l_g_gan" in log and "l_g_ldl" in log
+
+    def test_sr_model_ema(self, tmp_path):
+        import train_sr
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(6)
+        for sub, side in (("gt", 16), ("lq", 8)):
+            d = tmp_path / "data" / sub
+            os.makedirs(str(d))
+            for i in range(2):
+                save_image(str(d / f"{i:03d}.png"),
+                           rng.uniform(0, 1, (side, side, 3)))
+        yml = tmp_path / "opt.yml"
+        yml.write_text(f"""
+name: ema_smoke
+model_type: SRModel
+scale: 2
+datasets:
+  train:
+    type: PairedImageDataset
+    dataroot_gt: {tmp_path}/data/gt
+    dataroot_lq: {tmp_path}/data/lq
+    gt_size: 8
+    batch_size_per_gpu: 2
+network_g:
+  type: MSRResNet
+  num_feat: 8
+  num_block: 1
+  upscale: 2
+path: {{}}
+train:
+  total_iter: 2
+  ema_decay: 0.999
+  optim_g:
+    lr: !!float 1e-2
+logger:
+  print_freq: 1
+  save_checkpoint_freq: 2
+""")
+        train_sr.main(["-opt", str(yml), "--root", str(tmp_path), "--cpu"])
+        assert (tmp_path / "experiments" / "ema_smoke" / "models"
+                / "checkpoint-2").exists()
+
+
+class TestGTImageDataset:
+    def test_crop_pad_and_augment(self, tmp_path):
+        from unitex_tpu.training import sr_data as sdm
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(7)
+        d = tmp_path / "gt"
+        os.makedirs(str(d))
+        save_image(str(d / "small.png"), rng.uniform(0, 1, (10, 12, 3)))
+        ds = sdm.GTImageDataset(sdm.GTImageConfig(gt_folder=str(d),
+                                                  gt_size=16))
+        s = ds[0]
+        assert s["gt"].shape == (16, 16, 3)  # reflect-padded up
+
+    def test_empty_raises(self, tmp_path):
+        from unitex_tpu.training import sr_data as sdm
+        d = tmp_path / "empty"
+        os.makedirs(str(d))
+        with pytest.raises(FileNotFoundError):
+            sdm.GTImageDataset(sdm.GTImageConfig(gt_folder=str(d)))

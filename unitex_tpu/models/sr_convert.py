@@ -699,3 +699,37 @@ def convert_unet_discriminator(sd: Dict[str, np.ndarray]) -> Params:
             "u": jnp.asarray(sd[f"{name}.weight_u"]),
         }
     return p
+
+
+# BasicSR arch type name -> converter (the registry face of this module;
+# shared by scripts/train_sr.py and scripts/test_sr.py for
+# pretrain_network_g loading)
+CONVERTERS = {
+    "RRDBNet": convert_rrdbnet,
+    "MSRResNet": convert_msrresnet,
+    "EDSR": convert_edsr,
+    "RCAN": convert_rcan,
+    "SRVGGNetCompact": convert_srvgg,
+    "SwinIR": convert_swinir,
+    "ECBSR": convert_ecbsr,
+    "RIDNet": convert_ridnet,
+    "SPyNet": convert_spynet,
+    "BasicVSR": convert_basicvsr,
+    "BasicVSRPlusPlus": convert_basicvsrpp,
+    "EDVR": convert_edvr,
+    "TOFlow": convert_toflow,
+    "DUF": convert_duf,
+    "StyleGAN2GeneratorC": convert_stylegan2_generator,
+    "StyleGAN2DiscriminatorC": convert_stylegan2_discriminator,
+    "HiFaceGAN": convert_hifacegan,
+    "HiFaceGANDiscriminator": convert_hifacegan_discriminator,
+    "UNetDiscriminatorSN": convert_unet_discriminator,
+}
+
+
+def convert_for_arch(arch_type: str, path: str):
+    """Load + convert a torch checkpoint for a registry arch name."""
+    if arch_type not in CONVERTERS:
+        raise KeyError(f"no torch converter for arch {arch_type!r}; "
+                       f"available: {sorted(CONVERTERS)}")
+    return CONVERTERS[arch_type](load_state_dict(path))

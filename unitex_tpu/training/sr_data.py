@@ -196,6 +196,53 @@ class PairedImageDataset:
 
 
 # ---------------------------------------------------------------------------
+# GT-only dataset (Real-ESRGAN / FFHQ style: LQ is synthesized on the fly)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class GTImageConfig:
+    gt_folder: str
+    gt_size: int = 256
+    phase: str = "train"
+    use_hflip: bool = True
+    use_rot: bool = True
+    seed: int = 0
+
+
+class GTImageDataset:
+    """Ground-truth-only image dataset (basicsr realesrgan_dataset /
+    ffhq_dataset semantics: the degradation pipeline synthesizes LQ
+    downstream).  Train phase: random gt_size crop (reflect-padded when
+    the source is smaller) + flip/rot augmentation."""
+
+    def __init__(self, cfg: GTImageConfig):
+        self.cfg = cfg
+        self.rng = np.random.default_rng(cfg.seed)
+        self.paths = [os.path.join(cfg.gt_folder, p)
+                      for p in sorted(scandir(cfg.gt_folder))]
+        if not self.paths:
+            raise FileNotFoundError(f"no images in {cfg.gt_folder}")
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        gt = imfrombytes(FileClient("disk").get(self.paths[idx]))
+        if cfg.phase == "train":
+            h, w = gt.shape[:2]
+            if h < cfg.gt_size or w < cfg.gt_size:
+                ph, pw = max(0, cfg.gt_size - h), max(0, cfg.gt_size - w)
+                gt = np.pad(gt, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+                h, w = gt.shape[:2]
+            top = int(self.rng.integers(0, h - cfg.gt_size + 1))
+            left = int(self.rng.integers(0, w - cfg.gt_size + 1))
+            gt = gt[top:top + cfg.gt_size, left:left + cfg.gt_size]
+            gt = augment(gt, self.rng, cfg.use_hflip, cfg.use_rot)
+        return {"gt": gt.astype(np.float32), "gt_path": self.paths[idx]}
+
+
+# ---------------------------------------------------------------------------
 # Video clip dataset (REDS-style folder layout)
 # ---------------------------------------------------------------------------
 
