@@ -311,6 +311,98 @@ def main(argv=None):
         def current_g(state):
             return state.params
 
+    elif model_type in ("VideoGANModel", "VideoRecurrentGANModel"):
+        from unitex_tpu.training import video_sr as vt
+        d = build_arch(opt["network_d"])
+        key, dk = jax.random.split(key)
+        d_params = d.init(dk)
+        betas_d = train_opt["optim_d"].get("betas", (0.9, 0.99))
+        opt_d = optax.adam(float(train_opt["optim_d"]["lr"]),
+                           b1=float(betas_d[0]), b2=float(betas_d[1]))
+        opt_gv = vt.make_video_optimizer(
+            lr_sched, float(train_opt.get("flow_lr_mul", 1.0)), g_params)
+        gan_opt = train_opt.get("gan_opt") or {}
+        cfg = vt.VideoGANConfig(
+            gan_type=gan_opt.get("gan_type", "vanilla"),
+            pixel_weight=float((train_opt.get("pixel_opt") or {})
+                               .get("loss_weight", 1.0)),
+            percep_weight=0.0,
+            gan_weight=float(gan_opt.get("loss_weight", 5e-2)),
+            fix_flow_iter=int(train_opt.get("fix_flow_iter", 0)),
+            net_d_iters=int(train_opt.get("net_d_iters", 1)),
+            net_d_init_iters=int(train_opt.get("net_d_init_iters", 0)),
+            ema_decay=ema_decay)
+        vstep = vt.make_video_gan_train_step(g.forward, d.forward, opt_gv,
+                                             opt_d, cfg)
+        state = vt.VideoGANState(g_params, d_params, g_params,
+                                 opt_gv.init(g_params),
+                                 opt_d.init(d_params), jnp.int32(0))
+
+        def run_step(state, batch_d):
+            return vstep(state, jnp.asarray(batch_d["lq"]),
+                         jnp.asarray(batch_d["gt"]))
+
+        def current_g(state):
+            return state.g_ema if ema_decay > 0.0 else state.g_params
+
+    elif model_type == "HiFaceGANModel":
+        from unitex_tpu.training import hifacegan as ht
+        d = build_arch(opt["network_d"])
+        key, dk = jax.random.split(key)
+        d_params = d.init(dk)
+        betas_d = train_opt["optim_d"].get("betas", (0.9, 0.99))
+        opt_d = optax.adam(float(train_opt["optim_d"]["lr"]),
+                           b1=float(betas_d[0]), b2=float(betas_d[1]))
+        gan_opt = train_opt.get("gan_opt") or {}
+        feat_opt = train_opt.get("feature_matching_opt") or {}
+        cfg = ht.HiFaceGANTrainConfig(
+            gan_type=gan_opt.get("gan_type", "hinge"),
+            pixel_weight=float((train_opt.get("pixel_opt") or {})
+                               .get("loss_weight", 0.0)),
+            feat_weight=float(feat_opt.get("loss_weight", 10.0)),
+            gan_weight=float(gan_opt.get("loss_weight", 1.0)),
+            net_d_iters=int(train_opt.get("net_d_iters", 1)),
+            net_d_init_iters=int(train_opt.get("net_d_init_iters", 0)))
+        hstep = ht.make_hifacegan_train_step(g.forward, d.forward, opt_g,
+                                             opt_d, cfg)
+        state = ht.init_hifacegan_state(g_params, d_params, opt_g, opt_d)
+
+        def run_step(state, batch_d):
+            return hstep(state, jnp.asarray(batch_d["lq"]),
+                         jnp.asarray(batch_d["gt"]))
+
+        def current_g(state):
+            return state.g_params
+
+    elif model_type == "StyleGAN2Model":
+        from unitex_tpu.training.stylegan2 import (StyleGAN2TrainConfig,
+                                                   make_stylegan2_train_step)
+        d = build_arch(opt["network_d"])
+        key, dk = jax.random.split(key)
+        d_params = d.init(dk)
+        betas_d = train_opt["optim_d"].get("betas", (0.0, 0.99))
+        opt_d = optax.adam(float(train_opt["optim_d"]["lr"]),
+                           b1=float(betas_d[0]), b2=float(betas_d[1]))
+        tcfg = StyleGAN2TrainConfig(
+            r1_reg_weight=float(train_opt.get("r1_reg_weight", 10.0)),
+            path_reg_weight=float(train_opt.get("path_reg_weight", 2.0)),
+            net_g_reg_every=int(train_opt.get("net_g_reg_every", 4)),
+            net_d_reg_every=int(train_opt.get("net_d_reg_every", 16)),
+            mixing_prob=float(train_opt.get("mixing_prob", 0.9)))
+        init_state, sstep = make_stylegan2_train_step(g.cfg, opt_g, opt_d,
+                                                      tcfg)
+        state = init_state(g_params, d_params)
+        sg_key = jax.random.PRNGKey(seed + 7)
+
+        def run_step(state, batch_d):
+            nonlocal sg_key
+            sg_key, sub = jax.random.split(sg_key)
+            real = jnp.asarray(batch_d["gt"]) * 2.0 - 1.0  # [-1, 1]
+            return sstep(state, real, sub)
+
+        def current_g(state):
+            return state[4]  # EMA generator
+
     elif model_type == "EDVRModel":
         from unitex_tpu.training import video_sr as vt
         opt_gv = vt.make_edvr_optimizer(
@@ -335,7 +427,8 @@ def main(argv=None):
     it = 0
     while it < total_iter:
         batch_keys = (("gt",) if model_type in ("RealESRNetModel",
-                                                "RealESRGANModel")
+                                                "RealESRGANModel",
+                                                "StyleGAN2Model")
                       else ("lq", "gt"))
         for batch_d in sd.batch_iterator(dataset, batch, rng,
                                          keys=batch_keys):

@@ -419,3 +419,154 @@ class TestGTImageDataset:
         os.makedirs(str(d))
         with pytest.raises(FileNotFoundError):
             sdm.GTImageDataset(sdm.GTImageConfig(gt_folder=str(d)))
+
+
+class TestMoreModelTypes:
+    def _gt_dir(self, tmp_path, side, n=2):
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(8)
+        d = tmp_path / "data" / "gt"
+        os.makedirs(str(d))
+        for i in range(n):
+            save_image(str(d / f"{i}.png"), rng.uniform(0, 1, (side, side, 3)))
+        return str(d)
+
+    def test_hifacegan_model(self, tmp_path):
+        import train_sr
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(9)
+        for sub in ("gt", "lq"):
+            d = tmp_path / "data" / sub
+            os.makedirs(str(d))
+            for i in range(2):
+                save_image(str(d / f"{i}.png"),
+                           rng.uniform(0, 1, (32, 32, 3)))
+        yml = tmp_path / "opt.yml"
+        yml.write_text(f"""
+name: hfg_smoke
+model_type: HiFaceGANModel
+scale: 1
+datasets:
+  train:
+    type: PairedImageDataset
+    dataroot_gt: {tmp_path}/data/gt
+    dataroot_lq: {tmp_path}/data/lq
+    gt_size: 32
+    batch_size_per_gpu: 1
+network_g:
+  type: HiFaceGAN
+  num_in_ch: 3
+  num_feat: 4
+network_d:
+  type: HiFaceGANDiscriminator
+  num_in_ch: 3
+  num_feat: 4
+  num_d: 2
+  n_layers_d: 2
+path: {{}}
+train:
+  total_iter: 1
+  optim_g:
+    lr: !!float 1e-4
+  optim_d:
+    lr: !!float 1e-4
+  gan_opt:
+    gan_type: hinge
+logger:
+  print_freq: 1
+""")
+        train_sr.main(["-opt", str(yml), "--root", str(tmp_path), "--cpu"])
+        log = (tmp_path / "experiments" / "hfg_smoke"
+               / "train.jsonl").read_text()
+        assert "l_g_feat" in log
+
+    def test_stylegan2_model(self, tmp_path):
+        import train_sr
+        gt = self._gt_dir(tmp_path, side=16)
+        yml = tmp_path / "opt.yml"
+        yml.write_text(f"""
+name: sg2_smoke
+model_type: StyleGAN2Model
+datasets:
+  train:
+    type: FFHQDataset
+    dataroot_gt: {gt}
+    gt_size: 16
+    batch_size_per_gpu: 2
+network_g:
+  type: StyleGAN2GeneratorC
+  out_size: 16
+  num_style_feat: 8
+  num_mlp: 2
+  channel_multiplier: 1
+network_d:
+  type: StyleGAN2DiscriminatorC
+  out_size: 16
+  num_style_feat: 8
+  channel_multiplier: 1
+path: {{}}
+train:
+  total_iter: 1
+  net_d_reg_every: 1
+  net_g_reg_every: 1
+  optim_g:
+    lr: !!float 1e-4
+  optim_d:
+    lr: !!float 1e-4
+logger:
+  print_freq: 1
+""")
+        train_sr.main(["-opt", str(yml), "--root", str(tmp_path), "--cpu"])
+        log = (tmp_path / "experiments" / "sg2_smoke"
+               / "train.jsonl").read_text()
+        assert "l_d" in log or "l_g" in log
+
+    def test_video_gan_model(self, tmp_path):
+        import train_sr
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(10)
+        for root, side in (("gt", 128), ("lq", 32)):
+            d = tmp_path / "data" / root / "000"
+            os.makedirs(str(d))
+            for f in range(4):
+                save_image(str(d / f"{f:08d}.png"),
+                           rng.uniform(0, 1, (side, side, 3)))
+        yml = tmp_path / "opt.yml"
+        yml.write_text(f"""
+name: vgan_smoke
+model_type: VideoRecurrentGANModel
+scale: 4
+datasets:
+  train:
+    type: REDSRecurrentDataset
+    dataroot_gt: {tmp_path}/data/gt
+    dataroot_lq: {tmp_path}/data/lq
+    num_frame: 2
+    gt_size: 128
+    batch_size_per_gpu: 1
+network_g:
+  type: BasicVSR
+  num_feat: 8
+  num_block: 1
+network_d:
+  type: UNetDiscriminatorSN
+  num_in_ch: 3
+  num_feat: 8
+path: {{}}
+train:
+  total_iter: 1
+  fix_flow_iter: 0
+  optim_g:
+    lr: !!float 1e-4
+  optim_d:
+    lr: !!float 1e-4
+  gan_opt:
+    gan_type: vanilla
+    loss_weight: !!float 5e-2
+logger:
+  print_freq: 1
+""")
+        train_sr.main(["-opt", str(yml), "--root", str(tmp_path), "--cpu"])
+        log = (tmp_path / "experiments" / "vgan_smoke"
+               / "train.jsonl").read_text()
+        assert "l_g_gan" in log

@@ -91,6 +91,59 @@ def _build_spynet(kwargs: Dict[str, Any]) -> ArchBundle:
         lambda p, pair: vs.spynet_flow(p, pair[0], pair[1]))
 
 
+def _build_hifacegan(kwargs: Dict[str, Any]) -> ArchBundle:
+    from . import hifacegan as hf
+    kw = {k: v for k, v in kwargs.items() if k in
+          ("num_in_ch", "num_feat", "num_d", "n_layers_d")}
+    cfg = hf.HiFaceGANConfig(**kw)
+    return ArchBundle(cfg, lambda key: hf.init_hifacegan_params(key, cfg),
+                      lambda p, x: hf.hifacegan_generator(p, cfg, x))
+
+
+def _build_hifacegan_d(kwargs: Dict[str, Any]) -> ArchBundle:
+    from . import hifacegan as hf
+    kw = {k: v for k, v in kwargs.items() if k in
+          ("num_in_ch", "num_feat", "num_d", "n_layers_d")}
+    cfg = hf.HiFaceGANConfig(**kw)
+    conditional = bool(kwargs.get("conditional", True))
+    return ArchBundle(
+        cfg,
+        lambda key: hf.init_hifacegan_discriminator_params(
+            key, cfg, conditional=conditional),
+        lambda p, x: hf.hifacegan_discriminator(p, cfg, x))
+
+
+def _stylegan2_cfg(kwargs: Dict[str, Any]):
+    from . import stylegan2 as sg
+    kw = {k: v for k, v in kwargs.items() if k in
+          ("out_size", "num_style_feat", "num_mlp", "channel_multiplier",
+           "narrow", "lr_mlp", "stddev_group")}
+    rk = kwargs.get("resample_kernel")
+    if rk is not None:
+        kw["resample_kernel"] = tuple(rk)
+    return sg.StyleGAN2Config(**kw)
+
+
+def _build_stylegan2_g(kwargs: Dict[str, Any]) -> ArchBundle:
+    from . import stylegan2 as sg
+    cfg = _stylegan2_cfg(kwargs)
+    return ArchBundle(
+        cfg,
+        lambda key: sg.init_stylegan2_generator_params(key, cfg),
+        # z [B, num_style_feat] -> image (zero-noise deterministic form;
+        # training samples noise/mixing through training/stylegan2)
+        lambda p, z: sg.stylegan2_generator(p, cfg, [z]))
+
+
+def _build_stylegan2_d(kwargs: Dict[str, Any]) -> ArchBundle:
+    from . import stylegan2 as sg
+    cfg = _stylegan2_cfg(kwargs)
+    return ArchBundle(
+        cfg,
+        lambda key: sg.init_stylegan2_discriminator_params(key, cfg),
+        lambda p, x: sg.stylegan2_discriminator(p, cfg, x))
+
+
 _IN_OUT = {"num_in_ch": "in_channels", "num_out_ch": "out_channels"}
 
 ARCH_REGISTRY: Dict[str, Callable[[Dict[str, Any]], ArchBundle]] = {
@@ -135,6 +188,11 @@ ARCH_REGISTRY: Dict[str, Callable[[Dict[str, Any]], ArchBundle]] = {
     "DUF": _vmapped(_simple(vs.DUFConfig, vs.init_duf_params,
                             vs.duf_forward, {})),
     "SPyNet": _build_spynet,
+    "HiFaceGAN": _build_hifacegan,
+    "SPADEGenerator": _build_hifacegan,
+    "HiFaceGANDiscriminator": _build_hifacegan_d,
+    "StyleGAN2GeneratorC": _build_stylegan2_g,
+    "StyleGAN2DiscriminatorC": _build_stylegan2_d,
 }
 
 
