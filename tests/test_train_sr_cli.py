@@ -570,3 +570,41 @@ logger:
         log = (tmp_path / "experiments" / "vgan_smoke"
                / "train.jsonl").read_text()
         assert "l_g_gan" in log
+
+
+class TestAuxCLIs:
+    def test_make_packed_cli(self, tmp_path):
+        import make_packed
+        from unitex_tpu.utils.file_client import FileClient, paths_from_meta_info
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(12)
+        src = tmp_path / "imgs"
+        os.makedirs(str(src / "sub"))
+        save_image(str(src / "a.png"), rng.uniform(0, 1, (6, 6, 3)))
+        save_image(str(src / "sub" / "b.png"), rng.uniform(0, 1, (7, 5, 3)))
+        out = str(tmp_path / "store.pkdb")
+        make_packed.main([str(src), out])
+        keys = paths_from_meta_info(out)
+        assert len(keys) == 2
+        client = FileClient("packed", db_paths=[out])
+        assert len(client.get(keys[0])) > 0
+
+    def test_train_tsdsr_tiny(self, tmp_path):
+        import train_tsdsr
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(13)
+        for sub, side in (("hr", 16), ("lr", 4)):
+            d = tmp_path / sub
+            os.makedirs(str(d))
+            for i in range(2):
+                save_image(str(d / f"{i}.png"),
+                           rng.uniform(0, 1, (side, side, 3)))
+        out = str(tmp_path / "run")
+        train_tsdsr.main(["--lr-dir", str(tmp_path / "lr"),
+                          "--hr-dir", str(tmp_path / "hr"),
+                          "--tiny", "--cpu", "--steps", "1",
+                          "--log-every", "1", "--save-every", "1",
+                          "--output-dir", out])
+        assert os.path.exists(os.path.join(out, "checkpoints",
+                                           "checkpoint-1"))
+        assert "loss" in open(os.path.join(out, "train.jsonl")).read()
