@@ -55,10 +55,9 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from train_sr import build_dataset
+    from train_sr import build_dataset, forward_padded, score_pair
     from unitex_tpu.models.zoo import build_arch
     from unitex_tpu.utils.image_io import save_image
-    from unitex_tpu.utils.metrics import calculate_psnr, calculate_ssim
     from unitex_tpu.utils.options import dict2str, parse_options
 
     opt = parse_options(args.opt, args.root, is_train=False,
@@ -67,7 +66,17 @@ def main(argv=None):
     bundle = build_arch(opt["network_g"])
     params = load_params(opt, bundle, jax.random.PRNGKey(
         int(opt.get("manual_seed") or 0)))
-    forward = jax.jit(bundle.forward)
+    # pad to a shape bucket: window-multiple for SwinIR (its window
+    # partition requires it, swinir_model.py:11-33), and a coarse
+    # multiple otherwise so jit compiles once per bucket, not per image
+    # size (minutes each through the TPU remote-compile tunnel)
+    multiple = (int(opt["network_g"].get("window_size", 8))
+                if opt["network_g"]["type"] == "SwinIR" else 16)
+    scale = int(opt.get("scale", 1))
+    jit_forward = jax.jit(bundle.forward)
+
+    def forward(p, lq):
+        return forward_padded(jit_forward, p, lq, multiple, scale)
 
     val_opt = opt.get("val") or {}
     save_img = bool(val_opt.get("save_img", False))
@@ -87,23 +96,18 @@ def main(argv=None):
             stem = os.path.splitext(os.path.basename(
                 s.get("gt_path", f"{i:06d}")))[0]
             rec["name"] = stem
-            for mname, mopt in metric_opts.items():
-                cb = int((mopt or {}).get("crop_border", 0))
-                y = bool((mopt or {}).get("test_y_channel", False))
-                if mname == "psnr":
-                    rec["psnr"] = calculate_psnr(
-                        sr * 255, s["gt"] * 255, crop_border=cb,
-                        test_y_channel=y, bgr=False)
-                elif mname == "ssim":
-                    rec["ssim"] = calculate_ssim(
-                        sr * 255, s["gt"] * 255, crop_border=cb,
-                        test_y_channel=y, bgr=False)
+            p, ss = score_pair(sr, s["gt"], metric_opts)
+            if "psnr" in metric_opts:
+                rec["psnr"] = p
+            if "ssim" in metric_opts:
+                rec["ssim"] = ss
             per_image.append(rec)
             if save_img:
                 out_dir = os.path.join(vis_root, name)
                 os.makedirs(out_dir, exist_ok=True)
+                frame = sr[sr.shape[0] // 2] if sr.ndim == 4 else sr
                 save_image(os.path.join(out_dir, f"{stem}_{opt['name']}.png"),
-                           np.clip(sr, 0.0, 1.0))
+                           np.clip(frame, 0.0, 1.0))
         means = {m: float(np.mean([r[m] for r in per_image
                                    if np.isfinite(r[m])]))
                  for m in ("psnr", "ssim") if per_image and m in per_image[0]}

@@ -64,6 +64,45 @@ def build_dataset(dopt):
     raise KeyError(f"dataset type {dtype!r} not supported")
 
 
+def score_pair(sr, gt, metric_opts):
+    """(psnr, ssim) honoring crop_border/test_y_channel from the yml
+    metric options; video [T,H,W,C] outputs are frame-averaged (the
+    reference's per-frame video evaluation)."""
+    from unitex_tpu.utils.metrics import calculate_psnr, calculate_ssim
+    import numpy as np
+
+    def one(m, fn):
+        mo = metric_opts.get(m) or {}
+        cb = int(mo.get("crop_border", 0))
+        y = bool(mo.get("test_y_channel", False))
+        frames = sr if sr.ndim == 4 else sr[None]
+        gts = gt if gt.ndim == 4 else gt[None]
+        vals = [fn(np.clip(f, 0, 1) * 255, g * 255, crop_border=cb,
+                   test_y_channel=y, bgr=False)
+                for f, g in zip(frames, gts)]
+        finite = [v for v in vals if np.isfinite(v)]
+        return float(np.mean(finite)) if finite else float("inf")
+
+    return one("psnr", calculate_psnr), one("ssim", calculate_ssim)
+
+
+def forward_padded(forward, params, lq, multiple: int, scale: int):
+    """Reflect-pad H/W to a multiple (SwinIRModel.test semantics,
+    swinir_model.py:11-33) and crop the output back; also buckets
+    shapes so jitted evaluation compiles once per bucket instead of
+    once per image size."""
+    import numpy as np
+
+    h, w = lq.shape[-3:-1]
+    ph = (multiple - h % multiple) % multiple
+    pw = (multiple - w % multiple) % multiple
+    if ph or pw:
+        pad = [(0, 0)] * (lq.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+        lq = np.pad(lq, pad, mode="reflect")
+    out = forward(params, lq)
+    return out[..., :h * scale, :w * scale, :]
+
+
 def build_schedule(train_opt):
     from unitex_tpu.training import schedules
     lr = float(train_opt["optim_g"]["lr"])
@@ -73,7 +112,7 @@ def build_schedule(train_opt):
         return lr
     if stype == "MultiStepLR":
         return schedules.multistep_restart_lr(
-            lr, sopt.get("milestones", []), sopt.get("gamma", 0.5))
+            lr, sopt.get("milestones", []), sopt.get("gamma", 0.1))
     if stype == "MultiStepRestartLR":
         return schedules.multistep_restart_lr(
             lr, sopt.get("milestones", []), sopt.get("gamma", 0.1),
@@ -282,17 +321,20 @@ def main(argv=None):
             pixel_weight=float((train_opt.get("pixel_opt") or {})
                                .get("loss_weight", 1.0)),
             gan_weight=float(gan_opt.get("loss_weight", 5e-3)),
-            relativistic=(model_type == "ESRGANModel"))
+            relativistic=(model_type == "ESRGANModel"),
+            ema_decay=ema_decay,
+            net_d_iters=int(train_opt.get("net_d_iters", 1)),
+            net_d_init_iters=int(train_opt.get("net_d_init_iters", 0)))
         sstep = make_srgan_train_step(g.forward, d.forward, opt_g, opt_d, cfg)
-        state = (g_params, d_params, opt_g.init(g_params),
-                 opt_d.init(d_params))
+        state = (g_params, d_params, g_params, opt_g.init(g_params),
+                 opt_d.init(d_params), jnp.int32(0))
 
         def run_step(state, batch_d):
             return sstep(state, jnp.asarray(batch_d["lq"]),
                          jnp.asarray(batch_d["gt"]))
 
         def current_g(state):
-            return state[0]
+            return state[2] if ema_decay > 0.0 else state[0]
 
     elif model_type == "VideoRecurrentModel":
         from unitex_tpu.training import video_sr as vt
@@ -430,6 +472,7 @@ def main(argv=None):
                                                 "RealESRGANModel",
                                                 "StyleGAN2Model")
                       else ("lq", "gt"))
+        epoch_start = it
         for batch_d in sd.batch_iterator(dataset, batch, rng,
                                          keys=batch_keys):
             state, metrics = run_step(state, batch_d)
@@ -445,21 +488,24 @@ def main(argv=None):
                     it % int(opt["val"].get("val_freq", 5000)) == 0:
                 psnrs, ssims = [], []
                 params = current_g(state)
+                mopts = opt["val"].get("metrics", {})
                 for i in range(len(val_set)):
                     s = val_set[i]
                     sr = np.asarray(g.forward(params, s["lq"][None])[0])
-                    cb = int(opt["val"].get("metrics", {})
-                             .get("psnr", {}).get("crop_border", 0))
-                    psnrs.append(calculate_psnr(sr * 255, s["gt"] * 255,
-                                                crop_border=cb))
-                    ssims.append(calculate_ssim(sr * 255, s["gt"] * 255,
-                                                crop_border=cb))
+                    p, ss = score_pair(sr, s["gt"], mopts)
+                    psnrs.append(p)
+                    ssims.append(ss)
                 logger.log(it, {"val/psnr": float(np.mean(psnrs)),
                                 "val/ssim": float(np.mean(ssims))})
                 print(f"iter {it}  val psnr={np.mean(psnrs):.3f} "
                       f"ssim={np.mean(ssims):.4f}", flush=True)
             if it >= total_iter:
                 break
+        if it == epoch_start:
+            raise SystemExit(
+                f"dataset yields no batches: {len(dataset)} samples < "
+                f"batch size {batch} (drop_last) — fix dataroot or "
+                "batch_size_per_gpu")
     ckpt.save(total_iter, current_g(state))
     logger.close()
     print("training done", flush=True)

@@ -309,3 +309,51 @@ class TestUNetDiscriminatorSN:
         out = sa.unet_discriminator_forward(
             p, cfg, jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 3)))
         assert out.shape == (1, 16, 16, 1)
+
+
+class TestSRGANExtendedState:
+    def _mk(self, cfg_kwargs):
+        from unitex_tpu.training.sr_gan import SRGANConfig, make_srgan_train_step
+        g_params = {"w": jnp.ones((3, 3)) * 0.1}
+        d_params = {"w": jnp.ones((3, 1)) * 0.1}
+        g_fwd = lambda p, x: jnp.tanh(x @ p["w"])
+        d_fwd = lambda p, x: x @ p["w"]
+        g_opt = optax.adam(1e-2)
+        d_opt = optax.adam(1e-2)
+        step = make_srgan_train_step(g_fwd, d_fwd, g_opt, d_opt,
+                                     SRGANConfig(**cfg_kwargs))
+        state = (g_params, d_params, g_params, g_opt.init(g_params),
+                 d_opt.init(d_params), jnp.int32(0))
+        x = jnp.ones((2, 3)) * 0.5
+        return step, state, x
+
+    def test_net_d_init_iters_gates_g(self):
+        step, state, x = self._mk({"net_d_init_iters": 1})
+        s1, _ = step(state, x, x)
+        np.testing.assert_array_equal(np.asarray(s1[0]["w"]),
+                                      np.asarray(state[0]["w"]))
+        assert not np.allclose(np.asarray(s1[1]["w"]),
+                               np.asarray(state[1]["w"]))
+        s2, _ = step(s1, x, x)
+        assert not np.allclose(np.asarray(s2[0]["w"]), np.asarray(s1[0]["w"]))
+        assert int(s2[5]) == 2
+
+    def test_ema_tracks(self):
+        step, state, x = self._mk({"ema_decay": 0.5})
+        s1, _ = step(state, x, x)
+        expect = 0.5 * np.asarray(state[2]["w"]) + 0.5 * np.asarray(s1[0]["w"])
+        np.testing.assert_allclose(np.asarray(s1[2]["w"]), expect, rtol=1e-6)
+
+    def test_legacy_four_tuple_still_works(self):
+        from unitex_tpu.training.sr_gan import SRGANConfig, make_srgan_train_step
+        g_params = {"w": jnp.ones((3, 3)) * 0.1}
+        d_params = {"w": jnp.ones((3, 1)) * 0.1}
+        g_opt = optax.adam(1e-2)
+        d_opt = optax.adam(1e-2)
+        step = make_srgan_train_step(
+            lambda p, x: jnp.tanh(x @ p["w"]), lambda p, x: x @ p["w"],
+            g_opt, d_opt, SRGANConfig())
+        state = (g_params, d_params, g_opt.init(g_params),
+                 d_opt.init(d_params))
+        s1, m = step(state, jnp.ones((2, 3)), jnp.ones((2, 3)))
+        assert len(s1) == 4 and np.isfinite(float(m["l_d"]))

@@ -608,3 +608,75 @@ class TestAuxCLIs:
         assert os.path.exists(os.path.join(out, "checkpoints",
                                            "checkpoint-1"))
         assert "loss" in open(os.path.join(out, "train.jsonl")).read()
+
+
+class TestReviewFixes:
+    def test_empty_dataset_raises_not_spins(self, tmp_path):
+        import train_sr
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(20)
+        for sub, side in (("gt", 16), ("lq", 8)):
+            d = tmp_path / "data" / sub
+            os.makedirs(str(d))
+            save_image(str(d / "0.png"), rng.uniform(0, 1, (side, side, 3)))
+        yml = tmp_path / "opt.yml"
+        yml.write_text(f"""
+name: empty_smoke
+model_type: SRModel
+scale: 2
+datasets:
+  train:
+    type: PairedImageDataset
+    dataroot_gt: {tmp_path}/data/gt
+    dataroot_lq: {tmp_path}/data/lq
+    gt_size: 8
+    batch_size_per_gpu: 8
+network_g:
+  type: MSRResNet
+  num_feat: 8
+  num_block: 1
+  upscale: 2
+path: {{}}
+train:
+  total_iter: 5
+  optim_g:
+    lr: !!float 1e-3
+""")
+        with pytest.raises(SystemExit, match="no batches"):
+            train_sr.main(["-opt", str(yml), "--root", str(tmp_path),
+                           "--cpu"])
+
+    def test_score_pair_video_and_y_channel(self):
+        import train_sr
+        rng = np.random.default_rng(21)
+        gt = rng.uniform(0, 1, (3, 16, 16, 3)).astype(np.float32)
+        sr = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0, 1).astype(np.float32)
+        p, s = train_sr.score_pair(sr, gt, {"psnr": {}, "ssim": {}})
+        assert np.isfinite(p) and 0 < s <= 1
+        p_y, _ = train_sr.score_pair(
+            sr, gt, {"psnr": {"test_y_channel": True}, "ssim": {}})
+        assert abs(p_y - p) > 1e-6  # Y scoring differs from RGB
+
+    def test_forward_padded_crops_back(self):
+        import train_sr
+        calls = []
+
+        def fwd(params, lq):
+            calls.append(lq.shape)
+            return np.repeat(np.repeat(lq, 2, axis=-3), 2, axis=-2)
+
+        lq = np.ones((1, 9, 13, 3), np.float32)
+        out = train_sr.forward_padded(fwd, None, lq, multiple=8, scale=2)
+        assert calls[0][1] % 8 == 0 and calls[0][2] % 8 == 0
+        assert out.shape == (1, 18, 26, 3)
+
+    def test_gt_dataset_pads_tiny_images(self, tmp_path):
+        from unitex_tpu.training import sr_data as sdm
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(22)
+        d = tmp_path / "gt"
+        os.makedirs(str(d))
+        save_image(str(d / "tiny.png"), rng.uniform(0, 1, (6, 6, 3)))
+        ds = sdm.GTImageDataset(sdm.GTImageConfig(gt_folder=str(d),
+                                                  gt_size=32))
+        assert ds[0]["gt"].shape == (32, 32, 3)

@@ -218,3 +218,30 @@ class TestEDVRTraining:
             np.asarray(u_full["pcd"]["dcn_l1"]["w"]) * 0.25, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(u_q["trunk"]["w"]),
                                    np.asarray(u_full["trunk"]["w"]), rtol=1e-6)
+
+
+class TestVideoGANCenterFrame:
+    def test_4d_sr_passes_flat_unchanged(self):
+        # EDVR-style center-frame generator under the video GAN step
+        g_params = {"w": rand(3, 3)}
+        d_params = {"w": rand(3, 1)}
+
+        def g_forward(p, lq):          # [B,T,H,W,3] -> [B,H,W,3]
+            return jnp.tanh(lq.mean(axis=1) @ p["w"])
+
+        def d_forward(p, x):           # [B,H,W,3] -> logits
+            return x @ p["w"]
+
+        opt_g, opt_d = optax.adam(1e-3), optax.adam(1e-3)
+        step = vt.make_video_gan_train_step(
+            g_forward, d_forward, opt_g, opt_d,
+            vt.VideoGANConfig(fix_flow_iter=0, percep_weight=0.0))
+        state = vt.VideoGANState(g_params, d_params, g_params,
+                                 opt_g.init(g_params), opt_d.init(d_params),
+                                 jnp.int32(0))
+        lq = rand(2, 3, 4, 4, 3)
+        gt = rand(2, 4, 4, 3)          # center-frame GT, 4D
+        s1, m = step(state, lq, gt)
+        assert np.isfinite(float(m["l_g_gan"]))
+        assert not np.allclose(np.asarray(s1.g_params["w"]),
+                               np.asarray(g_params["w"]))

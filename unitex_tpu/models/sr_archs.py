@@ -872,12 +872,17 @@ def unet_discriminator_forward(params: Params, cfg: UNetDiscriminatorConfig,
     """x [N,H,W,C] -> patch logits [N,H,W,1]
     (discriminator_arch.py:121-151).  With ``update_u`` also returns the
     params with power-iterated u buffers (torch updates them every
-    training forward)."""
+    training forward, so its single iteration converges across steps).
+    Without buffer threading (the generic functional train steps) we run
+    enough iterations per forward that sigma is converged from the fixed
+    stored u — same constraint, no state to carry."""
     new = dict(params)
+    n_iter = 1 if update_u else 10
 
     def sn(name, h, stride=1):
         kern, u = spectral_normalize(params[name]["kernel"],
-                                     params[name]["u"])
+                                     params[name]["u"],
+                                     n_power_iterations=n_iter)
         if update_u:
             new[name] = {"kernel": params[name]["kernel"], "u": u}
         pad = ((1, 1), (1, 1)) if kern.shape[0] == 4 else "SAME"

@@ -231,10 +231,18 @@ class GTImageDataset:
         gt = imfrombytes(FileClient("disk").get(self.paths[idx]))
         if cfg.phase == "train":
             h, w = gt.shape[:2]
-            if h < cfg.gt_size or w < cfg.gt_size:
-                ph, pw = max(0, cfg.gt_size - h), max(0, cfg.gt_size - w)
+            # cv2 BORDER_REFLECT_101 pads arbitrarily wide; np reflect
+            # caps at dim-1 per call, so pad in chunks
+            if min(gt.shape[:2]) < 2 and min(gt.shape[:2]) < cfg.gt_size:
+                raise ValueError(
+                    f"{self.paths[idx]}: {gt.shape[:2]} too small to pad")
+            while gt.shape[0] < cfg.gt_size or gt.shape[1] < cfg.gt_size:
+                ph = min(max(0, cfg.gt_size - gt.shape[0]),
+                         gt.shape[0] - 1)
+                pw = min(max(0, cfg.gt_size - gt.shape[1]),
+                         gt.shape[1] - 1)
                 gt = np.pad(gt, ((0, ph), (0, pw), (0, 0)), mode="reflect")
-                h, w = gt.shape[:2]
+            h, w = gt.shape[:2]
             top = int(self.rng.integers(0, h - cfg.gt_size + 1))
             left = int(self.rng.integers(0, w - cfg.gt_size + 1))
             gt = gt[top:top + cfg.gt_size, left:left + cfg.gt_size]

@@ -80,6 +80,9 @@ class SRGANConfig:
     gan_weight: float = 5e-3  # esrgan default (train_ESRGAN config)
     percep_weight: float = 0.0
     relativistic: bool = False  # ESRGAN: D(x_r) - E[D(x_f)]
+    ema_decay: float = 0.0      # srgan_model.py net_g_ema
+    net_d_iters: int = 1        # G updates every N iters ...
+    net_d_init_iters: int = 0   # ... after this many D-only iters
 
 
 def _relativistic_g_loss(real_logits, fake_logits, gan_type):
@@ -97,10 +100,13 @@ def make_srgan_train_step(
     cfg: SRGANConfig = SRGANConfig(),
     feature_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ):
-    """Returns jitted step((g_params, d_params, g_opt_state, d_opt_state),
-    lr_batch, hr_batch) -> (new_state, metrics). Generator first, then
-    discriminator on the detached fake — the BasicSR optimize_parameters
-    order (srgan_model.py)."""
+    """Returns jitted step(state, lr_batch, hr_batch) -> (new_state,
+    metrics).  ``state`` is (g_params, d_params, g_opt_state,
+    d_opt_state) or the 6-tuple with ``g_ema`` and a step counter
+    appended — required when ema_decay/net_d_iters/net_d_init_iters are
+    non-default (srgan_model.py tracks net_g_ema and gates G the same
+    way).  Generator first, then discriminator on the detached fake —
+    the BasicSR optimize_parameters order (srgan_model.py)."""
 
     def g_loss_fn(g_params, d_params, lr, hr):
         sr = g_forward(g_params, lr)
@@ -129,11 +135,29 @@ def make_srgan_train_step(
             l_fake = gan_loss(fake_logits, False, cfg.gan_type, is_disc=True)
         return 0.5 * (l_real + l_fake)
 
+    extended_needed = (cfg.ema_decay > 0.0 or cfg.net_d_iters != 1
+                       or cfg.net_d_init_iters != 0)
+
     @jax.jit
     def step(state, lr, hr):
-        g_params, d_params, g_state, d_state = state
+        extended = len(state) == 6
+        if extended_needed and not extended:
+            raise ValueError(
+                "ema_decay/net_d_iters/net_d_init_iters need the 6-tuple "
+                "state (g, d, g_ema, g_opt, d_opt, step)")
+        if extended:
+            g_params, d_params, g_ema, g_state, d_state, it = state
+        else:
+            g_params, d_params, g_state, d_state = state
+            g_ema, it = None, None
+
         (g_total, (sr, l_pix, l_gan)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(g_params, d_params, lr, hr)
+        if extended:
+            cur = it + 1  # basicsr iterations count from 1
+            g_on = ((cur % cfg.net_d_iters == 0)
+                    & (cur > cfg.net_d_init_iters)).astype(jnp.float32)
+            g_grads = jax.tree_util.tree_map(lambda g: g * g_on, g_grads)
         g_updates, g_state = g_opt.update(g_grads, g_state, g_params)
         g_params = optax.apply_updates(g_params, g_updates)
 
@@ -144,7 +168,13 @@ def make_srgan_train_step(
 
         metrics = {"l_g_total": g_total, "l_g_pix": l_pix, "l_g_gan": l_gan,
                    "l_d": d_total}
-        return (g_params, d_params, g_state, d_state), metrics
+        if not extended:
+            return (g_params, d_params, g_state, d_state), metrics
+        if cfg.ema_decay > 0.0:
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: cfg.ema_decay * e + (1.0 - cfg.ema_decay) * p,
+                g_ema, g_params)
+        return (g_params, d_params, g_ema, g_state, d_state, cur), metrics
 
     return step
 

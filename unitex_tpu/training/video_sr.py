@@ -265,7 +265,9 @@ def make_video_gan_train_step(
     """
 
     def flat(v):
-        return v.reshape((-1,) + v.shape[2:])
+        # [B,N,H,W,C] sequences flatten to (B·N) images; center-frame
+        # models (EDVR via VideoGANModel) already produce [B,H,W,C]
+        return v if v.ndim == 4 else v.reshape((-1,) + v.shape[2:])
 
     def g_loss_fn(g_params, d_params, lq, gt):
         sr = g_forward(g_params, lq)
