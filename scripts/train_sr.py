@@ -132,6 +132,9 @@ def main(argv=None):
     ap.add_argument("--root", default=".")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (tests/CI)")
+    ap.add_argument("--auto-resume", action="store_true",
+                    help="resume from the latest training state "
+                         "(basicsr --auto_resume / check_resume)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -188,6 +191,11 @@ def main(argv=None):
             "save_checkpoint_freq", 5000)),
         total_limit=opt.get("logger", {}).get("checkpoints_total_limit"))
     print_freq = int(opt.get("logger", {}).get("print_freq", 100))
+    state_ckpt = CheckpointManager(
+        opt["path"]["training_states"],
+        save_every=int(opt.get("logger", {}).get(
+            "save_checkpoint_freq", 5000)),
+        total_limit=opt.get("logger", {}).get("checkpoints_total_limit", 2))
 
     # ---- assemble the train step by model type
     ema_decay = float(train_opt.get("ema_decay", 0.0) or 0.0)
@@ -467,6 +475,13 @@ def main(argv=None):
 
     # ---- the loop
     it = 0
+    if args.auto_resume:
+        restored = state_ckpt.restore_latest(
+            {"it": np.asarray(0), "state": state})
+        if restored is not None:
+            state = restored["state"]
+            it = int(restored["it"])
+            print(f"resumed training state at iter {it}", flush=True)
     while it < total_iter:
         batch_keys = (("gt",) if model_type in ("RealESRNetModel",
                                                 "RealESRGANModel",
@@ -484,6 +499,7 @@ def main(argv=None):
                 print(f"iter {it}/{total_iter}  {msg}", flush=True)
             if ckpt.should_save(it):
                 ckpt.save(it, current_g(state))
+                state_ckpt.save(it, {"it": np.asarray(it), "state": state})
             if val_set is not None and "val" in opt and \
                     it % int(opt["val"].get("val_freq", 5000)) == 0:
                 psnrs, ssims = [], []

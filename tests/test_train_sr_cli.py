@@ -680,3 +680,57 @@ train:
         ds = sdm.GTImageDataset(sdm.GTImageConfig(gt_folder=str(d),
                                                   gt_size=32))
         assert ds[0]["gt"].shape == (32, 32, 3)
+
+
+class TestAutoResume:
+    def test_resume_continues_from_saved_state(self, tmp_path):
+        import train_sr
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(30)
+        for sub, side in (("gt", 16), ("lq", 8)):
+            d = tmp_path / "data" / sub
+            os.makedirs(str(d))
+            for i in range(2):
+                save_image(str(d / f"{i}.png"),
+                           rng.uniform(0, 1, (side, side, 3)))
+        yml = tmp_path / "opt.yml"
+        yml.write_text(f"""
+name: resume_smoke
+model_type: SRModel
+scale: 2
+datasets:
+  train:
+    type: PairedImageDataset
+    dataroot_gt: {tmp_path}/data/gt
+    dataroot_lq: {tmp_path}/data/lq
+    gt_size: 8
+    batch_size_per_gpu: 2
+network_g:
+  type: MSRResNet
+  num_feat: 8
+  num_block: 1
+  upscale: 2
+path: {{}}
+train:
+  total_iter: 2
+  optim_g:
+    lr: !!float 1e-3
+logger:
+  print_freq: 1
+  save_checkpoint_freq: 2
+""")
+        train_sr.main(["-opt", str(yml), "--root", str(tmp_path), "--cpu"])
+        states = tmp_path / "experiments" / "resume_smoke" / "training_states"
+        assert (states / "checkpoint-2").exists()
+        # raise the iteration budget and resume
+        import io
+        from contextlib import redirect_stdout
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            train_sr.main(["-opt", str(yml), "--root", str(tmp_path),
+                           "--cpu", "--auto-resume",
+                           "--force-yml", "train:total_iter=4"])
+        out = buf.getvalue()
+        assert "resumed training state at iter 2" in out
+        assert "iter 3/4" in out and "iter 4/4" in out
+        assert "iter 1/4" not in out
