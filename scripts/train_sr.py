@@ -7,10 +7,16 @@ Usage:
   python scripts/train_sr.py -opt options/train_msrresnet_x4.yml
   python scripts/train_sr.py -opt cfg.yml --force-yml train:total_iter=100
 
-Model types supported: SRModel, SwinIRModel (pixel loss + optional EMA),
-SRGANModel, ESRGANModel (GAN; relativistic for ESRGAN),
-VideoRecurrentModel, EDVRModel.  Datasets: PairedImageDataset,
-REDSDataset (center-GT window), REDSRecurrentDataset.
+Model types supported: SRModel / SwinIRModel (pixel loss + EMA),
+SRGANModel / ESRGANModel (GAN, EMA, G-gating; relativistic for ESRGAN),
+RealESRNetModel / RealESRGANModel (on-the-fly second-order degradation
+synthesis, pair pool, USM-GT routing, LDL), VideoRecurrentModel /
+EDVRModel (flow/TSA warmups, group learning rates), VideoGANModel /
+VideoRecurrentGANModel, HiFaceGANModel, StyleGAN2Model.
+Datasets: PairedImageDataset, RealESRGANDataset / FFHQDataset /
+GTImageDataset, REDSDataset (center-GT window), REDSRecurrentDataset.
+Checkpoints: pretrain_network_g/_d load torch .pth via the converter
+registry; --auto-resume restores the full training state.
 """
 
 from __future__ import annotations
