@@ -110,3 +110,40 @@ def test_pick_blocks_largest_divisor():
     # tiny/prime sequences report not-ok (dispatcher falls back to jnp)
     _, _, ok = _pick_blocks(101, 1536, 1536)
     assert not ok
+
+
+def test_pallas_backward_matches_xla_backward():
+    """The Pallas dq/dk/dv kernels against the XLA chunked-recompute
+    backward on identical residuals."""
+    from unitex_tpu.ops import attention as at
+
+    rng = np.random.default_rng(11)
+    BH, S, D = 3, 512, 64
+    qr = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
+    kr = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
+    vr = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
+    scale = 1.0 / np.sqrt(D)
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = at._flash_forward(qr, kr, vr, scale, 128, 128)
+        dq_p, dk_p, dv_p = at._flash_backward_pallas(
+            qr, kr, vr, out, lse, g, scale, 128, 256)
+    dq_x, dk_x, dv_x = at._flash_core_bwd_xla(
+        scale, 128, 128, (qr, kr, vr, out, lse), g)
+    np.testing.assert_allclose(np.asarray(dq_p), np.asarray(dq_x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk_p), np.asarray(dk_x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv_p), np.asarray(dv_x), atol=2e-4)
+
+
+def test_bwd_fallback_on_awkward_lengths():
+    """S that doesn't tile into 128-multiples must still differentiate
+    (the XLA fallback path)."""
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.normal(size=(1, 96, 2, 32)).astype(np.float32))
+
+    def loss(q):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(flash_attention(q, q, q) ** 2)
+
+    gq = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(gq)).all()

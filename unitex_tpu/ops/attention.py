@@ -177,14 +177,16 @@ def _flash_core_fwd(qr, kr, vr, scale, bq, bk):
     return out, (qr, kr, vr, out, lse)
 
 
-def _flash_core_bwd(scale, bq, bk, residuals, g):
+def _flash_core_bwd_xla(scale, bq, bk, residuals, g):
     """Chunked FlashAttention backward (recompute P blockwise from the
     saved logsumexp):
       D   = rowsum(dO ∘ O)
       P_j = exp(Q K_j^T·s − lse)
       dV_j = P_j^T dO ;  dS_j = P_j ∘ (dO V_j^T − D)
       dQ  += dS_j K_j·s ;  dK_j = dS_j^T Q·s
-    Memory O(S·block) — never materializes the S×S matrix."""
+    Memory O(S·block) — never materializes the S×S matrix.  XLA-level
+    variant (lax.scan of einsums): the fallback when the Pallas backward
+    can't tile the sequence, and the parity reference for it."""
     qr, kr, vr, out, lse = residuals
     BH, S, D = qr.shape
     gf = g.astype(jnp.float32)
@@ -216,6 +218,195 @@ def _flash_core_bwd(scale, bq, bk, residuals, g):
     dk = jnp.moveaxis(dk_blocks, 0, 1).reshape(BH, S, D)
     dv = jnp.moveaxis(dv_blocks, 0, 1).reshape(BH, S, D)
     return dq.astype(qr.dtype), dk.astype(kr.dtype), dv.astype(vr.dtype)
+
+
+# Pallas backward: streams blocks through VMEM instead of materializing
+# the [BH, S, bk] f32 probability slabs the XLA variant writes to HBM
+# (~2 GB per key block at the 13.8k operating point — the backward's
+# real bottleneck is that traffic, not FLOPs).  Backward block sizes are
+# independent of the forward's: the kernels hold [bq, bk] f32
+# temporaries (p, dp, ds), so the q block stays smaller.
+BWD_BLOCK_Q = 512
+BWD_BLOCK_K = 1536
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, dr_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale: float
+):
+    """Grid (BH, k blocks, q blocks); q innermost (sequential) —
+    dk/dv accumulators for key block j live in VMEM across the q sweep."""
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]                                   # [BQ, D]
+    k = k_ref[0]                                   # [BK, D]
+    v = v_ref[0]
+    g = g_ref[0]                                   # [BQ, D]
+    lse = lse_ref[0][0][:, None]                   # [BQ, 1]
+    dr = dr_ref[0][0][:, None]                     # [BQ, 1] rowsum(dO*O)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(logits - lse)                      # [BQ, BK]
+    pb = p.astype(v.dtype)
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        pb, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [BQ, BK]
+    ds = (p * (dp - dr)).astype(q.dtype)
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, dr_ref, dq_ref, dq_acc,
+    *, scale: float
+):
+    """Grid (BH, q blocks, k blocks); k innermost — dq accumulator for
+    query block i lives in VMEM across the k sweep."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    lse = lse_ref[0][0][:, None]
+    dr = dr_ref[0][0][:, None]
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(logits - lse)
+    dp = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = (p * (dp - dr)).astype(q.dtype)
+    dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_backward_pallas(qr, kr, vr, out, lse, g, scale: float,
+                           bq: int, bk: int):
+    """[BH, S, D] residuals + cotangent -> (dq, dk, dv)."""
+    BH, S, D = qr.shape
+    gf = g.astype(qr.dtype)
+    drow = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                   axis=-1)                        # [BH, S]
+    # sublane-replicated [BH, 8, S] forms (same layout as the lse output)
+    lse8 = jnp.broadcast_to(lse[:, None, :], (BH, 8, S))
+    dr8 = jnp.broadcast_to(drow[:, None, :], (BH, 8, S))
+
+    dkv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        grid=(BH, S // bk, S // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),   # k
+            pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),   # v
+            pl.BlockSpec((1, bq, D), lambda b, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),   # g
+            pl.BlockSpec((1, 8, bq), lambda b, j, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),   # lse
+            pl.BlockSpec((1, 8, bq), lambda b, j, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),   # drow
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, j, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, S, D), kr.dtype),
+            jax.ShapeDtypeStruct((BH, S, D), vr.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * BH * S * S * D,
+            bytes_accessed=4 * BH * S * D * qr.dtype.itemsize,
+            transcendentals=BH * S * S,
+        ),
+    )(qr, kr, vr, gf, lse8, dr8)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        grid=(BH, S // bq, S // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, bq), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, bq), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, S, D), qr.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * S * S * D,
+            bytes_accessed=4 * BH * S * D * qr.dtype.itemsize,
+            transcendentals=BH * S * S,
+        ),
+    )(qr, kr, vr, gf, lse8, dr8)
+    return dq, dkv[0], dkv[1]
+
+
+def _flash_core_bwd(scale, bq, bk, residuals, g):
+    """custom_vjp backward: the Pallas kernels when the sequence tiles
+    into the backward blocks, the XLA chunked recompute otherwise."""
+    qr, kr, vr, out, lse = residuals
+    BH, S, D = qr.shape
+    bqb, bkb, ok = _pick_blocks(S, BWD_BLOCK_Q, BWD_BLOCK_K)
+    # CPU: the custom_vjp backward runs outside any interpret-mode
+    # context the caller wrapped the forward in, so Pallas can't lower —
+    # the XLA chunked recompute is the same math
+    if not ok or jax.default_backend() == "cpu":
+        return _flash_core_bwd_xla(scale, bq, bk, residuals, g)
+    return _flash_backward_pallas(qr, kr, vr, out, lse, g, scale, bqb, bkb)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
