@@ -513,7 +513,11 @@ def main(argv=None):
                 mopts = opt["val"].get("metrics", {})
                 for i in range(len(val_set)):
                     s = val_set[i]
-                    sr = np.asarray(g.forward(params, s["lq"][None])[0])
+                    vm = (int(opt["network_g"].get("window_size", 8))
+                          if opt["network_g"]["type"] == "SwinIR" else 16)
+                    sr = np.asarray(forward_padded(
+                        g.forward, params, s["lq"][None], vm,
+                        int(opt.get("scale", 1)))[0])
                     p, ss = score_pair(sr, s["gt"], mopts)
                     psnrs.append(p)
                     ssims.append(ss)
