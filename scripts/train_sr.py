@@ -162,6 +162,15 @@ def main(argv=None):
     opt = parse_options(args.opt, args.root, is_train=True,
                         force_yml=args.force_yml, debug=args.debug)
     print(dict2str(opt))
+    exp_root = opt["path"]["experiments_root"]
+    if os.path.exists(exp_root) and not args.auto_resume:
+        # basicsr misc.mkdir_and_rename: archive a stale experiment dir
+        # instead of mixing logs/checkpoints into it
+        import time as _time
+        new_name = exp_root + "_archived_" + _time.strftime("%Y%m%d_%H%M%S")
+        print(f"Path already exists. Rename it to {new_name}", flush=True)
+        os.rename(exp_root, new_name)
+    os.makedirs(exp_root, exist_ok=True)
     seed = int(opt.get("manual_seed") or 0)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)

@@ -734,3 +734,45 @@ logger:
         assert "resumed training state at iter 2" in out
         assert "iter 3/4" in out and "iter 4/4" in out
         assert "iter 1/4" not in out
+
+
+class TestExperimentArchiving:
+    def test_existing_dir_archived_unless_resuming(self, tmp_path):
+        import train_sr
+        from unitex_tpu.utils.image_io import save_image
+        rng = np.random.default_rng(31)
+        for sub, side in (("gt", 16), ("lq", 8)):
+            d = tmp_path / "data" / sub
+            os.makedirs(str(d))
+            for i in range(2):
+                save_image(str(d / f"{i}.png"),
+                           rng.uniform(0, 1, (side, side, 3)))
+        yml = tmp_path / "opt.yml"
+        yml.write_text(f"""
+name: arch_smoke
+model_type: SRModel
+scale: 2
+datasets:
+  train:
+    type: PairedImageDataset
+    dataroot_gt: {tmp_path}/data/gt
+    dataroot_lq: {tmp_path}/data/lq
+    gt_size: 8
+    batch_size_per_gpu: 2
+network_g:
+  type: MSRResNet
+  num_feat: 8
+  num_block: 1
+  upscale: 2
+path: {{}}
+train:
+  total_iter: 1
+  optim_g:
+    lr: !!float 1e-3
+""")
+        argv = ["-opt", str(yml), "--root", str(tmp_path), "--cpu"]
+        train_sr.main(argv)
+        train_sr.main(argv)  # second fresh run archives the first
+        exps = sorted(os.listdir(tmp_path / "experiments"))
+        assert "arch_smoke" in exps
+        assert any(e.startswith("arch_smoke_archived_") for e in exps)
