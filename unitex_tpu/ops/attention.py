@@ -14,9 +14,11 @@ O(S·D) — the standard FlashAttention-2 scheme laid out for the MXU:
   flash_attention docstring).
 
 Differentiable: a ``jax.custom_vjp`` saves the per-row logsumexp from the
-forward kernel and runs a CHUNKED recompute backward (lax.scan over key
-blocks — O(S·block) memory, standard FlashAttention backward math) so LoRA
-training backprops through the kernel without materializing S² probs.
+forward kernel; the backward recomputes P blockwise (standard
+FlashAttention backward math) in two Pallas kernels — dK/dV with the
+query axis sequential, dQ with the key axis sequential — streaming
+blocks through VMEM.  An XLA-level chunked variant (lax.scan of einsums)
+remains as the CPU / non-tiling fallback and the parity reference.
 
 Full (non-causal) attention, no masking — the MMDiT sequence attends
 globally.  A jnp reference implementation backs parity tests, and the
