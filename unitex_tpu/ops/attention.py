@@ -405,8 +405,11 @@ def _flash_core_bwd(scale, bq, bk, residuals, g):
     bqb, bkb, ok = _pick_blocks(S, BWD_BLOCK_Q, BWD_BLOCK_K)
     # CPU: the custom_vjp backward runs outside any interpret-mode
     # context the caller wrapped the forward in, so Pallas can't lower —
-    # the XLA chunked recompute is the same math
-    if not ok or jax.default_backend() == "cpu":
+    # the XLA chunked recompute is the same math.  UNITEX_ATTN_BWD=xla
+    # forces the fallback everywhere (escape hatch).
+    import os
+    if (not ok or jax.default_backend() == "cpu"
+            or os.environ.get("UNITEX_ATTN_BWD") == "xla"):
         return _flash_core_bwd_xla(scale, bq, bk, residuals, g)
     return _flash_backward_pallas(qr, kr, vr, out, lse, g, scale, bqb, bkb)
 
