@@ -621,6 +621,20 @@ def load_mesh(path: str) -> HostMesh:
     return mesh
 
 
+def dump_glb(vertices, faces, output_path: str) -> None:
+    """Minimal geometry-only GLB dump — the reference's io/dump_glb.py:8-82
+    (its hand-rolled pygltflib accessor/bufferView layout is what our
+    save_glb already emits)."""
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    save_glb(
+        output_path,
+        HostMesh(
+            vertices=np.asarray(vertices, np.float32),
+            faces=np.asarray(faces, np.int64),
+        ),
+    )
+
+
 def save_mesh(path: str, mesh: HostMesh) -> None:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":

@@ -105,6 +105,120 @@ def sample_sharp_edges(
     return pts.astype(np.float32), dirs.astype(np.float32)
 
 
+def sample_surface_with_faces(
+    mesh: HostMesh, n_samples: int, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Area-weighted surface samples with provenance, the reference's
+    ``sample_surface`` return convention (surface_sampling.py): points
+    [N, 3], face index [N], barycentric uvw [N, 3]."""
+    rng = np.random.default_rng(seed)
+    v = mesh.vertices.astype(np.float64)
+    f = mesh.faces.astype(np.int64)
+    tri = v[f]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    areas = 0.5 * np.linalg.norm(n, axis=-1)
+    total = areas.sum()
+    if total <= 0:
+        raise ValueError("degenerate mesh: zero surface area")
+    face_idx = rng.choice(len(f), size=n_samples, p=areas / total)
+    r1 = np.sqrt(rng.uniform(size=n_samples))
+    r2 = rng.uniform(size=n_samples)
+    uvw = np.stack([1.0 - r1, r1 * (1.0 - r2), r1 * r2], axis=-1)
+    pts = np.einsum("nkc,nk->nc", tri[face_idx], uvw)
+    return pts.astype(np.float32), face_idx, uvw.astype(np.float32)
+
+
+def sample_spatial(
+    mesh: HostMesh,
+    n_samples: int = 100_000,
+    seed: int = 666,
+    bounds: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    exact: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Uniform samples in the spatial bbox plus their closest-surface
+    projection — the reference's ``sample_spatial`` (spatial_sampling.py:
+    11-37, cuBVH ``unsigned_distance``; our TPU substitution is
+    ops/closest_point.py).  Returns (samples [N, 3], face_index [N],
+    face_uvw [N, 3])."""
+    from ..ops.closest_point import closest_point_on_mesh
+
+    rng = np.random.default_rng(seed)
+    if bounds is None:
+        lo = mesh.vertices.min(axis=0)
+        hi = mesh.vertices.max(axis=0)
+    else:
+        lo, hi = bounds
+    samples = rng.uniform(size=(n_samples, 3)).astype(np.float32) * (hi - lo) + lo
+    cp = closest_point_on_mesh(
+        samples, mesh.vertices.astype(np.float32), mesh.faces.astype(np.int32),
+        exact=exact,
+    )
+    return samples, np.asarray(cp.face, np.int64), np.asarray(cp.uvw, np.float32)
+
+
+def sample_near_surface(
+    mesh: HostMesh,
+    n_samples: int = 100_000,
+    seed: int = 666,
+    distance_threshold: float = 1.0,
+    depth: int = 8,
+    exact: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Surface samples perturbed along the interpolated vertex normal by a
+    uniform offset in ±``distance_threshold * 2/2**depth``, re-projected to
+    the surface — ``sample_near_surface`` (spatial_sampling.py:40-92).
+    Returns (samples [N, 3], face_index [N], face_uvw [N, 3])."""
+    from ..ops.closest_point import closest_point_on_mesh
+
+    rng = np.random.default_rng(seed)
+    offset = distance_threshold * (2.0 / (2.0 ** depth))
+    v = mesh.vertices.astype(np.float64)
+    f = mesh.faces.astype(np.int64)
+    tri = v[f]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    fn = fn / np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+    # uniform (not area-weighted) face-normal accumulation, matching the
+    # reference's scatter of pre-normalized face normals
+    vn = np.zeros((len(v), 3))
+    np.add.at(vn, f.reshape(-1), np.repeat(fn, 3, axis=0))
+    vn = vn / np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-20)
+
+    pts, face_idx, uvw = sample_surface_with_faces(mesh, n_samples, seed=seed)
+    sn = np.einsum("nkc,nk->nc", vn[f[face_idx]], uvw)
+    deltas = rng.uniform(-1.0, 1.0, size=(n_samples, 3))
+    samples = (pts + offset * deltas * sn).astype(np.float32)
+    cp = closest_point_on_mesh(
+        samples, mesh.vertices.astype(np.float32), mesh.faces.astype(np.int32),
+        exact=exact,
+    )
+    return samples, np.asarray(cp.face, np.int64), np.asarray(cp.uvw, np.float32)
+
+
+def sample_pbr_mesh(pbr_mesh, n_samples: int = 100_000, seed: int = 666):
+    """Surface samples carrying interpolated PBR attributes — the LTM data
+    path's ``sample_pbr_mesh`` (uv_sampling.py:9-25).  ``pbr_mesh`` is a
+    device PBRMesh; returns (samples [N, 3], face_index [N],
+    {attr: [N, C]}) with every non-None map/vertex/constant attribute
+    sampled through geometry.mesh.sample_pbr_attribute."""
+    import jax.numpy as jnp
+
+    from .mesh import sample_pbr_attribute
+
+    host = HostMesh(
+        vertices=np.asarray(pbr_mesh.vertices, np.float32),
+        faces=np.asarray(pbr_mesh.faces, np.int64),
+    )
+    pts, face_idx, uvw = sample_surface_with_faces(host, n_samples, seed=seed)
+    face_attr = {}
+    for name in ("albedo", "metallic", "roughness", "bump"):
+        attr = getattr(pbr_mesh, name, None)
+        if attr is not None:
+            face_attr[name] = sample_pbr_attribute(
+                pbr_mesh, attr, jnp.asarray(face_idx, jnp.int32), jnp.asarray(uvw)
+            )
+    return pts, face_idx, face_attr
+
+
 def fps(points: np.ndarray, k: int, start: int = 0) -> np.ndarray:
     """Farthest point sampling indices (native C++ kernel, numpy fallback)."""
     from ..native import meshproc
