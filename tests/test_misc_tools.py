@@ -356,3 +356,103 @@ class TestFieldVis:
             resolution=12,
         )
         assert os.path.exists(out)
+
+
+class TestTopology:
+    def _strip(self):
+        # two triangles sharing edge (1, 2); uv split into two charts so the
+        # shared position edge is a UV seam
+        vertices = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+        )
+        faces = np.array([[0, 1, 2], [1, 3, 2]], np.int64)
+        uv = np.array(
+            [[0.0, 0.0], [0.4, 0.0], [0.0, 0.4],    # chart A
+             [0.6, 0.0], [1.0, 0.0], [0.6, 0.4]],   # chart B
+            np.float32,
+        )
+        faces_uv = np.array([[0, 1, 2], [3, 4, 5]], np.int64)
+        return vertices, faces, uv, faces_uv
+
+    def test_get_boundary(self):
+        from unitex_tpu.geometry.topology import get_boundary
+
+        _, faces, _, _ = self._strip()
+        # the open strip: every vertex is on the boundary
+        assert sorted(get_boundary(faces).tolist()) == [0, 1, 2, 3]
+        # a closed cube has no boundary
+        cube = make_cube()
+        assert len(get_boundary(cube.faces.astype(np.int64))) == 0
+
+    def test_dilate_erode(self):
+        from unitex_tpu.geometry.topology import (
+            dilate_face_mask,
+            erode_face_mask,
+        )
+
+        cube = make_cube()
+        f = cube.faces.astype(np.int64)
+        mask = np.zeros(len(f), bool)
+        mask[0] = True
+        grown = dilate_face_mask(f, mask, cube.n_vertices, rings=1)
+        assert grown.sum() > 1 and grown[0]
+        shrunk = erode_face_mask(f, grown, cube.n_vertices, rings=1)
+        assert shrunk.sum() < grown.sum()
+
+    def test_boundary_tex_finds_the_seam(self):
+        from unitex_tpu.geometry.topology import get_boundary_tex
+
+        v, f, uv, fuv = self._strip()
+        v_pos, v_tex, f_sel_pos, f_sel_tex = get_boundary_tex(f, fuv)
+        # the shared edge (1, 2) is interior in pos but boundary in uv
+        assert sorted(v_pos.tolist()) == [1, 2]
+        assert sorted(v_tex.tolist()) == [1, 2, 3, 5]
+        assert len(f_sel_pos) == 2  # both faces touch the seam
+
+    def test_paired_triples(self):
+        from unitex_tpu.geometry.topology import get_boundary_tex
+
+        v, f, uv, fuv = self._strip()
+        _, _, tri_pos, tri_tex = get_boundary_tex(f, fuv, paired=True)
+        assert tri_pos.shape == (2, 2, 3)  # one seam half-edge per face
+        for e in range(tri_pos.shape[0]):
+            # both groups share the position edge, opposite dual vertices
+            assert sorted(tri_pos[e, 0, :2].tolist()) == [1, 2]
+            assert sorted(tri_pos[e, 1, :2].tolist()) == [1, 2]
+            assert tri_pos[e, 0, 2] != tri_pos[e, 1, 2]
+
+    def test_seams_submesh_reverse(self):
+        from unitex_tpu.geometry.topology import get_seams_submesh
+
+        v, f, uv, fuv = self._strip()
+        verts, f_sel, uv2, fuv_sel = get_seams_submesh(v, f, uv, fuv)
+        assert f_sel.shape[1] == 3 and len(f_sel) == len(fuv_sel)
+        # mirrored dual coords moved, seam-edge coords unchanged
+        assert not np.allclose(uv2, uv)
+        np.testing.assert_allclose(uv2[1], uv[1])
+        np.testing.assert_allclose(uv2[2], uv[2])
+
+
+class TestVolumeHelpers:
+    def test_scale_tensor(self):
+        from unitex_tpu.render.volume import scale_tensor
+
+        x = jnp.array([0.0, 0.5, 1.0])
+        np.testing.assert_allclose(
+            np.asarray(scale_tensor(x, (0.0, 1.0), (-1.0, 1.0))), [-1, 0, 1]
+        )
+
+    def test_contract_to_unisphere(self):
+        from unitex_tpu.render.volume import contract_to_unisphere
+
+        bbox = (-1.0, 1.0)
+        inside = jnp.array([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0]])
+        out = np.asarray(contract_to_unisphere(inside, bbox, unbounded=True))
+        np.testing.assert_allclose(out[0], 0.5, atol=1e-6)
+        # far points squash inside [0, 1]
+        far = jnp.array([[100.0, 0.0, 0.0], [0.0, -1e6, 0.0]])
+        out = np.asarray(contract_to_unisphere(far, bbox, unbounded=True))
+        assert (out >= 0.0).all() and (out <= 1.0).all()
+        # bounded mode is a plain bbox normalize
+        out = np.asarray(contract_to_unisphere(inside, bbox, unbounded=False))
+        np.testing.assert_allclose(out[1], [0.75, 0.5, 0.5], atol=1e-6)

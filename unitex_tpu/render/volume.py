@@ -182,3 +182,32 @@ def make_grid_3d(D: int, H: int, W: int, ndc: bool = True) -> jnp.ndarray:
         return u * 2.0 - 1.0 if ndc else u
 
     return jnp.stack([un(xs, W), un(ys, H), un(zs, D)], axis=-1)
+
+
+def scale_tensor(dat, inp_scale, tgt_scale):
+    """Affine range remap [inp_scale -> tgt_scale] (the field-query helper
+    of the reference's mesh/utils.py:22-31); scales default to (0, 1)."""
+    if inp_scale is None:
+        inp_scale = (0.0, 1.0)
+    if tgt_scale is None:
+        tgt_scale = (0.0, 1.0)
+    dat = (dat - inp_scale[0]) / (inp_scale[1] - inp_scale[0])
+    return dat * (tgt_scale[1] - tgt_scale[0]) + tgt_scale[0]
+
+
+def contract_to_unisphere(
+    x: jnp.ndarray, bbox, unbounded: bool = False
+) -> jnp.ndarray:
+    """Map points into [0, 1]^3 for field queries (mesh/utils.py:33-43):
+    bounded = plain bbox normalize; unbounded = mip-NeRF-360 contraction of
+    the exterior (|x| > 1 squashed to radius < 2, result scaled to [0, 1]).
+    Branch-free jnp (the reference's boolean masking becomes ``where``)."""
+    x = scale_tensor(x, bbox, (0.0, 1.0))
+    if not unbounded:
+        return x
+    x = x * 2.0 - 1.0
+    mag = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    safe = jnp.maximum(mag, 1e-12)
+    contracted = (2.0 - 1.0 / safe) * (x / safe)
+    x = jnp.where(mag > 1.0, contracted, x)
+    return x / 4.0 + 0.5
