@@ -34,6 +34,14 @@ def main():
     ap.add_argument("--max-train-steps", type=int, default=1000)
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--drop-rate", type=float, default=0.0)
+    ap.add_argument("--preconditioning-loss", action="store_true",
+                    help="add a pixel-space MSE on the VAE-decoded x0 "
+                         "prediction (trainer.py:1114-1122)")
+    ap.add_argument("--preconditioning-loss-weight", type=float, default=1.0)
+    ap.add_argument("--prior-preservation", action="store_true",
+                    help="batch halves are [instance; prior]; the prior "
+                         "half adds a weighted regularization term")
+    ap.add_argument("--prior-loss-weight", type=float, default=1.0)
     ap.add_argument("--checkpoint-every", type=int, default=250)
     ap.add_argument("--checkpoints-total-limit", type=int, default=3)
     ap.add_argument("--data-mesh", type=int, default=1, help="data-parallel size")
@@ -121,7 +129,12 @@ def main():
         warmup_steps=args.warmup_steps,
         max_train_steps=args.max_train_steps,
         drop_rate=args.drop_rate,
+        preconditioning_loss=args.preconditioning_loss,
+        preconditioning_loss_weight=args.preconditioning_loss_weight,
+        prior_preservation=args.prior_preservation,
+        prior_loss_weight=args.prior_loss_weight,
     )
+    loss_vae = (vparams, vae_cfg) if args.preconditioning_loss else (None, None)
 
     assert not (args.full_finetune and args.grad_accum > 1), \
         "--grad-accum composes with LoRA training only"
@@ -218,6 +231,8 @@ def main():
             "prompt_embeds": jnp.zeros((latents.shape[0], 512, cfg.joint_attention_dim)),
             "pooled_embeds": jnp.zeros((latents.shape[0], cfg.pooled_projection_dim)),
         }
+        if args.preconditioning_loss:
+            batch["pixel_values"] = target
         if args.grad_accum > 1:
             # [A*B, ...] -> [A, B, ...] microbatch axis for the scan;
             # cond_ids is per-sequence (unbatched) and just broadcasts
@@ -248,11 +263,13 @@ def main():
             )
         elif args.grad_accum > 1:
             state, loss = train_step_accum(
-                state, tparams, batch, jax.random.key(1000 + step), cfg, tcfg, tx
+                state, tparams, batch, jax.random.key(1000 + step), cfg, tcfg, tx,
+                vae_params=loss_vae[0], vae_cfg=loss_vae[1],
             )
         else:
             state, loss = train_step(
-                state, tparams, batch, jax.random.key(1000 + step), cfg, tcfg, tx
+                state, tparams, batch, jax.random.key(1000 + step), cfg, tcfg, tx,
+                vae_params=loss_vae[0], vae_cfg=loss_vae[1],
             )
         logger.log(step, {"loss": float(loss)})
         if step % 10 == 0:

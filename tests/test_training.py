@@ -315,3 +315,87 @@ class TestGradAccum:
         # scan vs python-loop accumulation: identical up to float ordering
         for a, b in zip(jax.tree.leaves(state_a.lora), jax.tree.leaves(want)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestTrainerExtras:
+    """Prior preservation + preconditioning pixel loss (trainer.py:
+    1093-1122)."""
+
+    def test_prior_preservation_split(self):
+        cfg = FluxConfig.tiny()
+        base = init_flux_params(jax.random.key(0), cfg)
+        lora = init_lora_params(jax.random.key(1), base, rank=4)
+        batch = _tiny_batch(cfg, B=4)
+        key = jax.random.key(2)
+        # weight 0: only the first (instance) half contributes
+        t0 = FluxLoraTrainConfig(
+            rank=4, prior_preservation=True, prior_loss_weight=0.0
+        )
+        t1 = FluxLoraTrainConfig(
+            rank=4, prior_preservation=True, prior_loss_weight=1.0
+        )
+        l0 = float(flow_match_loss(lora, base, cfg, t0, batch, key))
+        l1 = float(flow_match_loss(lora, base, cfg, t1, batch, key))
+        assert np.isfinite(l0) and np.isfinite(l1)
+        assert l1 > l0  # the prior half adds a positive term
+
+    def test_preconditioning_pixel_loss(self):
+        from unitex_tpu.models.flux.vae import (
+            VAEConfig,
+            init_vae_params,
+            vae_decode,
+        )
+
+        cfg = FluxConfig.tiny()
+        vae_cfg = VAEConfig.tiny()
+        base = init_flux_params(jax.random.key(0), cfg)
+        vparams = init_vae_params(jax.random.key(1), vae_cfg)
+        lora = init_lora_params(jax.random.key(2), base, rank=4)
+        batch = _tiny_batch(cfg, B=2)
+        ds = vae_cfg.downscale
+        B, H, W, _ = batch["latents"].shape
+        batch["pixel_values"] = jnp.full((B, H * ds, W * ds, 3), 0.5)
+        key = jax.random.key(3)
+
+        t_off = FluxLoraTrainConfig(rank=4)
+        t_on = FluxLoraTrainConfig(
+            rank=4, preconditioning_loss=True, preconditioning_loss_weight=2.0
+        )
+        l_off = float(flow_match_loss(lora, base, cfg, t_off, batch, key))
+        l_on = float(
+            flow_match_loss(
+                lora, base, cfg, t_on, batch, key,
+                vae_params=vparams, vae_cfg=vae_cfg,
+            )
+        )
+        assert np.isfinite(l_on) and l_on > l_off
+        # gradients flow through the VAE decode into the LoRA
+        g = jax.grad(flow_match_loss)(
+            lora, base, cfg, t_on, batch, key,
+            vae_params=vparams, vae_cfg=vae_cfg,
+        )
+        gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+        assert np.isfinite(gnorm) and gnorm > 0
+
+    def test_preconditioning_with_token_drop(self):
+        from unitex_tpu.models.flux.vae import VAEConfig, init_vae_params
+
+        cfg = FluxConfig.tiny()
+        vae_cfg = VAEConfig.tiny()
+        base = init_flux_params(jax.random.key(0), cfg)
+        vparams = init_vae_params(jax.random.key(1), vae_cfg)
+        lora = init_lora_params(jax.random.key(2), base, rank=4)
+        batch = _tiny_batch(cfg, B=2)
+        ds = vae_cfg.downscale
+        B, H, W, _ = batch["latents"].shape
+        batch["pixel_values"] = jnp.full((B, H * ds, W * ds, 3), 0.5)
+        tcfg = FluxLoraTrainConfig(
+            rank=4, drop_rate=0.5, preconditioning_loss=True
+        )
+        loss = float(
+            flow_match_loss(
+                lora, base, cfg, tcfg, batch, jax.random.key(3),
+                vae_params=vparams, vae_cfg=vae_cfg,
+            )
+        )
+        assert np.isfinite(loss)

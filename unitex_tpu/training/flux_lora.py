@@ -54,6 +54,14 @@ class FluxLoraTrainConfig:
     # random token dropping (attention_processor.py:114-233)
     drop_rate: float = 0.0
     num_train_timesteps: int = 1000
+    # prior-preservation regularization (trainer.py:1093-1112): the batch
+    # carries [instance; prior] halves along B
+    prior_preservation: bool = False
+    prior_loss_weight: float = 1.0
+    # preconditioning pixel loss (trainer.py:1114-1122): decode the x0
+    # prediction through the (frozen) VAE and take a pixel-space MSE
+    preconditioning_loss: bool = False
+    preconditioning_loss_weight: float = 1.0
 
 
 @jax.tree_util.register_dataclass
@@ -91,6 +99,8 @@ def flow_match_loss(
     tcfg: FluxLoraTrainConfig,
     batch: Dict[str, jnp.ndarray],
     key: jax.Array,
+    vae_params: Dict[str, Any] | None = None,
+    vae_cfg=None,
 ) -> jnp.ndarray:
     """One flow-matching loss evaluation.
 
@@ -103,6 +113,8 @@ def flow_match_loss(
       'prompt_embeds'   [B, S_t, D]    text embeddings (zeros at inference
                         parity)
       'pooled_embeds'   [B, D_p]
+      'pixel_values'    [B, Hp, Wp, 3] in [0, 1] — only read when
+                        tcfg.preconditioning_loss (with vae_params/vae_cfg)
     """
     k_t, k_noise, k_drop = jax.random.split(key, 3)
     x = batch["latents"]
@@ -124,8 +136,10 @@ def flow_match_loss(
     tokens = pack_latents(zt)
     noise_ids = latent_image_ids(H // 2, W // 2)
     S_noise = tokens.shape[1]
+    S_full = S_noise
     target = pack_latents(noise - x)
 
+    keep_idx = None
     if tcfg.drop_rate > 0.0:
         # random token dropping (trainer.py:1022-1065 + the RandomDrop
         # attention processor): a static-size random subset of the noise
@@ -161,7 +175,42 @@ def flow_match_loss(
 
     w = loss_weighting(tcfg.weighting_scheme, sigmas)[:, None, None]
     err = (pred_noise.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
-    return jnp.mean(w * err)
+    if tcfg.prior_preservation:
+        # [instance; prior] batch halves (trainer.py:1093-1112): the prior
+        # half regularizes toward the frozen model's behavior
+        e_main, e_prior = jnp.split(err, 2, axis=0)
+        w_main, w_prior = jnp.split(w, 2, axis=0)
+        loss = jnp.mean(w_main * e_main) + tcfg.prior_loss_weight * jnp.mean(
+            w_prior * e_prior
+        )
+    else:
+        loss = jnp.mean(w * err)
+
+    if tcfg.preconditioning_loss:
+        assert vae_params is not None and vae_cfg is not None, (
+            "preconditioning_loss needs the frozen VAE (vae_params/vae_cfg)"
+        )
+        from ..models.flux.pipeline import unpack_latents
+        from ..models.flux.vae import vae_decode
+
+        if keep_idx is not None:
+            # scatter kept predictions back to the full grid; dropped
+            # positions predict zero velocity (x0 falls back to zt there)
+            pred_full = jnp.zeros(
+                (B, S_full, pred_noise.shape[-1]), pred_noise.dtype
+            ).at[:, keep_idx].set(pred_noise)
+        else:
+            pred_full = pred_noise
+        v_lat = unpack_latents(pred_full, H, W)
+        # x0 prediction: zt - sigma*v (trainer.py:1117-1119); stays in the
+        # SCALED latent space vae_decode expects
+        latents_pred = zt - sig * v_lat
+        img_pred = vae_decode(vae_params, vae_cfg, latents_pred) * 0.5 + 0.5
+        pix = batch["pixel_values"].astype(jnp.float32)
+        loss = loss + tcfg.preconditioning_loss_weight * jnp.mean(
+            (img_pred.astype(jnp.float32) - pix) ** 2
+        )
+    return loss
 
 
 def make_lr_schedule(tcfg: FluxLoraTrainConfig):
@@ -222,7 +271,7 @@ def create_train_state(
     return state, tx
 
 
-@partial(jax.jit, static_argnames=("cfg", "tcfg", "tx"))
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "tx", "vae_cfg"))
 def train_step(
     state: TrainState,
     base_params: Dict[str, Any],
@@ -231,16 +280,19 @@ def train_step(
     cfg: FluxConfig,
     tcfg: FluxLoraTrainConfig,
     tx: optax.GradientTransformation,
+    vae_params: Dict[str, Any] | None = None,
+    vae_cfg=None,
 ) -> Tuple[TrainState, jnp.ndarray]:
     loss, grads = jax.value_and_grad(flow_match_loss)(
-        state.lora, base_params, cfg, tcfg, batch, key
+        state.lora, base_params, cfg, tcfg, batch, key,
+        vae_params=vae_params, vae_cfg=vae_cfg,
     )
     updates, opt_state = tx.update(grads, state.opt_state, state.lora)
     lora = optax.apply_updates(state.lora, updates)
     return TrainState(step=state.step + 1, lora=lora, opt_state=opt_state), loss
 
 
-@partial(jax.jit, static_argnames=("cfg", "tcfg", "tx"))
+@partial(jax.jit, static_argnames=("cfg", "tcfg", "tx", "vae_cfg"))
 def train_step_accum(
     state: TrainState,
     base_params: Dict[str, Any],
@@ -249,6 +301,8 @@ def train_step_accum(
     cfg: FluxConfig,
     tcfg: FluxLoraTrainConfig,
     tx: optax.GradientTransformation,
+    vae_params: Dict[str, Any] | None = None,
+    vae_cfg=None,
 ) -> Tuple[TrainState, jnp.ndarray]:
     """Gradient-accumulated step (``accelerator.accumulate``,
     trainer.py:822): ``batches`` leaves carry a leading microbatch axis
@@ -261,7 +315,8 @@ def train_step_accum(
         acc, loss_sum = carry
         mb, k = xs
         loss, grads = jax.value_and_grad(flow_match_loss)(
-            state.lora, base_params, cfg, tcfg, mb, k
+            state.lora, base_params, cfg, tcfg, mb, k,
+            vae_params=vae_params, vae_cfg=vae_cfg,
         )
         acc = jax.tree.map(jnp.add, acc, grads)
         return (acc, loss_sum + loss), None
