@@ -456,3 +456,36 @@ class TestVolumeHelpers:
         # bounded mode is a plain bbox normalize
         out = np.asarray(contract_to_unisphere(inside, bbox, unbounded=False))
         np.testing.assert_allclose(out[1], [0.75, 0.5, 0.5], atol=1e-6)
+
+
+class TestLensBlur:
+    def test_constant_preserved(self):
+        from unitex_tpu.ops.image_ops import lens_blur
+
+        img = jnp.full((33, 33, 3), 0.5)
+        out = np.asarray(lens_blur(img))
+        # joint kernel normalization: the center (away from the zero-padded
+        # border) keeps the constant value
+        np.testing.assert_allclose(out[10:-10, 10:-10], 0.5, atol=2e-3)
+
+    def test_matches_direct_2d_convolution(self):
+        from scipy.signal import convolve2d
+
+        from unitex_tpu.ops.image_ops import _lens_kernels, lens_blur
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(size=(24, 24, 2)).astype(np.float32)
+        gamma = 5.0
+        out = np.asarray(lens_blur(jnp.asarray(img)))
+
+        kernels, _ = _lens_kernels(3.0, 5)
+        x = np.power(img, gamma)
+        acc = np.zeros_like(x)
+        for re, im, A, B in kernels:
+            k1 = np.asarray(re) + 1j * np.asarray(im)
+            k2 = np.outer(k1, k1)
+            for c in range(x.shape[-1]):
+                conv = convolve2d(x[..., c], k2, mode="same")
+                acc[..., c] += A * conv.real + B * conv.imag
+        ref = np.clip(np.power(np.maximum(acc, 0.0), 1.0 / gamma), 0.0, 1.0)
+        np.testing.assert_allclose(out, ref, atol=1e-3)

@@ -44,7 +44,7 @@ from ..ops.grid_sample import grid_sample
 from ..ops.image_ops import (
     boundary_mask,
     dilate_mask,
-    disk_blur,
+    lens_blur,
     erode_mask,
     gaussian_blur,
     min_pool2d,
@@ -368,7 +368,10 @@ def bake_reproject_blur(
     if method == "gaussian":
         blurred = gaussian_blur(color_cur, kernel_size_blur)
     else:
-        blurred = disk_blur(color_cur, max(1, kernel_size_blur // 2))
+        # the reference's default seam softener: complex-kernel bokeh with
+        # its stock radius/components (renderer_inverse.py:620-621 calls
+        # lens_blur_torch with defaults, ignoring kernel_size_blur)
+        blurred = lens_blur(color_cur)
     color_cur = jnp.where(boundary, blurred, color_cur)
 
     texture = pull_push(color_cur, mask_2d)
