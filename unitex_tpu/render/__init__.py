@@ -6,3 +6,4 @@ from .conditioning import (
     grid_to_strip,
     strip_to_grid,
 )
+from .field_vis import create_grid, marching_tetrahedra, export_isosurface
