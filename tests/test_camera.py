@@ -166,3 +166,93 @@ def test_quaternion_roundtrip():
     quat = matrix_to_quaternion(mat)
     mat2 = quaternion_to_matrix(quat)
     np.testing.assert_allclose(np.asarray(mat2), np.asarray(mat), atol=1e-4)
+
+
+class TestQuaternionAlgebra:
+    def test_multiply_matches_matrix_product(self):
+        import jax
+
+        from unitex_tpu.camera.rotation import (
+            matrix_to_quaternion,
+            quaternion_multiply,
+            quaternion_to_matrix,
+            random_rotations,
+        )
+
+        r = random_rotations(4, jax.random.PRNGKey(0))
+        qa = matrix_to_quaternion(r[:2])
+        qb = matrix_to_quaternion(r[2:])
+        qm = quaternion_multiply(qa, qb)
+        np.testing.assert_allclose(
+            np.asarray(quaternion_to_matrix(qm)),
+            np.asarray(r[:2] @ r[2:]),
+            atol=1e-5,
+        )
+
+    def test_apply_matches_matrix(self):
+        import jax
+
+        from unitex_tpu.camera.rotation import (
+            matrix_to_quaternion,
+            quaternion_apply,
+            random_rotations,
+        )
+
+        key = jax.random.PRNGKey(1)
+        r = random_rotations(3, key)
+        q = matrix_to_quaternion(r)
+        pts = jax.random.normal(jax.random.PRNGKey(2), (3, 3))
+        np.testing.assert_allclose(
+            np.asarray(quaternion_apply(q, pts)),
+            np.asarray(jnp.einsum("nij,nj->ni", r, pts)),
+            atol=1e-5,
+        )
+
+    def test_invert(self):
+        import jax
+
+        from unitex_tpu.camera.rotation import (
+            quaternion_invert,
+            quaternion_raw_multiply,
+            random_quaternions,
+        )
+
+        q = random_quaternions(5, jax.random.PRNGKey(3))
+        ident = quaternion_raw_multiply(q, quaternion_invert(q))
+        np.testing.assert_allclose(
+            np.asarray(ident),
+            np.tile([1.0, 0, 0, 0], (5, 1)),
+            atol=1e-5,
+        )
+
+    def test_axis_angle_roundtrip(self):
+        import jax
+
+        from unitex_tpu.camera.rotation import (
+            axis_angle_to_quaternion,
+            matrix_to_axis_angle,
+            quaternion_to_axis_angle,
+            random_rotations,
+            axis_angle_to_matrix,
+        )
+
+        aa = jnp.array([[0.3, -0.2, 0.5], [1e-8, 0.0, 0.0], [0.0, 0.0, 0.0]])
+        q = axis_angle_to_quaternion(aa)
+        back = quaternion_to_axis_angle(q)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(aa), atol=1e-6)
+        r = random_rotations(4, jax.random.PRNGKey(4))
+        aa2 = matrix_to_axis_angle(r)
+        np.testing.assert_allclose(
+            np.asarray(axis_angle_to_matrix(aa2)), np.asarray(r), atol=1e-5
+        )
+
+    def test_random_rotations_are_rotations(self):
+        import jax
+
+        from unitex_tpu.camera.rotation import random_rotations
+
+        r = np.asarray(random_rotations(8, jax.random.PRNGKey(5)))
+        np.testing.assert_allclose(
+            r @ r.transpose(0, 2, 1), np.tile(np.eye(3), (8, 1, 1)), atol=1e-5
+        )
+        np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)

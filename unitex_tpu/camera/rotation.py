@@ -156,3 +156,101 @@ def matrix_to_rotation_6d(matrix: jnp.ndarray) -> jnp.ndarray:
     """[..., 3, 3] -> [..., 6]: the first two rows, flattened (inverse of
     rotation_6d_to_matrix up to Gram-Schmidt)."""
     return matrix[..., :2, :].reshape(*matrix.shape[:-2], 6)
+
+
+# -------------------------------------------------- quaternion algebra
+# (rotation.py:373-601: the quaternion toolbox the PyTorch3D-style module
+# ships — standardization, Hamilton products, inversion, point rotation,
+# axis-angle bridges, and random rotation sampling)
+
+
+def standardize_quaternion(quaternions: jnp.ndarray) -> jnp.ndarray:
+    """Flip to the non-negative-real-part representative of each rotation."""
+    return jnp.where(quaternions[..., :1] < 0, -quaternions, quaternions)
+
+
+def quaternion_raw_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product [..., 4] x [..., 4] -> [..., 4] (w, x, y, z)."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def quaternion_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product, standardized to non-negative real part."""
+    return standardize_quaternion(quaternion_raw_multiply(a, b))
+
+
+def quaternion_invert(quaternion: jnp.ndarray) -> jnp.ndarray:
+    """Conjugate of a unit quaternion = the inverse rotation."""
+    return quaternion * jnp.asarray([1.0, -1.0, -1.0, -1.0], quaternion.dtype)
+
+
+def quaternion_apply(quaternion: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
+    """Rotate points [..., 3] by unit quaternions [..., 4]: q p q^{-1}."""
+    zeros = jnp.zeros_like(point[..., :1])
+    p = jnp.concatenate([zeros, point], axis=-1)
+    out = quaternion_raw_multiply(
+        quaternion_raw_multiply(quaternion, p), quaternion_invert(quaternion)
+    )
+    return out[..., 1:]
+
+
+def axis_angle_to_quaternion(axis_angle: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] Rodrigues vector -> unit quaternion (w, x, y, z); uses the
+    small-angle Taylor form of sin(t/2)/t below 1e-6 like the reference."""
+    angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    half = angle * 0.5
+    small = jnp.abs(angle) < 1e-6
+    sin_half_over_angle = jnp.where(
+        small, 0.5 - (angle**2) / 48.0, jnp.sin(half) / jnp.maximum(angle, 1e-30)
+    )
+    return jnp.concatenate(
+        [jnp.cos(half), axis_angle * sin_half_over_angle], axis=-1
+    )
+
+
+def quaternion_to_axis_angle(quaternions: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion -> Rodrigues vector; small-angle-safe like the
+    forward direction."""
+    norms = jnp.linalg.norm(quaternions[..., 1:], axis=-1, keepdims=True)
+    half = jnp.arctan2(norms, quaternions[..., :1])
+    angle = 2.0 * half
+    small = jnp.abs(angle) < 1e-6
+    sin_half_over_angle = jnp.where(
+        small, 0.5 - (angle**2) / 48.0, jnp.sin(half) / jnp.maximum(angle, 1e-30)
+    )
+    return quaternions[..., 1:] / sin_half_over_angle
+
+
+def matrix_to_axis_angle(matrix: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] -> [..., 3] Rodrigues vector."""
+    return quaternion_to_axis_angle(matrix_to_quaternion(matrix))
+
+
+def random_quaternions(n: int, key) -> jnp.ndarray:
+    """n uniform random unit quaternions with non-negative real part
+    (rotation.py:313-334)."""
+    import jax
+
+    q = jax.random.normal(key, (n, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return standardize_quaternion(q)
+
+
+def random_rotations(n: int, key) -> jnp.ndarray:
+    """n uniform random rotation matrices [n, 3, 3]."""
+    return quaternion_to_matrix(random_quaternions(n, key))
+
+
+def random_rotation(key) -> jnp.ndarray:
+    """One uniform random rotation matrix [3, 3]."""
+    return random_rotations(1, key)[0]
