@@ -51,7 +51,7 @@ def main() -> None:
             try:
                 info = parse_mesh_info(os.path.join(args.mesh_root, uid + ".glb"))
                 rec.update({"vertices": info["V"], "faces": info["F"]})
-            except (OSError, ValueError, KeyError):
+            except Exception:  # noqa: BLE001 — any broken asset falls back to -1
                 rec.update({"vertices": -1, "faces": -1})
         for k in rec:
             if k not in keys:

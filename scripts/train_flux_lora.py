@@ -40,7 +40,9 @@ def main():
     ap.add_argument("--preconditioning-loss-weight", type=float, default=1.0)
     ap.add_argument("--prior-preservation", action="store_true",
                     help="batch halves are [instance; prior]; the prior "
-                         "half adds a weighted regularization term")
+                         "half adds a weighted regularization term (needs "
+                         "an even --batch-size and a dataset that yields "
+                         "prior examples in the second half)")
     ap.add_argument("--prior-loss-weight", type=float, default=1.0)
     ap.add_argument("--checkpoint-every", type=int, default=250)
     ap.add_argument("--checkpoints-total-limit", type=int, default=3)
@@ -138,6 +140,11 @@ def main():
 
     assert not (args.full_finetune and args.grad_accum > 1), \
         "--grad-accum composes with LoRA training only"
+    assert not (args.full_finetune and args.preconditioning_loss), \
+        "--preconditioning-loss composes with LoRA training only " \
+        "(full_train_step does not thread the frozen VAE)"
+    assert not (args.prior_preservation and args.batch_size % 2), \
+        "--prior-preservation needs an even --batch-size ([instance; prior])"
 
     mesh = make_mesh(data=args.data_mesh, model=-1) if jax.device_count() > 1 else None
     pshard = flux_param_shardings(tparams, mesh) if mesh is not None else None

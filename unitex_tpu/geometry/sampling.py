@@ -170,7 +170,11 @@ def sample_near_surface(
     Returns (samples [N, 3], face_index [N], face_uvw [N, 3])."""
     from ..ops.closest_point import closest_point_on_mesh
 
-    rng = np.random.default_rng(seed)
+    # independent child streams: the face-selection draws and the normal
+    # offsets must not be correlated (sharing the raw seed would make
+    # deltas a deterministic transform of the face picks)
+    s_faces, s_deltas = np.random.SeedSequence(seed).spawn(2)
+    rng = np.random.default_rng(s_deltas)
     offset = distance_threshold * (2.0 / (2.0 ** depth))
     v = mesh.vertices.astype(np.float64)
     f = mesh.faces.astype(np.int64)
@@ -183,7 +187,7 @@ def sample_near_surface(
     np.add.at(vn, f.reshape(-1), np.repeat(fn, 3, axis=0))
     vn = vn / np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-20)
 
-    pts, face_idx, uvw = sample_surface_with_faces(mesh, n_samples, seed=seed)
+    pts, face_idx, uvw = sample_surface_with_faces(mesh, n_samples, seed=s_faces)
     sn = np.einsum("nkc,nk->nc", vn[f[face_idx]], uvw)
     deltas = rng.uniform(-1.0, 1.0, size=(n_samples, 3))
     samples = (pts + offset * deltas * sn).astype(np.float32)

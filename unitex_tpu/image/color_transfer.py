@@ -93,6 +93,7 @@ def bilateral_filter(
     if radius is None:
         radius = max(1, int(round(1.5 * sigma_xy)))
     H, W, C = img.shape
+    img = img.astype(jnp.float32)  # scan carry must match the f32 weights
     x = jnp.pad(img, ((radius, radius), (radius, radius), (0, 0)), mode="reflect")
     dy, dx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
     offs = jnp.asarray(np.stack([dy.ravel(), dx.ravel()], axis=-1))

@@ -48,12 +48,11 @@ def _equirect_dirs(height: int, width: int) -> jnp.ndarray:
 
 
 def _axis_angle(axis: jnp.ndarray, rad: float | jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues rotation matrix."""
+    """Rodrigues rotation matrix (the tested library conversion)."""
+    from ..camera.rotation import axis_angle_to_matrix
+
     axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-12)
-    kx, ky, kz = axis[0], axis[1], axis[2]
-    K = jnp.array([[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]])
-    c, s = jnp.cos(rad), jnp.sin(rad)
-    return c * jnp.eye(3) + s * K + (1.0 - c) * jnp.outer(axis, axis)
+    return axis_angle_to_matrix(axis * rad)
 
 
 def perspective_to_panorama(

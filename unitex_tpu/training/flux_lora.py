@@ -178,6 +178,11 @@ def flow_match_loss(
     if tcfg.prior_preservation:
         # [instance; prior] batch halves (trainer.py:1093-1112): the prior
         # half regularizes toward the frozen model's behavior
+        if B % 2 != 0:
+            raise ValueError(
+                "prior_preservation needs an even batch laid out as "
+                f"[instance; prior] halves, got batch size {B}"
+            )
         e_main, e_prior = jnp.split(err, 2, axis=0)
         w_main, w_prior = jnp.split(w, 2, axis=0)
         loss = jnp.mean(w_main * e_main) + tcfg.prior_loss_weight * jnp.mean(

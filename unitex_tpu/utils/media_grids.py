@@ -89,8 +89,9 @@ def make_image_grid(
     horizontally then stacked ``rows_per_page`` at a time, with a black
     4-px divider after column ``divider_after_col`` cells.  Returns the
     written page paths."""
-    ch, cw = cell_size
+    ch, _cw = cell_size
     row_images = []
+    row_boundaries = []  # cumulative width of the first divider_after_col cells
     for row in rows:
         cells = []
         for img in row:
@@ -99,6 +100,10 @@ def make_image_grid(
             w = int(round(ch * img.shape[1] / max(img.shape[0], 1)))
             cells.append(_resize_uint8(img, ch, max(w, 1)))
         row_images.append(np.concatenate(cells, axis=1))
+        if divider_after_col is not None:
+            row_boundaries.append(
+                sum(c.shape[1] for c in cells[:divider_after_col])
+            )
     width = max(r.shape[1] for r in row_images)
     row_images = [
         np.pad(r, ((0, 0), (0, width - r.shape[1]), (0, 0))) for r in row_images
@@ -108,9 +113,12 @@ def make_image_grid(
     for idx in range(0, len(row_images), rows_per_page):
         page = np.concatenate(row_images[idx : idx + rows_per_page], axis=0)
         if divider_after_col is not None:
-            x = divider_after_col * cw
-            if 2 <= x < page.shape[1] - 2:
-                page[:, x - 2 : x + 2, :] = np.array([0, 0, 0, 255], np.uint8)
+            # cells are aspect-preserving, so the boundary is per row
+            for r, x in enumerate(row_boundaries[idx : idx + rows_per_page]):
+                if 2 <= x < page.shape[1] - 2:
+                    page[r * ch : (r + 1) * ch, x - 2 : x + 2, :] = np.array(
+                        [0, 0, 0, 255], np.uint8
+                    )
         path = os.path.join(out_dir, f"{prefix}_{idx:04d}.png")
         from PIL import Image
 
@@ -177,7 +185,9 @@ def make_video_grid(
     for start in range(0, len(video_paths), per_page):
         grid = np.zeros((n_frames, n_rows * H, n_cols * W, 3), np.uint8)
         for j, p in enumerate(video_paths[start : start + per_page]):
-            data = _read_video(p)[:n_frames, ..., :3]
+            # reuse the shape-probe decode for the first video
+            src = first if p == video_paths[0] else _read_video(p)
+            data = src[:n_frames, ..., :3]
             if label:
                 data = np.stack([draw_label(fr, text_fn(p)) for fr in data])
             r, c = j // n_cols, j % n_cols
