@@ -489,3 +489,40 @@ class TestLensBlur:
                 acc[..., c] += A * conv.real + B * conv.imag
         ref = np.clip(np.power(np.maximum(acc, 0.0), 1.0 / gamma), 0.0, 1.0)
         np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+class TestUVDilation:
+    def test_fills_holes_with_neighbor_color(self):
+        from unitex_tpu.ops.image_ops import uv_dilation
+
+        color = np.zeros((16, 16, 3), np.float32)
+        mask = np.zeros((16, 16, 1), bool)
+        color[:, :8] = [1.0, 0.0, 0.0]
+        mask[:, :8] = True   # left half valid red, right half holes
+        out = np.asarray(uv_dilation(jnp.asarray(color), jnp.asarray(mask)))
+        # holes flood-fill toward red; everything finite in [0, 1]
+        assert out[8, 15, 0] > 0.5
+        assert np.isfinite(out).all() and (out >= 0).all() and (out <= 1).all()
+
+    def test_max_iters_limits_growth(self):
+        from unitex_tpu.ops.image_ops import uv_dilation
+
+        color = np.zeros((16, 16, 3), np.float32)
+        mask = np.zeros((16, 16, 1), bool)
+        color[8, 0] = [0.0, 1.0, 0.0]
+        mask[8, 0] = True
+        out = np.asarray(
+            uv_dilation(jnp.asarray(color), jnp.asarray(mask), max_iters=2)
+        )
+        # 2 iterations of a 3x3 kernel reach at most 2 texels away
+        assert out[8, 2, 1] > 0.0
+        assert out[8, 10, 1] == 0.0
+
+    def test_full_mask_is_identity(self):
+        from unitex_tpu.ops.image_ops import uv_dilation
+
+        rng = np.random.default_rng(0)
+        color = rng.uniform(size=(8, 8, 3)).astype(np.float32)
+        mask = np.ones((8, 8, 1), bool)
+        out = np.asarray(uv_dilation(jnp.asarray(color), jnp.asarray(mask)))
+        np.testing.assert_allclose(out, color, atol=1e-6)

@@ -293,3 +293,51 @@ def lens_blur(
     out = jnp.power(jnp.maximum(out, 0.0), 1.0 / exposure_gamma)
     out = jnp.clip(out, 0.0, 1.0)
     return out.reshape(lead + out.shape[-3:])
+
+
+@partial(jax.jit, static_argnames=("kernel_size", "max_iters"))
+def uv_dilation(
+    color: jnp.ndarray,
+    mask: jnp.ndarray,
+    max_iters: int = -1,
+    kernel_size: int = 3,
+) -> jnp.ndarray:
+    """Iterative masked-neighbor UV dilation — the reprojection toolkit's
+    ``uv_dilation`` (texture/reprojection/uv_dilation.py:33-50 with the
+    `_uv_dilation_v2` avg-pool step): invalid texels repeatedly take the
+    valid-neighborhood mean until the map is full (or ``max_iters``), then
+    the grown region is blended over the original.  The alternative to
+    ``pull_push`` for hole filling (local diffusion instead of a mip
+    pyramid).
+
+    color [H, W, C] float in [0, 1]; mask [H, W, 1] bool, True = VALID
+    (the reference's ``map_mask`` marks holes; it flips internally to this
+    convention).  ``max_iters=-1`` runs until full (bounded by H+W)."""
+    k = 2 * (kernel_size // 2) + 1
+    H, W, _ = color.shape
+    valid0 = mask.astype(jnp.float32)
+    col0 = color * valid0
+    limit = max_iters if max_iters > 0 else H + W
+
+    def box_avg(x):
+        s = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (k, k, 1), (1, 1, 1), "SAME"
+        )
+        return s / float(k * k)
+
+    def cond(carry):
+        _, valid, i = carry
+        return (i < limit) & (jnp.min(valid) == 0.0)
+
+    def body(carry):
+        col, valid, i = carry
+        vavg = box_avg(valid)
+        cavg = box_avg(col)
+        boundary = jnp.abs(vavg - valid) > 0.0
+        col = jnp.where(boundary, cavg / jnp.maximum(vavg, 1e-20), col)
+        return col, (vavg > 0.0).astype(jnp.float32), i + 1
+
+    col, valid, _ = jax.lax.while_loop(
+        cond, body, (col0, valid0, jnp.int32(0))
+    )
+    return jnp.clip(valid * col + (1.0 - valid) * color, 0.0, 1.0)
