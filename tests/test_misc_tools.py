@@ -526,3 +526,35 @@ class TestUVDilation:
         mask = np.ones((8, 8, 1), bool)
         out = np.asarray(uv_dilation(jnp.asarray(color), jnp.asarray(mask)))
         np.testing.assert_allclose(out, color, atol=1e-6)
+
+
+class TestPointCloudContainer:
+    def test_split_concat_roundtrip(self):
+        from unitex_tpu.geometry.mesh import (
+            PointCloud,
+            concat_point_clouds,
+            split_point_cloud,
+        )
+
+        rng = np.random.default_rng(0)
+        pc = PointCloud(
+            points=jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32)),
+            colors=jnp.asarray(rng.uniform(size=(10, 3)).astype(np.float32)),
+        )
+        parts = split_point_cloud(pc, [3, 7])
+        assert parts[0].points.shape == (3, 3)
+        assert parts[1].colors.shape == (7, 3)
+        assert parts[0].normals is None
+        merged, intervals = concat_point_clouds(parts)
+        np.testing.assert_array_equal(np.asarray(merged.points), np.asarray(pc.points))
+        np.testing.assert_array_equal(
+            np.asarray(intervals), [[0, 3, 3], [3, 10, 7]]
+        )
+
+    def test_concat_drops_partial_fields(self):
+        from unitex_tpu.geometry.mesh import PointCloud, concat_point_clouds
+
+        a = PointCloud(points=jnp.zeros((2, 3)), colors=jnp.zeros((2, 3)))
+        b = PointCloud(points=jnp.ones((3, 3)))
+        merged, _ = concat_point_clouds([a, b])
+        assert merged.colors is None and merged.points.shape == (5, 3)

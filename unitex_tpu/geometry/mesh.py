@@ -256,3 +256,54 @@ def interpolate_attributes(
     call site."""
     tri_attr = attr[faces[face_idx]]
     return jnp.einsum("...kc,...k->...c", tri_attr, bary)
+
+
+def split_point_cloud(pc: "PointCloud", sizes) -> list:
+    """Split a PointCloud into consecutive chunks (pcd/structure.py:66-90
+    ``PointCloud.split``).  Host-side: sizes are concrete ints."""
+    out = []
+    start = 0
+    for n in sizes:
+        sl = slice(start, start + int(n))
+
+        def cut(a):
+            return None if a is None else a[sl]
+
+        out.append(
+            PointCloud(
+                points=pc.points[sl],
+                normals=cut(pc.normals),
+                colors=cut(pc.colors),
+                valid=cut(pc.valid),
+            )
+        )
+        start += int(n)
+    return out
+
+
+def concat_point_clouds(pcs) -> Tuple["PointCloud", jnp.ndarray]:
+    """Concatenate PointClouds into one plus [N, 3] (start, stop, count)
+    intervals — the ``PointClouds`` container of pcd/structure.py:93-110.
+    Optional fields survive only when present on EVERY input."""
+    counts = [int(p.points.shape[0]) for p in pcs]
+    starts, acc = [], 0
+    for n in counts:
+        starts.append(acc)
+        acc += n
+    intervals = jnp.asarray(
+        [[s, s + n, n] for s, n in zip(starts, counts)], jnp.int32
+    )
+
+    def cat(field):
+        vals = [getattr(p, field) for p in pcs]
+        if any(v is None for v in vals):
+            return None
+        return jnp.concatenate(vals, axis=0)
+
+    merged = PointCloud(
+        points=jnp.concatenate([p.points for p in pcs], axis=0),
+        normals=cat("normals"),
+        colors=cat("colors"),
+        valid=cat("valid"),
+    )
+    return merged, intervals
