@@ -776,3 +776,27 @@ train:
         exps = sorted(os.listdir(tmp_path / "experiments"))
         assert "arch_smoke" in exps
         assert any(e.startswith("arch_smoke_archived_") for e in exps)
+
+
+class TestShippedOptionFiles:
+    def test_all_option_files_parse_and_resolve(self, tmp_path):
+        """Every yml under options/ must parse and resolve its network
+        types + kwargs against the arch registry (guard against the
+        bit-rot the reference's unmaintained configs suffered)."""
+        import glob as _glob
+
+        from unitex_tpu.models.zoo import build_arch
+        from unitex_tpu.utils import options as uo
+
+        files = sorted(
+            _glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                    "options", "*.yml"))
+        )
+        assert files, "no shipped option files found"
+        for f in files:
+            is_train = os.path.basename(f).startswith("train")
+            opt = uo.parse_options(f, str(tmp_path), is_train=is_train)
+            assert "model_type" in opt, f
+            for key in ("network_g", "network_d"):
+                if key in opt and opt[key]:
+                    build_arch(opt[key])
