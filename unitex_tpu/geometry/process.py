@@ -87,6 +87,32 @@ def normalize_to_unit_cube(mesh: HostMesh, scale: float = 1.0) -> HostMesh:
                     mesh.normals, mesh.vertex_colors, mesh.texture)
 
 
+def smooth_simple(mesh: HostMesh, iterations: int = 3) -> HostMesh:
+    """Simple neighbor-average vertex smoothing — open3d
+    ``filter_smooth_simple`` semantics (v' = (v + sum of neighbors) /
+    (1 + degree)), which the reference applies for 3 iterations to make the
+    smoothed unwrap copy (uv_atlas.py:70, :169).  Connectivity and
+    attributes are untouched; only positions move."""
+    if mesh.n_vertices == 0 or mesh.faces.size == 0:
+        return mesh
+    f = mesh.faces.astype(np.int64)
+    ekey = np.sort(
+        np.concatenate([f[:, (0, 1)], f[:, (1, 2)], f[:, (2, 0)]], axis=0), axis=1
+    )
+    edges = np.unique(ekey, axis=0)
+    e0, e1 = edges[:, 0], edges[:, 1]
+    V = mesh.n_vertices
+    deg = np.bincount(np.concatenate([e0, e1]), minlength=V).astype(np.float64)
+    v = mesh.vertices.astype(np.float64)
+    for _ in range(max(iterations, 0)):
+        nbr = np.zeros_like(v)
+        np.add.at(nbr, e0, v[e1])
+        np.add.at(nbr, e1, v[e0])
+        v = (v + nbr) / (1.0 + deg)[:, None]
+    return HostMesh(v.astype(np.float32), mesh.faces, mesh.uv, mesh.faces_uv,
+                    mesh.normals, mesh.vertex_colors, mesh.texture)
+
+
 def loop_subdivide(mesh: HostMesh, iterations: int = 1) -> HostMesh:
     """Loop subdivision (the reference loop-subdivides meshes under 20k faces
     twice, uv_atlas.py:56-63).  Vectorized numpy; drops UVs (re-unwrapped later)."""

@@ -36,6 +36,14 @@ def _unique_edges(half_edges: np.ndarray):
     return edges, inverse.reshape(-1), counts
 
 
+def unique_edges(faces: np.ndarray) -> np.ndarray:
+    """Unique undirected edges [E, 2] (vertex-sorted), the reference's
+    ``e_pos_idx`` (mesh/structure.py:505-508) — feeds the edge-Laplacian
+    smoothing/loss (geometry.mesh.laplacian_smooth)."""
+    edges, _, _ = _unique_edges(_half_edges(np.asarray(faces, np.int64)))
+    return edges.astype(np.int32)
+
+
 def get_boundary(faces: np.ndarray) -> np.ndarray:
     """Vertex indices on open boundaries — edges referenced by exactly one
     face (topology.py:32-37)."""

@@ -76,6 +76,62 @@ def knn(
     return dists.reshape(Qp, k)[:Q], idx.reshape(Qp, k)[:Q].astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("cap", "chunk"))
+def query_ball(
+    queries: jnp.ndarray,
+    references: jnp.ndarray,
+    radius: float | jnp.ndarray,
+    cap: int = 32,
+    chunk: int = 65536,
+    ref_valid: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fixed-radius neighbor search — the ``query_ball_point`` capability of
+    the reference's scipy-compatible GPU KD-tree (pcd/knn/knn_cupy.py:856+),
+    re-expressed with static shapes: instead of ragged per-query lists it
+    returns the ``cap`` NEAREST in-radius neighbors per query plus the TRUE
+    in-radius count (which may exceed ``cap``).
+
+    queries [Q, D], references [R, D] ->
+      idx [Q, cap] int32 (arbitrary value where invalid),
+      mask [Q, cap] bool (within radius, valid),
+      counts [Q] int32 (all references within radius, uncapped).
+    Same tiled-matmul distance core as :func:`knn`.
+    """
+    Q, D = queries.shape
+    R = references.shape[0]
+    cap = min(cap, R)
+    r2 = jnp.square(jnp.asarray(radius, queries.dtype))
+    ref_sq = jnp.sum(references * references, axis=-1)
+    if ref_valid is not None:
+        ref_penalty = jnp.where(ref_valid, 0.0, jnp.inf)
+    else:
+        ref_penalty = jnp.zeros((R,), queries.dtype)
+
+    n_chunks = (Q + chunk - 1) // chunk
+    Qp = n_chunks * chunk
+    q_pad = jnp.pad(queries, ((0, Qp - Q), (0, 0)))
+
+    def body(_, q):
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        d2 = q_sq + ref_sq[None, :] - 2.0 * jnp.dot(
+            q, references.T, preferred_element_type=jnp.float32
+        )
+        d2 = jnp.maximum(d2, 0.0) + ref_penalty[None, :]
+        counts = jnp.sum(d2 <= r2, axis=1).astype(jnp.int32)
+        neg_d, idx = jax.lax.top_k(-d2, cap)
+        mask = (-neg_d) <= r2
+        return None, (idx.astype(jnp.int32), mask, counts)
+
+    _, (idx, mask, counts) = jax.lax.scan(
+        body, None, q_pad.reshape(n_chunks, chunk, D)
+    )
+    return (
+        idx.reshape(Qp, cap)[:Q],
+        mask.reshape(Qp, cap)[:Q],
+        counts.reshape(Qp)[:Q],
+    )
+
+
 def knn_gather_blend(
     queries: jnp.ndarray,
     references: jnp.ndarray,
