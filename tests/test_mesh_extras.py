@@ -190,3 +190,33 @@ class TestQueryBall:
         )
         assert int(counts[0]) == 1
         assert set(np.asarray(idx)[0][np.asarray(mask)[0]].tolist()) == {0}
+
+
+class TestParseColor:
+    def test_specs(self):
+        from unitex_tpu.utils.color import color_to_uint8, parse_color
+
+        assert parse_color(None) is None
+        np.testing.assert_allclose(parse_color("grey"), [128 / 255.0] * 3)  # PIL #808080, what the reference actually composites
+        np.testing.assert_allclose(parse_color("white"), [1.0, 1.0, 1.0])
+        np.testing.assert_allclose(parse_color("aliceblue"),
+                                   np.array([0xF0, 0xF8, 0xFF]) / 255.0)
+        np.testing.assert_allclose(parse_color(0.5), [0.5])
+        np.testing.assert_allclose(parse_color((0.1, 0.2, 0.3)),
+                                   [0.1, 0.2, 0.3], rtol=1e-6)
+        assert color_to_uint8("#ff0080") == (255, 0, 128)
+        with pytest.raises(NotImplementedError):
+            parse_color("not-a-color")
+        with pytest.raises(NotImplementedError):
+            parse_color((0.1, 0.2))
+
+    def test_process_image_accepts_any_spec(self):
+        from PIL import Image
+
+        from unitex_tpu.image.process_image import preprocess_reference_image
+
+        img = Image.new("RGBA", (64, 64), (0, 0, 0, 0))
+        img.paste((200, 10, 10, 255), (20, 20, 44, 44))
+        out = preprocess_reference_image(img, H=32, W=32, color="navy")
+        corner = np.array(out)[0, 0, :3]
+        np.testing.assert_array_equal(corner, [0, 0, 128])

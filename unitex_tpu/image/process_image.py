@@ -10,12 +10,7 @@ from typing import Optional, Tuple
 import numpy as np
 from PIL import Image, ImageOps
 
-COLORS = {
-    "white": (255, 255, 255),
-    "black": (0, 0, 0),
-    "grey": (127, 127, 127),
-    "gray": (127, 127, 127),
-}
+from ..utils.color import color_to_uint8
 
 
 def get_alpha_bbox(alpha: np.ndarray, threshold: int = 0) -> Tuple[int, int, int, int]:
@@ -32,7 +27,7 @@ def preprocess_reference_image(
     H: int = 1024,
     W: int = 1024,
     scale: float = 0.95,
-    color: str = "grey",
+    color="grey",
     background_remover=None,
 ) -> Image.Image:
     """Returns an RGBA image with the subject recentered and rescaled so its
@@ -64,7 +59,7 @@ def preprocess_reference_image(
     alphat = Image.new("L", (W, H))
     alphat.paste(alphac, (ox, oy))
 
-    bg = COLORS.get(color, COLORS["grey"])
+    bg = color_to_uint8(color)
     out = Image.new("RGBA", (W, H), bg + (255,))
     out.paste(rgbc, (ox, oy), alphac)
     out.putalpha(alphat)

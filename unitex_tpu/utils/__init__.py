@@ -1,5 +1,6 @@
 from .timer import CPUTimer
 from .image_io import load_image, save_image, to_uint8, from_uint8
+from .color import parse_color
 
 
 def enable_compilation_cache(path: str = "/tmp/unitex_jax_cache") -> None:
