@@ -45,3 +45,39 @@ def device_memory_stats(device: Optional[jax.Device] = None) -> Dict[str, int]:
 def annotate(name: str):
     """TraceAnnotation context: names a region inside a captured trace."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def empty_cache(max_rounds: int = 8) -> int:
+    """Free device memory held only by dead Python references — the TPU
+    analog of the reference's empty_cache loop (utils/empty_cache.py: drain
+    torch.cuda.memory_allocated via gc + empty_cache until stable).  XLA
+    frees a buffer when its last reference drops, so the lever here is
+    collecting cycles that pin jax.Arrays; loops until bytes_in_use stops
+    shrinking.  Returns bytes freed (0 where the backend has no stats)."""
+    import gc
+
+    def in_use() -> int:
+        s = device_memory_stats()
+        return int(s.get("bytes_in_use", 0))
+
+    start = prev = in_use()
+    for _ in range(max_rounds):
+        gc.collect()
+        cur = in_use()
+        if cur >= prev:
+            break
+        prev = cur
+    return start - prev
+
+
+def hf_snapshot_download(repo_id: str, **kwargs) -> str:
+    """Fetch a HuggingFace repo snapshot (utils/hf_download.py capability),
+    gated on huggingface_hub + network being available; returns the local
+    path.  Offline deployments place checkpoints per WEIGHTS.md instead."""
+    try:
+        import huggingface_hub
+    except Exception as e:  # pragma: no cover - hub ships with transformers
+        raise RuntimeError(
+            "huggingface_hub unavailable; fetch weights manually (WEIGHTS.md)"
+        ) from e
+    return huggingface_hub.snapshot_download(repo_id, **kwargs)
