@@ -368,3 +368,88 @@ class TestVelocityReuse:
             reuse_mask=jnp.asarray(np.zeros(4, bool)),
         )
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestTorchRNGParity:
+    """Seed-parity replay of the reference's torch.Generator stream
+    (pipeline.py:152; draw order texturing/pipeline.py:294,318,367)."""
+
+    def test_stream_order_and_values(self):
+        torch = pytest.importorskip("torch")
+        from unitex_tpu.models.flux.pipeline import torch_reference_rng
+
+        plan = torch_reference_rng(
+            63, (4, 8), dual_hw=(4, 4), control_hw=(4, 8), latent_channels=16
+        )
+        g = torch.Generator().manual_seed(63)
+        for key, hw in (("noise", (4, 8)), ("dual_eps", (4, 4)), ("control_eps", (4, 8))):
+            want = torch.randn((1, 16, *hw), generator=g, dtype=torch.bfloat16)
+            np.testing.assert_array_equal(
+                plan[key], want.float().numpy().transpose(0, 2, 3, 1)
+            )
+        # omitted conditioning images draw nothing
+        plan2 = torch_reference_rng(63, (4, 8), latent_channels=16)
+        np.testing.assert_array_equal(plan2["noise"], plan["noise"])
+        assert plan2["dual_eps"] is None and plan2["control_eps"] is None
+
+    def test_eps_injection_semantics(self):
+        """vae_encode(sample_eps=e): posterior mean + std*e — symmetric
+        around the deterministic mode, strictly above it for e=+1."""
+        from unitex_tpu.models.flux.vae import vae_encode
+
+        cfg = VAEConfig.tiny()
+        params = init_vae_params(jax.random.key(1), cfg)
+        img = jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)
+        )
+        z0 = vae_encode(params, cfg, img)
+        e = jnp.ones((1, 8, 8, cfg.latent_channels), jnp.float32)
+        zp = vae_encode(params, cfg, img, sample_eps=e)
+        zm = vae_encode(params, cfg, img, sample_eps=-e)
+        np.testing.assert_allclose(
+            np.asarray(zp + zm), np.asarray(2 * z0), atol=1e-5
+        )
+        assert float((zp - z0).min()) > 0.0  # std > 0 everywhere
+
+    def test_pipeline_accepts_plan(self):
+        pytest.importorskip("torch")
+        from unitex_tpu.models.flux.pipeline import torch_reference_rng
+
+        flux_cfg = FluxConfig.tiny()
+        vae_cfg = VAEConfig.tiny()
+        tparams = init_flux_params(jax.random.key(0), flux_cfg)
+        vparams = init_vae_params(jax.random.key(1), vae_cfg)
+        pipe_cfg = FluxPipelineConfig(
+            height=16, width=32, num_inference_steps=2, max_sequence_length=8
+        )
+        rng = np.random.default_rng(0)
+        control = jnp.asarray(rng.uniform(0, 1, (16, 32, 3)).astype(np.float32))
+        dual = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+        plan = torch_reference_rng(
+            63, (8, 16), dual_hw=(8, 8), control_hw=(8, 16),
+            latent_channels=vae_cfg.latent_channels,
+        )
+        img = run_flux_pipeline(
+            tparams, flux_cfg, vparams, vae_cfg,
+            jax.random.key(63), pipe_cfg,
+            control_image=control, dual_image=dual,
+            noise=plan["noise"], control_eps=plan["control_eps"],
+            dual_eps=plan["dual_eps"],
+        )
+        img2 = run_flux_pipeline(
+            tparams, flux_cfg, vparams, vae_cfg,
+            jax.random.key(0), pipe_cfg,  # different jax key: must not matter
+            control_image=control, dual_image=dual,
+            noise=plan["noise"], control_eps=plan["control_eps"],
+            dual_eps=plan["dual_eps"],
+        )
+        assert img.shape == (16, 32, 3)
+        np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+        # eps changes the conditioning tokens, so the output must move
+        img3 = run_flux_pipeline(
+            tparams, flux_cfg, vparams, vae_cfg,
+            jax.random.key(63), pipe_cfg,
+            control_image=control, dual_image=dual,
+            noise=plan["noise"],
+        )
+        assert float(jnp.abs(img - img3).max()) > 0.0

@@ -27,7 +27,7 @@ import numpy as np
 from .config import FluxConfig
 from .model import flux_forward
 from .scheduler import FlowMatchEulerScheduler
-from .vae import VAEConfig, vae_decode_jit, vae_encode_jit
+from .vae import VAEConfig, vae_decode_jit, vae_encode_jit, vae_encode_sample_jit
 
 
 def pack_latents(latents: jnp.ndarray) -> jnp.ndarray:
@@ -219,14 +219,21 @@ def run_flux_pipeline(
     prompt_embeds: Optional[jnp.ndarray] = None,
     pooled_embeds: Optional[jnp.ndarray] = None,
     noise: Optional[jnp.ndarray] = None,
+    control_eps: Optional[jnp.ndarray] = None,
+    dual_eps: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full text-free conditioned generation.
 
     control_image / dual_image: [H, W, 3] / [Hd, Wd, 3] in [0, 1].
     ``noise`` [HL, WL, C] or [1, HL, WL, C] overrides the initial latent
-    noise — golden-noise injection for bit-comparison against the CUDA
-    reference (whose torch.Generator stream cannot be reproduced by JAX's
-    PRNG; dump the reference's initial latents and feed them here).
+    noise; ``control_eps`` / ``dual_eps`` supply the VAE posterior draws for
+    the conditioning encodes (the reference SAMPLES its condition latents,
+    _encode_vae_image -> latent_dist.sample(generator),
+    texturing/pipeline.py:74-77,318,367).  Together these replay the CUDA
+    reference's torch.Generator stream exactly — produce all three with
+    :func:`torch_reference_rng` for seed-parity comparison, or dump the
+    reference's tensors (golden injection).  Without eps the condition
+    encode is the deterministic mode.
     Returns the generated image [H, W, 3] in [0, 1].
     """
     H, W = pipe_cfg.height, pipe_cfg.width
@@ -248,16 +255,24 @@ def run_flux_pipeline(
 
     cond_tokens = []
     cond_ids = []
+    def _encode_cond(img, eps):
+        if eps is not None:
+            eps = jnp.asarray(eps, jnp.float32)
+            if eps.ndim == 3:
+                eps = eps[None]
+            return vae_encode_sample_jit(vae_params, vae_cfg, img, eps)
+        return vae_encode_jit(vae_params, vae_cfg, img)
+
     if control_image is not None:
         ctrl = control_image[None] * 2.0 - 1.0
-        lat = vae_encode_jit(vae_params, vae_cfg, ctrl)
+        lat = _encode_cond(ctrl, control_eps)
         cond_tokens.append(pack_latents(lat))
         cond_ids.append(
             latent_image_ids(lat.shape[1] // 2, lat.shape[2] // 2, offset_y=HL // 2)
         )
     if dual_image is not None:
         dual = dual_image[None] * 2.0 - 1.0
-        lat = vae_encode_jit(vae_params, vae_cfg, dual)
+        lat = _encode_cond(dual, dual_eps)
         cond_tokens.append(pack_latents(lat))
         cond_ids.append(
             latent_image_ids(
@@ -386,3 +401,47 @@ def run_flux_inpaint(
     latents = unpack_latents(out_tokens, HL, WL)
     out = vae_decode_jit(vae_params, vae_cfg, latents)[0]
     return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
+
+
+def torch_reference_rng(
+    seed: int,
+    noise_hw,
+    dual_hw=None,
+    control_hw=None,
+    latent_channels: int = 16,
+    dtype: str = "bfloat16",
+):
+    """Replay the CUDA reference's torch CPU RNG stream for one FLUX pass.
+
+    The reference seeds ONE ``torch.Generator().manual_seed(seed)``
+    (pipeline.py:152) and consumes it in a fixed order inside
+    ``prepare_latents_and_image_ids`` (texturing/pipeline.py): the initial
+    noise latents (:294), then the DUAL image's VAE posterior draw (:318),
+    then the CONTROL image's (:367) — diffusers' randn_tensor draws on the
+    generator's (CPU) device in the model dtype and only then moves to
+    device, so the exact same values are reproducible here with host torch.
+
+    Args are latent-grid shapes: ``noise_hw``/(``dual_hw``/``control_hw``)
+    as (HL, WL) — i.e. image H/8, W/8.  Returns a dict with NHWC float32
+    arrays: ``noise`` [1, HL, WL, C] for run_flux_pipeline(noise=...),
+    ``dual_eps`` / ``control_eps`` for its eps params (None where the shape
+    was not given).  Numeric deviation from the reference is then bounded
+    by kernel arithmetic (bf16 matmul order), not by randomness.
+    """
+    import numpy as np
+    import torch
+
+    td = getattr(torch, dtype)
+    gen = torch.Generator().manual_seed(int(seed))
+
+    def draw(hw):
+        HL, WL = hw
+        x = torch.randn((1, latent_channels, HL, WL), generator=gen, dtype=td)
+        return np.transpose(x.float().numpy(), (0, 2, 3, 1))
+
+    out = {"noise": draw(noise_hw), "dual_eps": None, "control_eps": None}
+    if dual_hw is not None:
+        out["dual_eps"] = draw(dual_hw)
+    if control_hw is not None:
+        out["control_eps"] = draw(control_hw)
+    return out

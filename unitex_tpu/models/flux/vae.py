@@ -194,10 +194,14 @@ def vae_encode(
     cfg: VAEConfig,
     images: jnp.ndarray,
     sample_key=None,
+    sample_eps=None,
 ) -> jnp.ndarray:
     """images [N, H, W, 3] in [-1, 1] -> scaled latents
     [N, H/8, W/8, latent_channels].  Deterministic (mode) unless a PRNG key
-    is given (then samples from the posterior, matching VAE .sample())."""
+    is given (then samples from the posterior, matching VAE .sample()) or
+    ``sample_eps`` supplies the standard-normal draw explicitly (mean-shaped;
+    used to replay the reference's torch.Generator posterior stream —
+    pipeline.torch_reference_rng)."""
     g = cfg.norm_num_groups
     enc = params["encoder"]
     x = conv(enc["conv_in"], images)
@@ -213,7 +217,10 @@ def vae_encode(
     x = _resnet(enc["mid"]["res2"], x, g)
     x = conv(enc["conv_out"], jax.nn.silu(group_norm(x, enc["norm_out"], g)))
     mean, logvar = jnp.split(x, 2, axis=-1)
-    if sample_key is not None:
+    if sample_eps is not None:
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        mean = mean + std * jnp.asarray(sample_eps, mean.dtype)
+    elif sample_key is not None:
         std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
         mean = mean + std * jax.random.normal(sample_key, mean.shape, mean.dtype)
     return (mean - cfg.shift_factor) * cfg.scaling_factor
@@ -244,6 +251,16 @@ def vae_encode_jit(params: Params, cfg: VAEConfig, images: jnp.ndarray) -> jnp.n
     eager per-conv dispatch chain (each eager op pays scheduling overhead;
     through the remote-exec tunnel that dominated the tiled-VAE SR stage)."""
     return vae_encode(params, cfg, images)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def vae_encode_sample_jit(
+    params: Params, cfg: VAEConfig, images: jnp.ndarray, eps: jnp.ndarray
+) -> jnp.ndarray:
+    """Jitted posterior-sampling encode with an explicit standard-normal
+    draw — the reference's ``latent_dist.sample(generator)`` with the
+    generator's stream replayed (texturing/pipeline.py:74-77)."""
+    return vae_encode(params, cfg, images, sample_eps=eps)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
