@@ -266,3 +266,55 @@ class TestLTMPipeline:
 
         back = load_mesh(glb_out)
         assert back.texture is not None
+
+
+class TestTorchRNGParityMode:
+    """DiffusionConfig.torch_rng_parity: the product pipeline replays the
+    reference's torch.Generator stream across the texture+delight passes."""
+
+    def _tiny_pipeline(self, parity: bool):
+        from unitex_tpu.config import DiffusionConfig
+        from unitex_tpu.models.flux.lora import init_lora_params
+        from unitex_tpu.pipeline import RGBTextureFullPipelineBase
+
+        cfg = PipelineConfig(
+            diffusion=DiffusionConfig(
+                height=16, width=96, dual_size=16, num_inference_steps=2,
+                max_sequence_length=8, torch_rng_parity=parity,
+            )
+        )
+        pipe = RGBTextureFullPipelineBase(
+            pretrain_models=None, save_artifacts=False, config=cfg
+        )
+        pipe.flux_cfg = FluxConfig.tiny()
+        pipe.vae_cfg = VAEConfig.tiny()
+        pipe.transformer_params = init_flux_params(jax.random.key(0), pipe.flux_cfg)
+        pipe.vae_params = init_vae_params(jax.random.key(1), pipe.vae_cfg)
+        pipe.texture_lora = init_lora_params(
+            jax.random.key(2), pipe.transformer_params, rank=2
+        )
+        pipe.delight_lora = init_lora_params(
+            jax.random.key(3), pipe.transformer_params, rank=2
+        )
+        pipe._flux_loaded = True
+        return pipe
+
+    def test_parity_mode_runs_and_is_deterministic(self, tmp_path):
+        pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        condition = {
+            "normal": jnp.asarray(rng.uniform(0, 1, (32, 48, 3)).astype(np.float32)),
+            "ccm": jnp.asarray(rng.uniform(0, 1, (32, 48, 3)).astype(np.float32)),
+        }
+        ref_img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+
+        pipe = self._tiny_pipeline(parity=True)
+        out1 = pipe.infer_mv_stage(str(tmp_path), ref_img, condition)
+        out2 = pipe.infer_mv_stage(str(tmp_path), ref_img, condition)
+        assert out1.shape == (32, 48, 3)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+        # the replayed stream differs from the jax-PRNG stream
+        pipe_jax = self._tiny_pipeline(parity=False)
+        out3 = pipe_jax.infer_mv_stage(str(tmp_path), ref_img, condition)
+        assert float(jnp.abs(out1 - out3).max()) > 0.0

@@ -69,6 +69,11 @@ class DiffusionConfig:
     # evaluation (training-free acceleration, models/flux/pipeline.py
     # make_reuse_mask; 0 = the reference's exact 28-evaluation schedule)
     velocity_reuse: int = 0
+    # replay the CUDA reference's torch.Generator stream for the initial
+    # noise and the condition-encode posterior draws, threaded across the
+    # texture+delight passes (models/flux/pipeline.torch_reference_rng) —
+    # seed-exact randomness vs the reference; needs host torch
+    torch_rng_parity: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

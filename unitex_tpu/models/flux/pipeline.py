@@ -432,7 +432,12 @@ def torch_reference_rng(
     import torch
 
     td = getattr(torch, dtype)
-    gen = torch.Generator().manual_seed(int(seed))
+    if isinstance(seed, torch.Generator):
+        # thread one generator across passes, like the reference's single
+        # self.generator reused by the texture and delight calls
+        gen = seed
+    else:
+        gen = torch.Generator().manual_seed(int(seed))
 
     def draw(hw):
         HL, WL = hw

@@ -280,6 +280,34 @@ class RGBTextureFullPipelineBase:
                 max_sequence_length=dcfg.max_sequence_length,
                 velocity_reuse=dcfg.velocity_reuse,
             )
+            # optional seed-exact replay of the reference's torch.Generator
+            # stream: one generator threaded across both passes, draws in
+            # upstream order (noise -> dual eps -> control eps per pass)
+            plan_tex = plan_del = {}
+            if dcfg.torch_rng_parity:
+                import torch
+
+                from .models.flux.pipeline import torch_reference_rng
+
+                gen = torch.Generator().manual_seed(self.seed)
+                vs = self.vae_cfg.downscale
+                hl, wl = dcfg.height // vs, dcfg.width // vs
+                dl = dcfg.dual_size // vs
+                C = self.vae_cfg.latent_channels
+                p = torch_reference_rng(
+                    gen, (hl, wl), dual_hw=(dl, dl), control_hw=(hl, wl),
+                    latent_channels=C,
+                )
+                plan_tex = {
+                    "noise": p["noise"],
+                    "dual_eps": p["dual_eps"],
+                    "control_eps": p["control_eps"],
+                }
+                p = torch_reference_rng(
+                    gen, (hl, wl), control_hw=(hl, wl), latent_channels=C
+                )
+                plan_del = {"noise": p["noise"], "control_eps": p["control_eps"]}
+
             # texture pass: adapters [1, 0]
             params_tex = apply_lora(
                 self.transformer_params,
@@ -290,6 +318,7 @@ class RGBTextureFullPipelineBase:
                 jax.random.key(self.seed), pipe_cfg,
                 control_image=control_strip,
                 dual_image=jnp.asarray(reference_image),
+                **plan_tex,
             )
             if self.save_artifacts:
                 save_image(
@@ -303,6 +332,7 @@ class RGBTextureFullPipelineBase:
                 params_del, self.flux_cfg, self.vae_params, self.vae_cfg,
                 jax.random.key(self.seed), pipe_cfg,
                 control_image=strip_w_light,
+                **plan_del,
             )
         else:
             # weightless stand-in: the control strip itself (geometry-shaded)
