@@ -74,13 +74,88 @@ class FluxTextEncoders:
         return seq, pooled
 
 
+class JaxFluxTextEncoders:
+    """On-device CLIP-L pooled + T5 sequence embeddings (models/text_jax.py).
+
+    Weights load straight from the FLUX checkpoint's safetensors dirs (no
+    torch modules instantiated); only tokenization stays on the host.  The
+    T5-XXL encode — a 4.7B-parameter matmul workload — runs jitted on the
+    TPU instead of CPU torch."""
+
+    def __init__(self, pretrain_root: str, max_sequence_length: int = 512):
+        import jax
+
+        from .flux.loader import iter_safetensors
+        from .text_jax import (
+            clip_config_from_sd,
+            clip_text_forward,
+            convert_clip_text,
+            convert_t5_encoder,
+            t5_config_from_sd,
+            t5_encoder_forward,
+        )
+        from transformers import CLIPTokenizer, T5TokenizerFast
+
+        self.max_sequence_length = max_sequence_length
+        flux = os.path.join(pretrain_root, "flux")
+        self.clip_tokenizer = CLIPTokenizer.from_pretrained(
+            os.path.join(flux, "tokenizer")
+        )
+        self.t5_tokenizer = T5TokenizerFast.from_pretrained(
+            os.path.join(flux, "tokenizer_2")
+        )
+        clip_sd = iter_safetensors(os.path.join(flux, "text_encoder"))
+        t5_sd = iter_safetensors(os.path.join(flux, "text_encoder_2"))
+        self.clip_cfg = clip_config_from_sd(clip_sd)
+        self.t5_cfg = t5_config_from_sd(t5_sd)
+        self.clip_params = convert_clip_text(clip_sd, self.clip_cfg)
+        self.t5_params = convert_t5_encoder(t5_sd, self.t5_cfg)
+        self._clip_fwd = jax.jit(
+            lambda p, ids: clip_text_forward(p, self.clip_cfg, ids)
+        )
+        self._t5_fwd = jax.jit(
+            lambda p, ids: t5_encoder_forward(p, self.t5_cfg, ids)
+        )
+
+    def __call__(self, prompts) -> Tuple[np.ndarray, np.ndarray]:
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        clip_ids = np.asarray(
+            self.clip_tokenizer(
+                prompts, padding="max_length", max_length=77, truncation=True
+            ).input_ids,
+            np.int32,
+        )
+        t5_ids = np.asarray(
+            self.t5_tokenizer(
+                prompts,
+                padding="max_length",
+                max_length=self.max_sequence_length,
+                truncation=True,
+            ).input_ids,
+            np.int32,
+        )
+        _, pooled = self._clip_fwd(self.clip_params, clip_ids)
+        seq = self._t5_fwd(self.t5_params, t5_ids)
+        return np.asarray(seq, np.float32), np.asarray(pooled, np.float32)
+
+
 def build_text_encoders(
-    pretrain_root: Optional[str], max_sequence_length: int = 512
+    pretrain_root: Optional[str],
+    max_sequence_length: int = 512,
+    backend: str = "jax",
 ):
-    """FluxTextEncoders when weights exist locally, else None (callers fall
-    back to :func:`zero_embeddings`)."""
+    """Text encoders when weights exist locally, else None (callers fall
+    back to :func:`zero_embeddings`).  ``backend='jax'`` (default) runs the
+    encoders on-device via models/text_jax.py; ``'torch'`` keeps the
+    host-side HF wrapper."""
     if pretrain_root is None:
         return None
+    if backend == "jax":
+        try:
+            return JaxFluxTextEncoders(pretrain_root, max_sequence_length)
+        except (OSError, ValueError, KeyError, ImportError) as e:
+            print(f"[text] jax encoders unavailable ({e}); trying torch")
     try:
         return FluxTextEncoders(pretrain_root, max_sequence_length)
     except (OSError, ValueError, ImportError) as e:
