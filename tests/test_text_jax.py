@@ -189,6 +189,39 @@ class TestT5Encoder:
         assert bool(jnp.isfinite(out).all())
 
 
+class TestT5Sharding:
+    def test_tp_matches_single_device(self):
+        """TP-sharded T5 encode must equal the unsharded result
+        (t5_param_shardings — the T5-XXL multi-chip layout)."""
+        from unitex_tpu.parallel.mesh import make_mesh
+        from unitex_tpu.parallel.sharding import (
+            shard_params,
+            t5_param_shardings,
+        )
+
+        cfg = dataclasses.replace(
+            T5EncoderConfig(),
+            vocab_size=64,
+            d_model=32,
+            d_kv=8,
+            d_ff=64,
+            num_layers=2,
+            num_heads=4,
+            relative_buckets=8,
+            relative_max_distance=20,
+        )
+        params = init_t5_encoder_params(jax.random.key(0), cfg)
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(0, 64, size=(2, 12)), jnp.int32
+        )
+        ref = t5_encoder_forward(params, cfg, ids)
+
+        mesh = make_mesh(data=2, model=4)
+        sharded = shard_params(params, t5_param_shardings(params, mesh))
+        out = jax.jit(lambda p, i: t5_encoder_forward(p, cfg, i))(sharded, ids)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 class TestBuildFallback:
     def test_none_root(self):
         from unitex_tpu.models.text_encoders import build_text_encoders

@@ -80,9 +80,12 @@ class JaxFluxTextEncoders:
     Weights load straight from the FLUX checkpoint's safetensors dirs (no
     torch modules instantiated); only tokenization stays on the host.  The
     T5-XXL encode — a 4.7B-parameter matmul workload — runs jitted on the
-    TPU instead of CPU torch."""
+    TPU instead of CPU torch.  Pass a ``(data, model)`` jax Mesh to run the
+    T5 tensor-parallel (parallel.sharding.t5_param_shardings)."""
 
-    def __init__(self, pretrain_root: str, max_sequence_length: int = 512):
+    def __init__(
+        self, pretrain_root: str, max_sequence_length: int = 512, mesh=None
+    ):
         import jax
 
         from .flux.loader import iter_safetensors
@@ -110,6 +113,12 @@ class JaxFluxTextEncoders:
         self.t5_cfg = t5_config_from_sd(t5_sd)
         self.clip_params = convert_clip_text(clip_sd, self.clip_cfg)
         self.t5_params = convert_t5_encoder(t5_sd, self.t5_cfg)
+        if mesh is not None:
+            from ..parallel.sharding import shard_params, t5_param_shardings
+
+            self.t5_params = shard_params(
+                self.t5_params, t5_param_shardings(self.t5_params, mesh)
+            )
         self._clip_fwd = jax.jit(
             lambda p, ids: clip_text_forward(p, self.clip_cfg, ids)
         )

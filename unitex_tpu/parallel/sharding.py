@@ -198,6 +198,40 @@ def sd3_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     }
 
 
+def t5_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """NamedSharding pytree for ``init_t5_encoder_params`` output
+    (models/text_jax.py) — the T5-XXL prompt encoder (4.7B params, the
+    largest single model the training stack loads) in the same Megatron
+    layout: q/k/v + wi_* column-parallel over 'model', o/wo row-parallel,
+    embedding/rel-bias/norms replicated.  Heads must divide the 'model'
+    axis (T5-XXL: 64 heads)."""
+    col = lambda p: _match_linear(p, _linear_spec(mesh, "col", stacked=True))
+    row = lambda p: _match_linear(p, _linear_spec(mesh, "row", stacked=True))
+    vec = _ns(mesh, None, None)  # stacked [L, d_model] RMS-norm weights
+
+    blocks = params["blocks"]
+    bspec = {
+        "ln_attn": vec,
+        "q": col(blocks["q"]),
+        "k": col(blocks["k"]),
+        "v": col(blocks["v"]),
+        "o": row(blocks["o"]),
+        "ln_ff": vec,
+        "wo": row(blocks["wo"]),
+    }
+    if "wi_0" in blocks:
+        bspec["wi_0"] = col(blocks["wi_0"])
+        bspec["wi_1"] = col(blocks["wi_1"])
+    else:
+        bspec["wi"] = col(blocks["wi"])
+    return {
+        "embedding": _ns(mesh, None, None),
+        "relative_bias": _ns(mesh, None, None),
+        "blocks": bspec,
+        "final_ln": _ns(mesh, None),
+    }
+
+
 def shard_params(params, shardings):
     """Place a param pytree according to a sharding pytree."""
     return jax.tree.map(
