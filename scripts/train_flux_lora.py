@@ -68,6 +68,11 @@ def main():
     ap.add_argument("--validation-steps", type=int, default=0,
                     help="render a validation image every N steps "
                          "(the reference's log_validation, trainer.py:579-625)")
+    ap.add_argument("--prompt", default="[MVFLUX]",
+                    help="trigger prompt embedded via the on-device CLIP/T5 "
+                         "encoders when checkpoint weights exist "
+                         "(trainer.py:165-181); '' or missing weights -> "
+                         "the zero embeddings inference runs with")
     args = ap.parse_args()
 
     import dataclasses
@@ -191,6 +196,27 @@ def main():
                 state, lora=restored, step=jnp.asarray(mgr.latest_step(), jnp.int32)
             )
 
+    # fixed-prompt conditioning, computed once: the reference embeds the
+    # trigger prompt with CLIP-L + T5 (trainer.py:165-181); our encoders
+    # run on-device (models/text_jax.py).  Zero embeds otherwise — the
+    # inference-parity null conditioning.
+    seq_np = pooled_np = None
+    if args.prompt and args.pretrain_models:
+        from unitex_tpu.models.text_encoders import build_text_encoders
+
+        enc = build_text_encoders(args.pretrain_models)
+        if enc is not None:
+            seq_np, pooled_np = enc([args.prompt])
+            if (seq_np.shape[-1] != cfg.joint_attention_dim
+                    or pooled_np.shape[-1] != cfg.pooled_projection_dim):
+                print("[launcher] text-encoder dims do not match the model "
+                      "config; using zero embeddings")
+                seq_np = pooled_np = None
+    if seq_np is None:
+        seq_np = np.zeros((1, 512, cfg.joint_attention_dim), np.float32)
+        pooled_np = np.zeros((1, cfg.pooled_projection_dim), np.float32)
+    seq_e, pooled_e = jnp.asarray(seq_np[0]), jnp.asarray(pooled_np[0])
+
     logger = MetricLogger(args.output_dir)
     if args.data_dir:
         ds = iter(DirectoryTextureDataset(
@@ -235,8 +261,10 @@ def main():
             "latents": latents,
             "cond_tokens": cond_tokens,
             "cond_ids": cond_ids,
-            "prompt_embeds": jnp.zeros((latents.shape[0], 512, cfg.joint_attention_dim)),
-            "pooled_embeds": jnp.zeros((latents.shape[0], cfg.pooled_projection_dim)),
+            "prompt_embeds": jnp.broadcast_to(
+                seq_e, (latents.shape[0], *seq_e.shape)),
+            "pooled_embeds": jnp.broadcast_to(
+                pooled_e, (latents.shape[0], *pooled_e.shape)),
         }
         if args.preconditioning_loss:
             batch["pixel_values"] = target
