@@ -1,0 +1,193 @@
+"""Pipeline parallelism (parallel/pipeline.py, models/flux/pp.py).
+
+GPipe schedule parity vs the sequential scan, identity zero-block padding,
+DPxPP composition, and gradients through the pipeline — all on the 8-device
+CPU mesh (SURVEY.md §4 multi-device test pattern)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from unitex_tpu.models.flux.config import FluxConfig
+from unitex_tpu.models.flux.model import flux_forward, init_flux_params
+from unitex_tpu.models.flux.pipeline import latent_image_ids
+from unitex_tpu.models.flux.pp import flux_forward_pp
+from unitex_tpu.parallel.pipeline import (
+    pad_stacked_blocks,
+    pipeline_apply,
+)
+
+
+def _pipe_mesh(pipe, data=None):
+    devs = np.asarray(jax.devices()[: pipe * (data or 1)])
+    if data is None:
+        return Mesh(devs.reshape(pipe), ("pipe",))
+    return Mesh(devs.reshape(data, pipe), ("data", "pipe"))
+
+
+class TestGPipe:
+    def _toy(self, L=8, M=4, B=2, D=8, seed=0):
+        rng = np.random.default_rng(seed)
+        w = jnp.asarray(rng.normal(size=(L, D, D)) / np.sqrt(D), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(L, D)) * 0.1, jnp.float32)
+        x = jnp.asarray(rng.normal(size=(M, B, D)), jnp.float32)
+        aux = jnp.asarray(rng.normal(size=(M, B, D)) * 0.1, jnp.float32)
+        shared = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+        stacked = {"w": w, "b": b}
+
+        def stage(params, xx, aa, sh):
+            def body(carry, blk):
+                y = jnp.tanh(carry @ blk["w"] + blk["b"] + aa + sh)
+                return y, None
+
+            y, _ = jax.lax.scan(body, xx, params)
+            return y
+
+        def sequential(params, xs, auxs, sh):
+            return jnp.stack(
+                [stage(params, xs[m], auxs[m], sh) for m in range(M)]
+            )
+
+        return stacked, x, aux, shared, stage, sequential
+
+    @pytest.mark.parametrize("pipe", [2, 4, 8])
+    def test_parity(self, pipe):
+        stacked, x, aux, shared, stage, sequential = self._toy()
+        mesh = _pipe_mesh(pipe)
+        got = pipeline_apply(stage, stacked, x, aux, shared, mesh)
+        want = sequential(stacked, x, aux, shared)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_data_axis(self):
+        stacked, x, aux, shared, stage, sequential = self._toy(B=4)
+        mesh = _pipe_mesh(4, data=2)
+        got = pipeline_apply(
+            stage, stacked, x, aux, shared, mesh, data_axis="data"
+        )
+        want = sequential(stacked, x, aux, shared)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_grad_parity(self):
+        stacked, x, aux, shared, stage, sequential = self._toy(L=4, M=2)
+        mesh = _pipe_mesh(2)
+
+        def loss_pp(p):
+            return jnp.sum(pipeline_apply(stage, p, x, aux, shared, mesh) ** 2)
+
+        def loss_seq(p):
+            return jnp.sum(sequential(p, x, aux, shared) ** 2)
+
+        g_pp = jax.grad(loss_pp)(stacked)
+        g_seq = jax.grad(loss_seq)(stacked)
+        for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_pad_identity(self):
+        stacked, x, aux, shared, stage, sequential = self._toy()
+        # zero toy blocks are NOT identities for this tanh stage, so pad a
+        # real flux stack instead — covered in TestFluxPP; here just check
+        # shapes/order of the padding helper
+        padded = pad_stacked_blocks(stacked, 3)
+        assert jax.tree.leaves(padded)[0].shape[0] == 9
+        np.testing.assert_array_equal(
+            np.asarray(padded["w"][:8]), np.asarray(stacked["w"])
+        )
+        assert float(jnp.abs(padded["w"][8:]).max()) == 0.0
+
+
+class TestFluxPP:
+    def _inputs(self, cfg, B=4, seed=0):
+        rng = np.random.default_rng(seed)
+        img_ids = latent_image_ids(2, 4)
+        S_img, S_txt = img_ids.shape[0], 6
+        hidden = jnp.asarray(
+            rng.normal(size=(B, S_img, cfg.in_channels)), jnp.float32
+        )
+        ctx = jnp.asarray(
+            rng.normal(size=(B, S_txt, cfg.joint_attention_dim)), jnp.float32
+        )
+        txt_ids = jnp.zeros((S_txt, 3), jnp.float32)
+        t = jnp.linspace(0.2, 0.8, B)
+        pooled = jnp.asarray(
+            rng.normal(size=(B, cfg.pooled_projection_dim)), jnp.float32
+        )
+        guidance = jnp.full((B,), 3.5, jnp.float32)
+        return hidden, ctx, t, pooled, img_ids, txt_ids, guidance
+
+    def test_forward_parity_with_identity_padding(self):
+        # 2 dual + 2 single blocks over pipe=4: both stacks pad 2 -> 4 with
+        # zero blocks, which must be EXACT identities (AdaLN-Zero gates)
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), cfg)
+        args = self._inputs(cfg)
+        want = flux_forward(params, cfg, *args)
+        mesh = _pipe_mesh(4)
+        got = flux_forward_pp(params, cfg, *args, mesh=mesh, n_micro=2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+
+    def test_forward_parity_dp_pp(self):
+        cfg = dataclasses.replace(
+            FluxConfig.tiny(), num_layers=4, num_single_layers=4
+        )
+        params = init_flux_params(jax.random.key(1), cfg)
+        args = self._inputs(cfg, B=4, seed=1)
+        want = flux_forward(params, cfg, *args)
+        mesh = _pipe_mesh(4, data=2)
+        got = flux_forward_pp(
+            params, cfg, *args, mesh=mesh, n_micro=2, data_axis="data"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+
+    def test_kv_keep_idx(self):
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(2), cfg)
+        args = self._inputs(cfg, B=2, seed=2)
+        keep = jnp.asarray([0, 1, 2, 3, 5, 7, 9, 11], jnp.int32)
+        want = flux_forward(params, cfg, *args, kv_keep_idx=keep)
+        mesh = _pipe_mesh(2)
+        got = flux_forward_pp(
+            params, cfg, *args, kv_keep_idx=keep, mesh=mesh, n_micro=2
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+
+    def test_grad_through_pipeline(self):
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(3), cfg)
+        args = self._inputs(cfg, B=2, seed=3)
+        mesh = _pipe_mesh(2)
+
+        def loss_pp(p):
+            return jnp.mean(
+                flux_forward_pp(p, cfg, *args, mesh=mesh, n_micro=2) ** 2
+            )
+
+        def loss_seq(p):
+            return jnp.mean(flux_forward(p, cfg, *args) ** 2)
+
+        g_pp = jax.grad(loss_pp)(params)
+        g_seq = jax.grad(loss_seq)(params)
+        # the padded identity blocks get zero grads appended; compare the
+        # real slice of the dual/single stacks and the unstacked leaves
+        for key in ("x_embedder", "proj_out", "norm_out"):
+            for a, b in zip(
+                jax.tree.leaves(g_pp[key]), jax.tree.leaves(g_seq[key])
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=3e-5
+                )
+        for key in ("dual_blocks", "single_blocks"):
+            for a, b in zip(
+                jax.tree.leaves(g_pp[key]), jax.tree.leaves(g_seq[key])
+            ):
+                a = np.asarray(a)[: np.asarray(b).shape[0]]
+                np.testing.assert_allclose(a, np.asarray(b), atol=3e-5)

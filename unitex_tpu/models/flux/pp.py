@@ -1,0 +1,135 @@
+"""Pipeline-parallel FLUX forward: the MMDiT block stacks staged over a
+``pipe`` mesh axis.
+
+Same numerics as :func:`unitex_tpu.models.flux.model.flux_forward` (the
+velocity prediction of the reference's FluxTransformer2DModel,
+/root/reference/flux_piplines/texturing/pipeline.py:646-656) with the 19
+dual + 38 single blocks split into contiguous stages, microbatches flowing
+through a GPipe schedule (parallel/pipeline.py).  The two stacks are
+pipelined back-to-back — the dual->single handoff (context‖hidden concat)
+happens once, replicated, between the two pipelines.
+
+Use when the interconnect is thin relative to TP's two-all-reduces-per-
+layer (multi-slice DCN) or to fit the 12B params at ~weights/P per chip
+without TP's per-layer collectives.  Composes with DP (``data_axis``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ...parallel.pipeline import pad_stacked_blocks, pipeline_apply
+from .config import FluxConfig
+from .layers import (
+    Params,
+    layer_norm,
+    linear,
+    mlp_embedder,
+    rope_freqs,
+    sinusoidal_embedding,
+)
+from .model import _ada_ln_zero, _dual_block, _single_block
+
+
+def flux_forward_pp(
+    params: Params,
+    cfg: FluxConfig,
+    hidden_states: jnp.ndarray,
+    encoder_hidden_states: jnp.ndarray,
+    timestep: jnp.ndarray,
+    pooled_projections: jnp.ndarray,
+    img_ids: jnp.ndarray,
+    txt_ids: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,
+    kv_keep_idx: Optional[jnp.ndarray] = None,
+    *,
+    mesh: Mesh,
+    n_micro: int,
+    pipe_axis: str = "pipe",
+    data_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Pipeline-parallel :func:`flux_forward`.  Batch B must divide
+    ``n_micro`` (and, with ``data_axis``, the microbatch B/n_micro must
+    divide that axis).  Block counts need not divide the pipe axis —
+    stacks are padded with exact-identity zero blocks."""
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    hidden = linear(params["x_embedder"], hidden_states.astype(dtype))
+    context = linear(
+        params["context_embedder"], encoder_hidden_states.astype(dtype)
+    )
+
+    temb = mlp_embedder(
+        params["time_embed"], sinusoidal_embedding(timestep).astype(dtype)
+    )
+    if cfg.guidance_embeds and guidance is not None:
+        temb = temb + mlp_embedder(
+            params["guidance_embed"], sinusoidal_embedding(guidance).astype(dtype)
+        )
+    temb = temb + mlp_embedder(
+        params["pooled_embed"], pooled_projections.astype(dtype)
+    )
+
+    ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+    cos, sin = rope_freqs(ids, cfg.axes_dims_rope, cfg.rope_theta)
+    shared = (cos, sin) if kv_keep_idx is None else (cos, sin, kv_keep_idx)
+
+    B = hidden.shape[0]
+    assert B % n_micro == 0, f"batch {B} not divisible by n_micro={n_micro}"
+    S_txt = context.shape[1]
+    P_sz = mesh.shape[pipe_axis]
+
+    def _micro(x):
+        return x.reshape((n_micro, B // n_micro) + x.shape[1:])
+
+    pack = _micro(jnp.concatenate([context, hidden], axis=1))
+    temb_m = _micro(temb)
+
+    def _unpack_shared(sh):
+        if kv_keep_idx is None:
+            c, s = sh
+            return c, s, None
+        return sh
+
+    def dual_stage(blocks, x, temb_mb, sh):
+        cos, sin, keep = _unpack_shared(sh)
+        c, h = x[:, :S_txt], x[:, S_txt:]
+
+        def body(carry, blk):
+            hh, cc = carry
+            hh, cc = _dual_block(blk, cfg, hh, cc, temb_mb, cos, sin, keep)
+            return (hh, cc), None
+
+        if cfg.remat:
+            body = jax.checkpoint(body)
+        (h, c), _ = jax.lax.scan(body, (h, c), blocks)
+        return jnp.concatenate([c, h], axis=1)
+
+    def single_stage(blocks, x, temb_mb, sh):
+        cos, sin, keep = _unpack_shared(sh)
+
+        def body(xx, blk):
+            return _single_block(blk, cfg, xx, temb_mb, cos, sin, keep), None
+
+        if cfg.remat:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, blocks)
+        return x
+
+    dual = pad_stacked_blocks(params["dual_blocks"], P_sz)
+    single = pad_stacked_blocks(params["single_blocks"], P_sz)
+
+    pack = pipeline_apply(
+        dual_stage, dual, pack, temb_m, shared, mesh, pipe_axis, data_axis
+    )
+    pack = pipeline_apply(
+        single_stage, single, pack, temb_m, shared, mesh, pipe_axis, data_axis
+    )
+
+    x = pack.reshape((B,) + pack.shape[2:])[:, S_txt:]
+    sc, sh_ = _ada_ln_zero(params["norm_out"], temb, 2)
+    x = layer_norm(x) * (1 + sc) + sh_
+    return linear(params["proj_out"], x).astype(jnp.float32)

@@ -1,2 +1,3 @@
 from .mesh import make_mesh
+from .pipeline import pad_stacked_blocks, pipeline_apply
 from .sharding import flux_param_shardings, shard_params, data_sharding
