@@ -47,6 +47,13 @@ def main():
     ap.add_argument("--checkpoint-every", type=int, default=250)
     ap.add_argument("--checkpoints-total-limit", type=int, default=3)
     ap.add_argument("--data-mesh", type=int, default=1, help="data-parallel size")
+    ap.add_argument("--pipe", type=int, default=0,
+                    help="pipeline-parallel stages: mesh becomes data x pipe "
+                         "(instead of data x model TP) and the block stacks "
+                         "run a GPipe microbatch schedule "
+                         "(parallel/pipeline.py)")
+    ap.add_argument("--pipe-n-micro", type=int, default=0,
+                    help="GPipe microbatches (default: the batch size)")
     ap.add_argument("--data-dir", default=None,
                     help="pre-rendered dataset root (DirectoryTextureDataset "
                          "schema: per-asset dirs of pipeline artifacts); "
@@ -128,6 +135,44 @@ def main():
         vparams = load_vae(os.path.join(args.pretrain_models, "flux", "vae"), vae_cfg)
         view_size = 512
 
+    pipe_data = 1
+    if args.pipe:
+        assert not args.full_finetune, "--pipe composes with LoRA training"
+        assert jax.device_count() > 1 and jax.device_count() % args.pipe == 0, (
+            f"{jax.device_count()} devices not divisible by --pipe {args.pipe}")
+        pipe_data = jax.device_count() // args.pipe
+        if jax.default_backend() == "cpu":
+            # XLA's in-process CPU runtime aborts on the pipeline-training
+            # collective-permute rendezvous beyond 2 participants (and on
+            # DPxPP at any size) — same class as the ZeRO+remat fallback
+            # below; real chips are unaffected.  Emulation smoke runs work
+            # at --pipe 2 (see tests/test_pipeline_parallel.py).
+            assert args.pipe <= 2, (
+                "--pipe > 2 training deadlocks the in-process CPU "
+                "collective runtime (virtual-device emulation only); run "
+                "on real chips or use --pipe 2 for smoke runs")
+            if pipe_data > 1:
+                print("[launcher] cpu: DPxPP collapsed to pure PP "
+                      "(in-process collective-permute deadlock)")
+                pipe_data = 1
+        assert args.batch_size % pipe_data == 0, (
+            f"--batch-size {args.batch_size} not divisible by the data axis "
+            f"{pipe_data}")
+    # default: one sample per data row per microbatch
+    n_micro = args.pipe_n_micro or max(1, args.batch_size // pipe_data)
+    if args.pipe:
+        assert args.batch_size % n_micro == 0 and (
+            args.batch_size // n_micro) % pipe_data == 0, (
+            f"--batch-size {args.batch_size} / --pipe-n-micro {n_micro} "
+            f"microbatches must shard over the data axis {pipe_data}")
+        if cfg.remat and jax.default_backend() == "cpu":
+            # in-process CPU collectives deadlock when remat'd-backward
+            # psums mix with collective permutes (see the ZeRO fallback
+            # below); the pipeline's ppermutes hit the same — real chips
+            # are unaffected
+            print("[launcher] cpu: remat disabled under --pipe")
+            cfg = dataclasses.replace(cfg, remat=False)
+
     tcfg = FluxLoraTrainConfig(
         rank=args.rank,
         learning_rate=args.learning_rate,
@@ -140,6 +185,9 @@ def main():
         preconditioning_loss_weight=args.preconditioning_loss_weight,
         prior_preservation=args.prior_preservation,
         prior_loss_weight=args.prior_loss_weight,
+        pipe_axis="pipe" if args.pipe else None,
+        pipe_n_micro=n_micro,
+        pipe_data_axis="data" if (args.pipe and pipe_data > 1) else None,
     )
     loss_vae = (vparams, vae_cfg) if args.preconditioning_loss else (None, None)
 
@@ -151,10 +199,31 @@ def main():
     assert not (args.prior_preservation and args.batch_size % 2), \
         "--prior-preservation needs an even --batch-size ([instance; prior])"
 
-    mesh = make_mesh(data=args.data_mesh, model=-1) if jax.device_count() > 1 else None
-    pshard = flux_param_shardings(tparams, mesh) if mesh is not None else None
-    if mesh is not None:
-        tparams = shard_params(tparams, pshard)
+    if args.pipe and jax.device_count() > 1:
+        # data x pipe mesh: block stacks stage over 'pipe' inside the step
+        # (shard_map in_specs split the layer axis; weights stay replicated
+        # in HBM at this scale), batch shards over 'data'
+        from jax.sharding import Mesh as _Mesh
+
+        mesh = _Mesh(
+            np.asarray(jax.devices()[: pipe_data * args.pipe]).reshape(
+                pipe_data, args.pipe
+            ),
+            ("data", "pipe"),
+        )
+        pshard = None
+    else:
+        mesh = make_mesh(data=args.data_mesh, model=-1) if jax.device_count() > 1 else None
+        pshard = flux_param_shardings(tparams, mesh) if mesh is not None else None
+        if mesh is not None:
+            tparams = shard_params(tparams, pshard)
+
+    from contextlib import nullcontext
+
+    def _ambient():
+        """PP reaches the mesh through jax.set_mesh (the step's shard_map
+        has no static mesh arg)."""
+        return jax.set_mesh(mesh) if args.pipe and mesh is not None else nullcontext()
 
     mgr = CheckpointManager(
         args.output_dir, args.checkpoint_every, args.checkpoints_total_limit
@@ -297,15 +366,17 @@ def main():
                 bf16_compute=args.bf16_compute,
             )
         elif args.grad_accum > 1:
-            state, loss = train_step_accum(
-                state, tparams, batch, jax.random.key(1000 + step), cfg, tcfg, tx,
-                vae_params=loss_vae[0], vae_cfg=loss_vae[1],
-            )
+            with _ambient():
+                state, loss = train_step_accum(
+                    state, tparams, batch, jax.random.key(1000 + step), cfg, tcfg, tx,
+                    vae_params=loss_vae[0], vae_cfg=loss_vae[1],
+                )
         else:
-            state, loss = train_step(
-                state, tparams, batch, jax.random.key(1000 + step), cfg, tcfg, tx,
-                vae_params=loss_vae[0], vae_cfg=loss_vae[1],
-            )
+            with _ambient():
+                state, loss = train_step(
+                    state, tparams, batch, jax.random.key(1000 + step), cfg, tcfg, tx,
+                    vae_params=loss_vae[0], vae_cfg=loss_vae[1],
+                )
         logger.log(step, {"loss": float(loss)})
         if step % 10 == 0:
             print(f"step {step}: loss {float(loss):.4f}")

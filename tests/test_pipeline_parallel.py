@@ -191,3 +191,55 @@ class TestFluxPP:
             ):
                 a = np.asarray(a)[: np.asarray(b).shape[0]]
                 np.testing.assert_allclose(a, np.asarray(b), atol=3e-5)
+
+
+class TestPPTraining:
+    def test_train_step_parity(self):
+        """The LoRA train step under pipe_axis (ambient mesh) matches the
+        sequential step: same loss, same updated adapter."""
+        from unitex_tpu.training.flux_lora import (
+            FluxLoraTrainConfig,
+            create_train_state,
+            train_step,
+        )
+
+        cfg = FluxConfig.tiny()
+        base = init_flux_params(jax.random.key(0), cfg)
+        tcfg = FluxLoraTrainConfig(rank=2)
+        tcfg_pp = dataclasses.replace(tcfg, pipe_axis="pipe", pipe_n_micro=2)
+        rng = np.random.default_rng(0)
+        B = 2
+        batch = {
+            "latents": jnp.asarray(
+                rng.normal(size=(B, 4, 4, cfg.in_channels // 4)), jnp.float32
+            ),
+            "prompt_embeds": jnp.asarray(
+                rng.normal(size=(B, 6, cfg.joint_attention_dim)), jnp.float32
+            ),
+            "pooled_embeds": jnp.asarray(
+                rng.normal(size=(B, cfg.pooled_projection_dim)), jnp.float32
+            ),
+        }
+        state, tx = create_train_state(jax.random.key(1), base, tcfg)
+        state_pp, tx_pp = create_train_state(jax.random.key(1), base, tcfg_pp)
+
+        _, loss = train_step(
+            state, base, batch, jax.random.key(2), cfg, tcfg, tx
+        )
+        mesh = _pipe_mesh(2)
+        with jax.set_mesh(mesh):
+            state2_pp, loss_pp = train_step(
+                state_pp, base, batch, jax.random.key(2), cfg, tcfg_pp, tx_pp
+            )
+        np.testing.assert_allclose(
+            float(loss_pp), float(loss), rtol=1e-5
+        )
+        state2, _ = train_step(
+            state, base, batch, jax.random.key(2), cfg, tcfg, tx
+        )
+        for a, b in zip(
+            jax.tree.leaves(state2_pp.lora), jax.tree.leaves(state2.lora)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )

@@ -47,7 +47,7 @@ def flux_forward_pp(
     guidance: Optional[jnp.ndarray] = None,
     kv_keep_idx: Optional[jnp.ndarray] = None,
     *,
-    mesh: Mesh,
+    mesh: Optional[Mesh] = None,
     n_micro: int,
     pipe_axis: str = "pipe",
     data_axis: Optional[str] = None,
@@ -55,7 +55,8 @@ def flux_forward_pp(
     """Pipeline-parallel :func:`flux_forward`.  Batch B must divide
     ``n_micro`` (and, with ``data_axis``, the microbatch B/n_micro must
     divide that axis).  Block counts need not divide the pipe axis —
-    stacks are padded with exact-identity zero blocks."""
+    stacks are padded with exact-identity zero blocks.  ``mesh=None``
+    uses the ambient mesh (``jax.set_mesh``)."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     hidden = linear(params["x_embedder"], hidden_states.astype(dtype))
     context = linear(
@@ -80,7 +81,10 @@ def flux_forward_pp(
     B = hidden.shape[0]
     assert B % n_micro == 0, f"batch {B} not divisible by n_micro={n_micro}"
     S_txt = context.shape[1]
-    P_sz = mesh.shape[pipe_axis]
+    if mesh is not None:
+        P_sz = mesh.shape[pipe_axis]
+    else:
+        P_sz = jax.sharding.get_abstract_mesh().shape[pipe_axis]
 
     def _micro(x):
         return x.reshape((n_micro, B // n_micro) + x.shape[1:])

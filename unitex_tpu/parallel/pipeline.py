@@ -135,7 +135,7 @@ def pipeline_apply(
     micro_x: jnp.ndarray,
     micro_aux: Params,
     shared: Params,
-    mesh: Mesh,
+    mesh: Optional[Mesh] = None,
     pipe_axis: str = "pipe",
     data_axis: Optional[str] = None,
 ) -> jnp.ndarray:
@@ -146,16 +146,21 @@ def pipeline_apply(
 
     With ``data_axis`` set, the microbatch dimension B_m additionally
     shards over it (DP x PP): pipelining happens independently per data
-    row, ppermute rides only the pipe axis."""
+    row, ppermute rides only the pipe axis.
+
+    ``mesh=None`` uses the ambient mesh (``jax.set_mesh``) — that is how
+    the jitted training step reaches the pipeline without threading a Mesh
+    through static args."""
     sm = _shard_map()
     param_specs = jax.tree.map(lambda _: P(pipe_axis), stacked_params)
     row = P(None, data_axis) if data_axis else P()
     aux_specs = jax.tree.map(lambda _: row, micro_aux)
     shared_specs = jax.tree.map(lambda _: P(), shared)
+    kwargs = {} if mesh is None else {"mesh": mesh}
     fn = sm(
         partial(gpipe_local, stage_fn, axis_name=pipe_axis),
-        mesh=mesh,
         in_specs=(param_specs, row, aux_specs, shared_specs),
         out_specs=row,
+        **kwargs,
     )
     return fn(stacked_params, micro_x, micro_aux, shared)

@@ -62,6 +62,13 @@ class FluxLoraTrainConfig:
     # prediction through the (frozen) VAE and take a pixel-space MSE
     preconditioning_loss: bool = False
     preconditioning_loss_weight: float = 1.0
+    # pipeline parallelism (parallel/pipeline.py): stage the block stacks
+    # over this mesh axis of the AMBIENT mesh (run the step under
+    # ``jax.set_mesh``), GPipe-microbatching the batch into pipe_n_micro
+    # slices; pipe_data_axis additionally shards the microbatch (DP x PP)
+    pipe_axis: Optional[str] = None
+    pipe_n_micro: int = 1
+    pipe_data_axis: Optional[str] = None
 
 
 @jax.tree_util.register_dataclass
@@ -167,10 +174,20 @@ def flow_match_loss(
         else None
     )
     txt_ids = jnp.zeros((batch["prompt_embeds"].shape[1], 3), jnp.float32)
-    pred = flux_forward(
-        params, cfg, hidden, batch["prompt_embeds"], timesteps,
-        batch["pooled_embeds"], img_ids, txt_ids, guidance=guidance,
-    )
+    if tcfg.pipe_axis is not None:
+        from ..models.flux.pp import flux_forward_pp
+
+        pred = flux_forward_pp(
+            params, cfg, hidden, batch["prompt_embeds"], timesteps,
+            batch["pooled_embeds"], img_ids, txt_ids, guidance=guidance,
+            n_micro=tcfg.pipe_n_micro, pipe_axis=tcfg.pipe_axis,
+            data_axis=tcfg.pipe_data_axis,
+        )
+    else:
+        pred = flux_forward(
+            params, cfg, hidden, batch["prompt_embeds"], timesteps,
+            batch["pooled_embeds"], img_ids, txt_ids, guidance=guidance,
+        )
     pred_noise = pred[:, :S_noise]
 
     w = loss_weighting(tcfg.weighting_scheme, sigmas)[:, None, None]
