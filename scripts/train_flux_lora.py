@@ -141,20 +141,12 @@ def main():
         assert jax.device_count() > 1 and jax.device_count() % args.pipe == 0, (
             f"{jax.device_count()} devices not divisible by --pipe {args.pipe}")
         pipe_data = jax.device_count() // args.pipe
-        if jax.default_backend() == "cpu":
-            # XLA's in-process CPU runtime aborts on the pipeline-training
-            # collective-permute rendezvous beyond 2 participants (and on
-            # DPxPP at any size) — same class as the ZeRO+remat fallback
-            # below; real chips are unaffected.  Emulation smoke runs work
-            # at --pipe 2 (see tests/test_pipeline_parallel.py).
-            assert args.pipe <= 2, (
-                "--pipe > 2 training deadlocks the in-process CPU "
-                "collective runtime (virtual-device emulation only); run "
-                "on real chips or use --pipe 2 for smoke runs")
-            if pipe_data > 1:
-                print("[launcher] cpu: DPxPP collapsed to pure PP "
-                      "(in-process collective-permute deadlock)")
-                pipe_data = 1
+        assert args.data_mesh in (1, pipe_data), (
+            f"--data-mesh {args.data_mesh} conflicts with --pipe "
+            f"{args.pipe}: the data axis is device_count // pipe = "
+            f"{pipe_data} (all devices are consumed by the data x pipe "
+            f"mesh)")
+        print(f"[launcher] effective mesh: data={pipe_data} x pipe={args.pipe}")
         assert args.batch_size % pipe_data == 0, (
             f"--batch-size {args.batch_size} not divisible by the data axis "
             f"{pipe_data}")
@@ -165,13 +157,6 @@ def main():
             args.batch_size // n_micro) % pipe_data == 0, (
             f"--batch-size {args.batch_size} / --pipe-n-micro {n_micro} "
             f"microbatches must shard over the data axis {pipe_data}")
-        if cfg.remat and jax.default_backend() == "cpu":
-            # in-process CPU collectives deadlock when remat'd-backward
-            # psums mix with collective permutes (see the ZeRO fallback
-            # below); the pipeline's ppermutes hit the same — real chips
-            # are unaffected
-            print("[launcher] cpu: remat disabled under --pipe")
-            cfg = dataclasses.replace(cfg, remat=False)
 
     tcfg = FluxLoraTrainConfig(
         rank=args.rank,

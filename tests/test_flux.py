@@ -65,26 +65,33 @@ class TestScheduler:
         assert (np.diff(sig) < 0).all()
         assert abs(float(s.timesteps[0]) - sig[0] * 1000) < 1e-4
 
-    def test_matches_diffusers_if_available(self):
-        diffusers = pytest.importorskip("diffusers")
-        import torch
+    # Golden sigma table for the production texture-pass config (28 steps,
+    # 6144-token noise sequence, µ = 1.4966666666666666): the diffusers
+    # FlowMatchEulerDiscreteScheduler algorithm hand-traced at float64 —
+    # σ' = e^µ / (e^µ + (1/σ − 1)) over σ = linspace(1, 1/28, 28), terminal
+    # 0 appended, timesteps = σ'·1000 (reference texturing/pipeline.py:59-69,
+    # 594-610).  Checked in so the parity assertion runs without diffusers.
+    GOLDEN_MU_6144 = 1.4966666666666666
+    GOLDEN_SIGMAS_28_6144 = [
+        1.0000000000, 0.9917765136, 0.9830703810, 0.9738378271,
+        0.9640296178, 0.9535901821, 0.9424565580, 0.9305571225,
+        0.9178100484, 0.9041214202, 0.8893829166, 0.8734689376,
+        0.8562330169, 0.8375033000, 0.8170767950, 0.7947119852,
+        0.7701192354, 0.7429481793, 0.7127709218, 0.6790593387,
+        0.6411539043, 0.5982201139, 0.5491863313, 0.4926531196,
+        0.4267575244, 0.3489638423, 0.2557298061, 0.1419521060,
+        0.0000000000,
+    ]
 
-        from diffusers import FlowMatchEulerDiscreteScheduler
-
-        sched = FlowMatchEulerDiscreteScheduler(
-            base_image_seq_len=256, max_image_seq_len=4096,
-            base_shift=0.5, max_shift=1.15, use_dynamic_shifting=True, shift=3.0,
-        )
-        n = 28
-        sigmas = np.linspace(1.0, 1.0 / n, n)
-        mu = calculate_shift(6144)
-        sched.set_timesteps(sigmas=sigmas.tolist(), mu=mu)
-        ours = FlowMatchEulerScheduler.create(n, 6144)
+    def test_matches_diffusers_golden(self):
+        assert abs(calculate_shift(6144) - self.GOLDEN_MU_6144) < 1e-12
+        ours = FlowMatchEulerScheduler.create(28, 6144)
         np.testing.assert_allclose(
-            np.asarray(ours.sigmas), sched.sigmas.numpy(), atol=1e-5
+            np.asarray(ours.sigmas), self.GOLDEN_SIGMAS_28_6144, atol=1e-7
         )
         np.testing.assert_allclose(
-            np.asarray(ours.timesteps), sched.timesteps.numpy(), atol=1e-2
+            np.asarray(ours.timesteps),
+            np.asarray(self.GOLDEN_SIGMAS_28_6144[:-1]) * 1000.0, atol=1e-2
         )
 
     def test_euler_step_linear_model(self):
@@ -136,17 +143,19 @@ class TestRoPE:
 
         np.testing.assert_allclose(logits(0.0), logits(17.0), atol=1e-3)
 
-    def test_sinusoidal_matches_diffusers(self):
-        diffusers = pytest.importorskip("diffusers")
-        import torch
-        from diffusers.models.embeddings import get_timestep_embedding
-
-        t = np.asarray([0.5, 0.9], dtype=np.float32)
-        ref = get_timestep_embedding(
-            torch.from_numpy(t * 1000), 256, flip_sin_to_cos=True,
-            downscale_freq_shift=0.0,
-        ).numpy()
-        ours = np.asarray(sinusoidal_embedding(jnp.asarray(t), 256))
+    def test_sinusoidal_matches_diffusers_spec(self):
+        """Numpy re-derivation of diffusers ``get_timestep_embedding``
+        (flip_sin_to_cos=True, downscale_freq_shift=0): freqs =
+        exp(-ln(10000)·arange(half)/half), emb = [cos(t·f) ‖ sin(t·f)] —
+        executes without diffusers (golden-spec oracle)."""
+        t = np.asarray([0.5, 0.9], dtype=np.float64) * 1000.0
+        half = 128
+        freqs = np.exp(-np.log(10000.0) * np.arange(half) / half)
+        arg = t[:, None] * freqs[None, :]
+        ref = np.concatenate([np.cos(arg), np.sin(arg)], axis=-1)
+        ours = np.asarray(
+            sinusoidal_embedding(jnp.asarray([0.5, 0.9], jnp.float32), 256)
+        )
         np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 

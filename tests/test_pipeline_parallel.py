@@ -194,9 +194,16 @@ class TestFluxPP:
 
 
 class TestPPTraining:
-    def test_train_step_parity(self):
+    @pytest.mark.parametrize(
+        "pipe,data", [(2, None), (4, None), (2, 2)],
+        ids=["pipe2", "pipe4", "dp2xpp2"],
+    )
+    def test_train_step_parity(self, pipe, data):
         """The LoRA train step under pipe_axis (ambient mesh) matches the
-        sequential step: same loss, same updated adapter."""
+        sequential step: same loss, same updated adapter.  The chained
+        one-shard_map schedule (pipeline_apply_chain) runs >2-stage and
+        DPxPP training on the in-process CPU collective runtime — the old
+        two-pipeline form SIGABRT'd there."""
         from unitex_tpu.training.flux_lora import (
             FluxLoraTrainConfig,
             create_train_state,
@@ -206,9 +213,12 @@ class TestPPTraining:
         cfg = FluxConfig.tiny()
         base = init_flux_params(jax.random.key(0), cfg)
         tcfg = FluxLoraTrainConfig(rank=2)
-        tcfg_pp = dataclasses.replace(tcfg, pipe_axis="pipe", pipe_n_micro=2)
+        tcfg_pp = dataclasses.replace(
+            tcfg, pipe_axis="pipe", pipe_n_micro=2,
+            pipe_data_axis="data" if data else None,
+        )
         rng = np.random.default_rng(0)
-        B = 2
+        B = 2 * (data or 1)
         batch = {
             "latents": jnp.asarray(
                 rng.normal(size=(B, 4, 4, cfg.in_channels // 4)), jnp.float32
@@ -226,7 +236,7 @@ class TestPPTraining:
         _, loss = train_step(
             state, base, batch, jax.random.key(2), cfg, tcfg, tx
         )
-        mesh = _pipe_mesh(2)
+        mesh = _pipe_mesh(pipe, data=data)
         with jax.set_mesh(mesh):
             state2_pp, loss_pp = train_step(
                 state_pp, base, batch, jax.random.key(2), cfg, tcfg_pp, tx_pp
@@ -237,6 +247,55 @@ class TestPPTraining:
         state2, _ = train_step(
             state, base, batch, jax.random.key(2), cfg, tcfg, tx
         )
+        for a, b in zip(
+            jax.tree.leaves(state2_pp.lora), jax.tree.leaves(state2.lora)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )
+
+    def test_train_step_accum_parity(self):
+        """--pipe composed with --grad-accum: the shard_map ppermute
+        schedule inside train_step_accum's lax.scan (pipe=2, the config the
+        CPU collective runtime tolerates) matches the sequential
+        accumulated step."""
+        from unitex_tpu.training.flux_lora import (
+            FluxLoraTrainConfig,
+            create_train_state,
+            train_step_accum,
+        )
+
+        cfg = FluxConfig.tiny()
+        base = init_flux_params(jax.random.key(0), cfg)
+        tcfg = FluxLoraTrainConfig(rank=2)
+        tcfg_pp = dataclasses.replace(tcfg, pipe_axis="pipe", pipe_n_micro=2)
+        rng = np.random.default_rng(1)
+        A, B = 2, 2
+        batches = {
+            "latents": jnp.asarray(
+                rng.normal(size=(A, B, 4, 4, cfg.in_channels // 4)),
+                jnp.float32,
+            ),
+            "prompt_embeds": jnp.asarray(
+                rng.normal(size=(A, B, 6, cfg.joint_attention_dim)),
+                jnp.float32,
+            ),
+            "pooled_embeds": jnp.asarray(
+                rng.normal(size=(A, B, cfg.pooled_projection_dim)),
+                jnp.float32,
+            ),
+        }
+        state, tx = create_train_state(jax.random.key(1), base, tcfg)
+        state_pp, tx_pp = create_train_state(jax.random.key(1), base, tcfg_pp)
+        state2, loss = train_step_accum(
+            state, base, batches, jax.random.key(2), cfg, tcfg, tx
+        )
+        with jax.set_mesh(_pipe_mesh(2)):
+            state2_pp, loss_pp = train_step_accum(
+                state_pp, base, batches, jax.random.key(2), cfg, tcfg_pp,
+                tx_pp,
+            )
+        np.testing.assert_allclose(float(loss_pp), float(loss), rtol=1e-5)
         for a, b in zip(
             jax.tree.leaves(state2_pp.lora), jax.tree.leaves(state2.lora)
         ):

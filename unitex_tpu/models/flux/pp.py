@@ -5,9 +5,10 @@ Same numerics as :func:`unitex_tpu.models.flux.model.flux_forward` (the
 velocity prediction of the reference's FluxTransformer2DModel,
 /root/reference/flux_piplines/texturing/pipeline.py:646-656) with the 19
 dual + 38 single blocks split into contiguous stages, microbatches flowing
-through a GPipe schedule (parallel/pipeline.py).  The two stacks are
-pipelined back-to-back — the dual->single handoff (context‖hidden concat)
-happens once, replicated, between the two pipelines.
+through one chained GPipe schedule (parallel/pipeline.py
+pipeline_apply_chain): the dual->single handoff rides the ring's natural
+P-1 -> 0 hop per microbatch (no intermediate activation broadcast), and
+identity-padded blocks skip their FLOPs via a per-block validity flag.
 
 Use when the interconnect is thin relative to TP's two-all-reduces-per-
 layer (multi-slice DCN) or to fit the 12B params at ~weights/P per chip
@@ -22,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from ...parallel.pipeline import pad_stacked_blocks, pipeline_apply
+from ...parallel.pipeline import pad_stacked_blocks, pipeline_apply_chain
 from .config import FluxConfig
 from .layers import (
     Params,
@@ -104,7 +105,15 @@ def flux_forward_pp(
 
         def body(carry, blk):
             hh, cc = carry
-            hh, cc = _dual_block(blk, cfg, hh, cc, temb_mb, cos, sin, keep)
+            # padded zero blocks are exact identities, but still cost full
+            # attention+MLP FLOPs — skip them outright (their "_valid" flag
+            # was zeroed by the padding)
+            hh, cc = jax.lax.cond(
+                blk["_valid"] > 0.5,
+                lambda b, a, d: _dual_block(b, cfg, a, d, temb_mb, cos, sin, keep),
+                lambda b, a, d: (a, d),
+                {k: v for k, v in blk.items() if k != "_valid"}, hh, cc,
+            )
             return (hh, cc), None
 
         if cfg.remat:
@@ -116,21 +125,29 @@ def flux_forward_pp(
         cos, sin, keep = _unpack_shared(sh)
 
         def body(xx, blk):
-            return _single_block(blk, cfg, xx, temb_mb, cos, sin, keep), None
+            y = jax.lax.cond(
+                blk["_valid"] > 0.5,
+                lambda b, a: _single_block(b, cfg, a, temb_mb, cos, sin, keep),
+                lambda b, a: a,
+                {k: v for k, v in blk.items() if k != "_valid"}, xx,
+            )
+            return y, None
 
         if cfg.remat:
             body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, blocks)
         return x
 
-    dual = pad_stacked_blocks(params["dual_blocks"], P_sz)
-    single = pad_stacked_blocks(params["single_blocks"], P_sz)
+    def _with_valid(stacked):
+        L = jax.tree.leaves(stacked)[0].shape[0]
+        return {**stacked, "_valid": jnp.ones((L,), jnp.float32)}
 
-    pack = pipeline_apply(
-        dual_stage, dual, pack, temb_m, shared, mesh, pipe_axis, data_axis
-    )
-    pack = pipeline_apply(
-        single_stage, single, pack, temb_m, shared, mesh, pipe_axis, data_axis
+    dual = pad_stacked_blocks(_with_valid(params["dual_blocks"]), P_sz)
+    single = pad_stacked_blocks(_with_valid(params["single_blocks"]), P_sz)
+
+    pack = pipeline_apply_chain(
+        dual_stage, dual, single_stage, single, pack, temb_m, shared,
+        mesh, pipe_axis, data_axis,
     )
 
     x = pack.reshape((B,) + pack.shape[2:])[:, S_txt:]

@@ -129,6 +129,125 @@ def gpipe_local(
     return outputs
 
 
+def gpipe_chain_local(
+    stage_fn_a: Callable,
+    stage_fn_b: Callable,
+    params_a: Params,
+    params_b: Params,
+    micro_x: jnp.ndarray,
+    micro_aux: Params,
+    shared: Params,
+    axis_name: str,
+):
+    """Two back-to-back pipelines (phase a then phase b) in ONE schedule.
+
+    Chains phase a's last stage into phase b's first stage over the ring's
+    natural ``P-1 -> 0`` hop (one activation per microbatch) instead of a
+    full [M, ...] psum broadcast between two separate pipelines, and lets
+    phase b start as soon as microbatches drain from phase a: total steps
+    ``max(M, P) + M + P - 1`` vs ``2(M + P - 1)`` for two sequential
+    pipelines — and a single final psum instead of two.
+
+    Collision-free scheduling: device p runs phase a on microbatch m at
+    step ``m + p`` and phase b at step ``OFF + m + p`` with
+    ``OFF = max(M, P)``; the windows are disjoint, so each step applies
+    exactly one stage (``lax.cond`` picks the phase), and wrapped phase-a
+    outputs are buffered on device 0 until their phase-b slot."""
+    P_sz = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    M = micro_x.shape[0]
+    OFF = max(M, P_sz)
+    perm = [(i, (i + 1) % P_sz) for i in range(P_sz)]
+
+    state0 = jnp.zeros_like(micro_x[0])
+    buf0 = jnp.zeros_like(micro_x)
+    out0 = jnp.zeros_like(micro_x)
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        state0 = pcast(state0, (axis_name,), to="varying")
+        buf0 = pcast(buf0, (axis_name,), to="varying")
+        out0 = pcast(out0, (axis_name,), to="varying")
+
+    def step(t, carry):
+        state, buf, outputs = carry
+        is_b = t >= OFF + idx
+        m_a = jnp.clip(t - idx, 0, M - 1)
+        m_b = jnp.clip(t - OFF - idx, 0, M - 1)
+        m = jnp.where(is_b, m_b, m_a)
+        # device 0 inputs: fresh microbatch (phase a) / buffered wrap (phase b)
+        x_own = jax.lax.dynamic_index_in_dim(micro_x, m_a, 0, keepdims=False)
+        x_buf = jax.lax.dynamic_index_in_dim(buf, m_b, 0, keepdims=False)
+        x0 = jnp.where(is_b, x_buf, x_own)
+        x_in = jnp.where(idx == 0, x0, state)
+        aux = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, m, 0, keepdims=False),
+            micro_aux,
+        )
+        y = jax.lax.cond(
+            is_b,
+            lambda xi, au: stage_fn_b(params_b, xi, au, shared),
+            lambda xi, au: stage_fn_a(params_a, xi, au, shared),
+            x_in, aux,
+        )
+        out_m = t - OFF - (P_sz - 1)
+        upd = jax.lax.dynamic_update_index_in_dim(
+            outputs, y.astype(outputs.dtype), jnp.clip(out_m, 0, M - 1), 0
+        )
+        outputs = jnp.where(
+            (idx == P_sz - 1) & (out_m >= 0) & (out_m <= M - 1), upd, outputs
+        )
+        state = jax.lax.ppermute(y, axis_name, perm)
+        # stash the wrap (phase-a output of stage P-1, microbatch t-P+1)
+        # arriving at device 0 for its phase-b slot
+        arr_m = t - P_sz + 1
+        bupd = jax.lax.dynamic_update_index_in_dim(
+            buf, state.astype(buf.dtype), jnp.clip(arr_m, 0, M - 1), 0
+        )
+        buf = jnp.where(
+            (idx == 0) & (arr_m >= 0) & (arr_m <= M - 1), bupd, buf
+        )
+        return state, buf, outputs
+
+    _, _, outputs = jax.lax.fori_loop(
+        0, OFF + M + P_sz - 1, step, (state0, buf0, out0), unroll=False
+    )
+    outputs = jax.lax.psum(
+        jnp.where(idx == P_sz - 1, outputs, jnp.zeros_like(outputs)), axis_name
+    )
+    return outputs
+
+
+def pipeline_apply_chain(
+    stage_fn_a: Callable,
+    stacked_params_a: Params,
+    stage_fn_b: Callable,
+    stacked_params_b: Params,
+    micro_x: jnp.ndarray,
+    micro_aux: Params,
+    shared: Params,
+    mesh: Optional[Mesh] = None,
+    pipe_axis: str = "pipe",
+    data_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """:func:`pipeline_apply` for two chained stacks (phase a then b) —
+    one shard_map, one schedule, no intermediate activation broadcast.
+    Both stacks must be padded to a multiple of the pipe-axis size."""
+    sm = _shard_map()
+    spec_a = jax.tree.map(lambda _: P(pipe_axis), stacked_params_a)
+    spec_b = jax.tree.map(lambda _: P(pipe_axis), stacked_params_b)
+    row = P(None, data_axis) if data_axis else P()
+    aux_specs = jax.tree.map(lambda _: row, micro_aux)
+    shared_specs = jax.tree.map(lambda _: P(), shared)
+    kwargs = {} if mesh is None else {"mesh": mesh}
+    fn = sm(
+        partial(gpipe_chain_local, stage_fn_a, stage_fn_b, axis_name=pipe_axis),
+        in_specs=(spec_a, spec_b, row, aux_specs, shared_specs),
+        out_specs=row,
+        **kwargs,
+    )
+    return fn(stacked_params_a, stacked_params_b, micro_x, micro_aux, shared)
+
+
 def pipeline_apply(
     stage_fn: Callable,
     stacked_params: Params,
