@@ -28,7 +28,8 @@ if os.environ.get("JAX_PLATFORMS"):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", default=None, help="obj/ply/glb (unwrapped if needed)")
-    ap.add_argument("--primitive", default="sphere", choices=["sphere", "torus"])
+    ap.add_argument("--primitive", default="sphere",
+                    choices=["sphere", "torus", "trefoil"])
     ap.add_argument("--subdiv", type=int, default=5, help="sphere subdivisions")
     ap.add_argument("--texture", default=None, help="ground-truth texture PNG")
     ap.add_argument("--view-size", type=int, default=512)
@@ -43,7 +44,11 @@ def main():
     import numpy as np
 
     from unitex_tpu.geometry.mesh import Mesh
-    from unitex_tpu.geometry.primitives import make_icosphere, make_torus
+    from unitex_tpu.geometry.primitives import (
+        make_icosphere,
+        make_torus,
+        make_trefoil,
+    )
     from unitex_tpu.geometry.uv_atlas import unwrap_atlas
     from unitex_tpu.render.conditioning import condition_cameras
     from unitex_tpu.render.renderer import render_views
@@ -59,8 +64,11 @@ def main():
 
         host = preprocess_blank_mesh(load_mesh(args.mesh), uv_size=args.uv_size)
     else:
-        host = make_icosphere(args.subdiv) if args.primitive == "sphere" \
-            else make_torus(n_major=192, n_minor=128)
+        host = {
+            "sphere": lambda: make_icosphere(args.subdiv),
+            "torus": lambda: make_torus(n_major=192, n_minor=128),
+            "trefoil": lambda: make_trefoil(n_major=384, n_minor=40),
+        }[args.primitive]()
         host = unwrap_atlas(host, size=args.uv_size, gutter=4)
     mesh = Mesh(
         jnp.asarray(host.vertices * 0.85),

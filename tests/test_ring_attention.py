@@ -33,3 +33,69 @@ def test_ring_matches_reference_2dev():
     with jax.set_mesh(mesh):
         out = ring_attention(q, k, v, mesh, "model")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestFluxSP:
+    """VERDICT #5: ring attention as a MODEL capability — the sequence-
+    sharded FLUX forward (models/flux/sp.py) matches the replicated
+    forward."""
+
+    def _setup(self, S_img=32, S_txt=8):
+        from unitex_tpu.models.flux import FluxConfig, init_flux_params
+        import numpy as np
+
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), cfg)
+        rng = np.random.default_rng(2)
+        B = 2
+        batch = dict(
+            hidden_states=jnp.asarray(
+                rng.normal(size=(B, S_img, cfg.in_channels)), jnp.float32),
+            encoder_hidden_states=jnp.asarray(
+                rng.normal(size=(B, S_txt, cfg.joint_attention_dim)),
+                jnp.float32),
+            timestep=jnp.asarray([0.5, 0.9], jnp.float32),
+            pooled_projections=jnp.asarray(
+                rng.normal(size=(B, cfg.pooled_projection_dim)), jnp.float32),
+            img_ids=jnp.asarray(
+                rng.integers(0, 16, size=(S_img, 3)), jnp.float32),
+            txt_ids=jnp.zeros((S_txt, 3), jnp.float32),
+            guidance=jnp.asarray([3.5, 3.5], jnp.float32),
+        )
+        return cfg, params, batch
+
+    def test_forward_sp_matches_replicated_8dev(self):
+        from unitex_tpu.models.flux.model import flux_forward
+        from unitex_tpu.models.flux.sp import flux_forward_sp
+
+        cfg, params, batch = self._setup()
+        ref = flux_forward(params, cfg, **batch)
+        mesh = make_mesh(data=1, model=8, axis_names=("data", "model"))
+        with jax.set_mesh(mesh):
+            out = flux_forward_sp(params, cfg, **batch, seq_axis="model")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_forward_sp_jit_explicit_mesh(self):
+        from unitex_tpu.models.flux.model import flux_forward
+        from unitex_tpu.models.flux.sp import flux_forward_sp
+        from functools import partial
+
+        cfg, params, batch = self._setup(S_img=16, S_txt=4)
+        ref = flux_forward(params, cfg, **batch)
+        mesh = make_mesh(data=2, model=4, axis_names=("data", "seq"))
+        fn = jax.jit(partial(flux_forward_sp, cfg=cfg, mesh=mesh,
+                             seq_axis="seq"))
+        out = fn(params, **batch)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_sp_divisibility_assert(self):
+        import pytest
+        from unitex_tpu.models.flux.sp import flux_forward_sp
+
+        cfg, params, batch = self._setup(S_img=12, S_txt=8)
+        mesh = make_mesh(data=1, model=8, axis_names=("data", "model"))
+        with pytest.raises(AssertionError):
+            with jax.set_mesh(mesh):
+                flux_forward_sp(params, cfg, **batch, seq_axis="model")

@@ -206,3 +206,30 @@ class TestSD3Sharding:
         out = mpipe(img)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+class TestSD3SP:
+    """Ring sequence parallelism at the model level (VERDICT #5): the
+    sequence-sharded SD3 forward (sd3_forward_sp) matches replicated."""
+
+    def test_forward_sp_matches_replicated(self):
+        from unitex_tpu.models.sd3.model import sd3_forward_sp
+        from unitex_tpu.parallel.mesh import make_mesh
+
+        cfg = SD3Config.tiny()
+        params = init_sd3_params(jax.random.key(0), cfg)
+        rng = np.random.default_rng(3)
+        lat = jnp.asarray(
+            rng.normal(size=(2, 8, 8, cfg.in_channels)), jnp.float32)
+        ctx = jnp.asarray(
+            rng.normal(size=(2, 8, cfg.joint_attention_dim)), jnp.float32)
+        pooled = jnp.asarray(
+            rng.normal(size=(2, cfg.pooled_projection_dim)), jnp.float32)
+        t = jnp.full((2,), 400.0)
+        ref = sd3_forward(params, cfg, lat, ctx, t, pooled)
+        mesh = make_mesh(data=1, model=8, axis_names=("data", "model"))
+        with jax.set_mesh(mesh):
+            out = sd3_forward_sp(
+                params, cfg, lat, ctx, t, pooled, seq_axis="model")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5)

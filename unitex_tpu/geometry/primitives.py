@@ -121,3 +121,54 @@ def make_torus(
             d = i * n_minor + (j + 1) % n_minor
             faces += [[a, b, c], [a, c, d]]
     return HostMesh(verts, np.asarray(faces, dtype=np.int32))
+
+
+def make_trefoil(
+    tube_radius: float = 0.22,
+    n_major: int = 256,
+    n_minor: int = 48,
+    scale: float = 0.32,
+) -> HostMesh:
+    """Tube swept along a (2,3) trefoil knot — a strongly self-occluding
+    non-convex closed surface (the knot crosses in front of itself in every
+    box view), used by the round-trip oracle to exercise the per-view
+    visibility test the way the reference's occluded assets do
+    (renderer_inverse.py view_visibility vs reference
+    renderer_inverse.py:321-340)."""
+    t = np.arange(n_major) / n_major * 2 * np.pi
+    # trefoil centerline
+    c = np.stack(
+        [
+            np.sin(t) + 2.0 * np.sin(2.0 * t),
+            np.cos(t) - 2.0 * np.cos(2.0 * t),
+            -np.sin(3.0 * t),
+        ],
+        axis=-1,
+    ) * scale
+    # parallel-transport-ish frame from the tangent (finite differences)
+    tang = np.roll(c, -1, axis=0) - np.roll(c, 1, axis=0)
+    tang /= np.linalg.norm(tang, axis=-1, keepdims=True)
+    up = np.asarray([0.0, 0.0, 1.0])
+    n1 = np.cross(tang, up)
+    # the trefoil tangent never aligns with +z for this parameterization,
+    # but guard the frame anyway
+    bad = np.linalg.norm(n1, axis=-1) < 1e-6
+    n1[bad] = np.cross(tang[bad], np.asarray([1.0, 0.0, 0.0]))
+    n1 /= np.linalg.norm(n1, axis=-1, keepdims=True)
+    n2 = np.cross(n1, tang)  # (n1, n2, tang) right-handed -> outward CCW faces
+    phi = np.arange(n_minor) / n_minor * 2 * np.pi
+    ring = (
+        np.cos(phi)[None, :, None] * n1[:, None, :]
+        + np.sin(phi)[None, :, None] * n2[:, None, :]
+    )
+    verts = (c[:, None, :] + tube_radius * ring).reshape(-1, 3)
+    verts = verts / np.abs(verts).max()  # unit box, like the other primitives
+    faces = []
+    for i in range(n_major):
+        for j in range(n_minor):
+            a = i * n_minor + j
+            b = ((i + 1) % n_major) * n_minor + j
+            cc = ((i + 1) % n_major) * n_minor + (j + 1) % n_minor
+            d = i * n_minor + (j + 1) % n_minor
+            faces += [[a, b, cc], [a, cc, d]]
+    return HostMesh(verts.astype(np.float32), np.asarray(faces, dtype=np.int32))

@@ -125,9 +125,20 @@ class TorchRemover(BackgroundRemover):
 def build_background_remover(
     pretrain_root: Optional[str] = None,
 ) -> BackgroundRemover:
-    """Pick the best available backend: RMBG weights (torch or onnx) under
-    ``pretrain_root``, else the heuristic fallback."""
+    """Pick the best available backend: the JAX-native ISNet when RMBG-1.4
+    weights exist under ``pretrain_root`` (on-device, preferred), else
+    RMBG-2.0 weights (torch or onnx), else the heuristic fallback."""
     if pretrain_root:
+        isnet_dir = os.path.join(pretrain_root, "briaai", "RMBG-1.4")
+        for fname in ("model.safetensors", "model.pth", "isnet.pth"):
+            path = os.path.join(isnet_dir, fname)
+            if os.path.exists(path):
+                try:
+                    from .isnet import IsnetRemover, load_isnet
+
+                    return IsnetRemover(*load_isnet(path))
+                except Exception:
+                    break
         rmbg_dir = os.path.join(pretrain_root, "briaai", "RMBG-2.0")
         onnx_path = os.path.join(rmbg_dir, "onnx", "model.onnx")
         if os.path.exists(onnx_path):

@@ -33,6 +33,15 @@ class FluxConfig:
     # serving-mode int8 QK^T in the flash-attention kernel (forward-only;
     # keep False for training — the qk8 kernel has no VJP)
     attn_qk8: bool = False
+    # sequence-parallel ring attention: name of the mesh axis the token
+    # sequence is sharded over.  The forward must then run inside
+    # shard_map over that axis with sequence-sharded hidden/context/ids
+    # (models/flux/sp.py flux_forward_sp does this) — every non-attention
+    # op is token-local, and attention rotates K/V blocks around the ring
+    # (ops/ring_attention.py).  The reference has no SP (SURVEY §5): its
+    # 13.8k-token joint sequence fits one GPU; this is the TPU-native
+    # long-context answer for >6-view / higher-res grids.
+    seq_axis: "str | None" = None
 
     @property
     def hidden_size(self) -> int:

@@ -179,6 +179,18 @@ def _heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
     return x.reshape(B, S, heads, -1)
 
 
+def _attention(cfg: FluxConfig, q, k, v) -> jnp.ndarray:
+    """Attention dispatch on [B, S, H, D]: ring sequence-parallel when
+    ``cfg.seq_axis`` names the mesh axis the sequence is sharded over
+    (the forward then runs inside shard_map — see flux_forward_sp),
+    flash/jnp sdpa otherwise."""
+    if cfg.seq_axis is not None:
+        from ...ops.ring_attention import ring_attention_local
+
+        return ring_attention_local(q, k, v, cfg.seq_axis)
+    return sdpa(q, k, v, qk8=cfg.attn_qk8)
+
+
 def _joint_attention(
     p: Params,
     cfg: FluxConfig,
@@ -220,7 +232,7 @@ def _joint_attention(
     if kv_keep_idx is not None:
         k = k[:, kv_keep_idx]
         v = v[:, kv_keep_idx]
-    out = sdpa(q, k, v, qk8=cfg.attn_qk8)
+    out = _attention(cfg, q, k, v)
     out = out.reshape(out.shape[0], out.shape[1], -1)
     S_txt = context.shape[1]
     ctx_out, img_out = out[:, :S_txt], out[:, S_txt:]
@@ -249,7 +261,7 @@ def _single_attention(
     if kv_keep_idx is not None:
         k = k[:, kv_keep_idx]
         v = v[:, kv_keep_idx]
-    out = sdpa(q, k, v, qk8=cfg.attn_qk8)
+    out = _attention(cfg, q, k, v)
     return out.reshape(out.shape[0], out.shape[1], -1)
 
 

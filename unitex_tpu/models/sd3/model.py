@@ -104,6 +104,17 @@ def _heads(x, h):
     return x.reshape(B, S, h, -1)
 
 
+def _attention(cfg, q, k, v):
+    """Ring sequence-parallel attention when ``cfg.seq_axis`` names the
+    mesh axis the sequence is sharded over (the block stack then runs
+    inside shard_map — sd3_forward_sp), flash/jnp sdpa otherwise."""
+    if cfg.seq_axis is not None:
+        from ...ops.ring_attention import ring_attention_local
+
+        return ring_attention_local(q, k, v, cfg.seq_axis)
+    return sdpa(q, k, v)
+
+
 def _joint_attention(p, cfg, hidden, context, context_out: bool):
     H = cfg.num_attention_heads
     q = _heads(linear(p["to_q"], hidden), H)
@@ -115,7 +126,7 @@ def _joint_attention(p, cfg, hidden, context, context_out: bool):
     q = jnp.concatenate([cq, q], axis=1)
     k = jnp.concatenate([ck, k], axis=1)
     v = jnp.concatenate([cv, v], axis=1)
-    out = sdpa(q, k, v)
+    out = _attention(cfg, q, k, v)
     out = out.reshape(out.shape[0], out.shape[1], -1)
     S_txt = context.shape[1]
     ctx_out, img_out = out[:, :S_txt], out[:, S_txt:]
@@ -203,6 +214,16 @@ def sd3_forward(
     )
     temb = temb + mlp_embedder(params["pooled_embed"], pooled_projections.astype(dtype))
 
+    out = _sd3_token_stage(params, cfg, hidden, context, temb)
+    return unpatchify(out.astype(jnp.float32), H, W, ps)
+
+
+def _sd3_token_stage(params, cfg, hidden, context, temb):
+    """The token-wise middle of :func:`sd3_forward` — 23 joint blocks, the
+    context-pre-only final block, norm_out, proj_out.  Every op except
+    attention is token-local, so this is the exact region
+    :func:`sd3_forward_sp` runs sequence-sharded inside shard_map."""
+
     def body(carry, blk):
         h, c = carry
         h, c = _joint_block(blk, cfg, h, c, temb, context_pre_only=False)
@@ -215,5 +236,87 @@ def sd3_forward(
 
     sc, sh = _mods(params["norm_out"], temb, 2)
     hidden = layer_norm(hidden) * (1 + sc) + sh
-    out = linear(params["proj_out"], hidden)
+    return linear(params["proj_out"], hidden)
+
+
+def sd3_forward_sp(
+    params: Params,
+    cfg: SD3Config,
+    latents: jnp.ndarray,
+    encoder_hidden_states: jnp.ndarray,
+    timestep: jnp.ndarray,
+    pooled_projections: jnp.ndarray,
+    mesh=None,
+    seq_axis: "str | None" = None,
+):
+    """:func:`sd3_forward` with the token sequence sharded over
+    ``seq_axis`` (ring attention, ops/ring_attention.py).  The patchify /
+    embedding prologue and the unpatchify epilogue stay replicated (cheap,
+    token-local); the 24-block stack runs inside shard_map with hidden and
+    context sequence-sharded.  ``mesh=None`` uses the ambient mesh.  Both
+    token counts (H·W/ps² and S_txt) must divide the axis size.  The
+    reference has no SP — see models/flux/sp.py for the rationale."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    seq_axis = seq_axis or cfg.seq_axis
+    assert seq_axis is not None, "sd3_forward_sp needs a seq axis name"
+    cfg_sp = dataclasses.replace(cfg, seq_axis=seq_axis)
+
+    if mesh is None:
+        n = jax.sharding.get_abstract_mesh().shape[seq_axis]
+    else:
+        n = mesh.shape[seq_axis]
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    B, H, W, C = latents.shape
+    ps = cfg.patch_size
+    hp, wp = H // ps, W // ps
+    S_img, S_txt = hp * wp, encoder_hidden_states.shape[1]
+    assert S_img % n == 0 and S_txt % n == 0, (
+        f"S_img {S_img} / S_txt {S_txt} must divide the '{seq_axis}' axis "
+        f"size {n}")
+
+    tokens = patchify(latents.astype(dtype), ps)
+    hidden = linear(params["pos_embed"]["proj"], tokens)
+    pmax = cfg.pos_embed_max_size
+    top = (pmax - hp) // 2
+    left = (pmax - wp) // 2
+    pos = params["pos_embed"]["pos"][top : top + hp, left : left + wp]
+    hidden = hidden + pos.reshape(1, hp * wp, -1).astype(dtype)
+    context = linear(params["context_embedder"], encoder_hidden_states.astype(dtype))
+    temb = mlp_embedder(
+        params["time_embed"],
+        sinusoidal_embedding(timestep.astype(jnp.float32), 256, scale=1.0).astype(dtype),
+    )
+    temb = temb + mlp_embedder(params["pooled_embed"], pooled_projections.astype(dtype))
+
+    sm = getattr(jax, "shard_map", None)
+    if sm is None:  # older jax
+        from jax.experimental.shard_map import shard_map as sm
+    seq = P(None, seq_axis)
+    rep = P()
+    kwargs = {} if mesh is None else {"mesh": mesh}
+    def local(p, h, c, t):
+        out = _sd3_token_stage(p, cfg_sp, h, c, t)
+        # gather the sequence shards before returning: the [B, S, Cp] ->
+        # [B, hp, ps, wp, ps, C] unpatchify reshape would split a sharded
+        # S axis across two output dims, which has no NamedSharding
+        # expression.  psum of one-hot-placed shards is the
+        # provably-replicated gather (same trick as gpipe_local's output).
+        i = jax.lax.axis_index(seq_axis)
+        n_sh = jax.lax.axis_size(seq_axis)
+        S_loc = out.shape[1]
+        full = jnp.zeros((out.shape[0], S_loc * n_sh) + out.shape[2:], out.dtype)
+        full = jax.lax.dynamic_update_slice_in_dim(full, out, i * S_loc, 1)
+        return jax.lax.psum(full, seq_axis)
+
+    fn = sm(
+        local,
+        in_specs=(jax.tree.map(lambda _: rep, params), seq, seq, rep),
+        out_specs=rep,
+        **kwargs,
+    )
+    out = fn(params, hidden, context, temb)
     return unpatchify(out.astype(jnp.float32), H, W, ps)
