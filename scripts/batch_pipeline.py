@@ -54,6 +54,10 @@ def main():
                     help="disable the host-preprocess worker thread that "
                          "overlaps job N+1's CPU mesh/image work with job "
                          "N's device work")
+    ap.add_argument("--sync-io", action="store_true",
+                    help="write each job's GLB before starting the next "
+                         "(default: a writer thread overlaps the 1-3 s "
+                         "GLB/PNG encode with the next job's device work)")
     ap.add_argument("--int8", dest="int8", action="store_const", const=True,
                     default=False, help="W8A8 int8 serving (fastest)")
     ap.add_argument("--int8-max-memory", dest="int8",
@@ -106,6 +110,7 @@ def main():
         seed=args.seed,
         save_artifacts=not args.no_artifacts,
         int8_serving=args.int8,
+        async_io=not args.sync_io,
         **kwargs,
     )
     # host/device pipelining: a single worker thread runs job N+1's CPU
@@ -151,6 +156,12 @@ def main():
             print(f"[{i+1}/{len(jobs)}] {job['name']}: FAILED {e}")
     if executor:
         executor.shutdown(wait=False)
+    try:
+        pipe.flush_io()
+    except Exception as e:
+        results.append({"name": "__flush_io__", "error": str(e)})
+        if not args.keep_going:
+            raise
     with open(os.path.join(args.out, "manifest.json"), "w") as f:
         json.dump(results, f, indent=2)
 

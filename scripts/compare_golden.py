@@ -28,18 +28,13 @@ COMPARED = (
 )
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("ours")
-    ap.add_argument("golden")
-    ap.add_argument("--min-psnr", type=float, default=None,
-                    help="exit nonzero if any artifact scores below this")
-    args = ap.parse_args()
-
-    import jax
-
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+def compare_caches(ours: str, golden: str) -> dict:
+    """Score every common image artifact in two pipeline cache dirs by
+    PSNR/SSIM.  Returns ``{"artifacts": {...}, "worst_psnr": float}`` —
+    the same report the CLI prints.  Also the self-parity harness used by
+    tests/test_golden_parity.py: the production config's numeric drift
+    across (shape bucketing, int8 serving, device count) is bounded by
+    running the weightless pipeline under each and scoring here."""
     import jax.numpy as jnp
 
     from unitex_tpu.utils.image_io import load_image
@@ -48,8 +43,8 @@ def main():
     report = {}
     worst = float("inf")
     for name in COMPARED:
-        a_path = os.path.join(args.ours, name)
-        b_path = os.path.join(args.golden, name)
+        a_path = os.path.join(ours, name)
+        b_path = os.path.join(golden, name)
         if not (os.path.exists(a_path) and os.path.exists(b_path)):
             report[name] = None
             continue
@@ -63,9 +58,25 @@ def main():
         s = float(ssim(jnp.asarray(a), jnp.asarray(b))) if min(a.shape[:2]) >= 11 else None
         report[name] = {"psnr": round(p, 2), "ssim": round(s, 4) if s else None}
         worst = min(worst, p)
+    return {"artifacts": report, "worst_psnr": round(worst, 2)}
 
-    print(json.dumps({"artifacts": report, "worst_psnr": round(worst, 2)}, indent=2))
-    if args.min_psnr is not None and worst < args.min_psnr:
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ours")
+    ap.add_argument("golden")
+    ap.add_argument("--min-psnr", type=float, default=None,
+                    help="exit nonzero if any artifact scores below this")
+    args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    report = compare_caches(args.ours, args.golden)
+    print(json.dumps(report, indent=2))
+    if args.min_psnr is not None and report["worst_psnr"] < args.min_psnr:
         sys.exit(1)
 
 

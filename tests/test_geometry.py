@@ -330,3 +330,29 @@ class TestShapeBucketing:
         s = make_icosphere(1)
         mesh = Mesh(jnp.asarray(s.vertices), jnp.asarray(s.faces))
         assert pad_mesh_to_bucket(mesh, 0) is mesh
+
+    def test_uv_bucket_pinned_to_vertex_bucket(self):
+        """Assets in one face/vertex bucket must share ALL static shapes:
+        a UV count straddling its own pow2 boundary (e.g. 15000 vs 18000
+        under bucket 16384) must not split the bucket into two compiled
+        programs — UV pads to 2x the padded vertex count."""
+        import jax.numpy as jnp
+
+        from unitex_tpu.geometry.mesh import Mesh, pad_mesh_to_bucket
+
+        def mesh_with(nv, nuv, nf):
+            rng = np.random.default_rng(nv)
+            return Mesh(
+                jnp.asarray(rng.normal(size=(nv, 3)).astype(np.float32)),
+                jnp.asarray(rng.integers(0, nv, size=(nf, 3)).astype(np.int32)),
+                uv=jnp.asarray(rng.random((nuv, 2)).astype(np.float32)),
+                faces_uv=jnp.asarray(
+                    rng.integers(0, nuv, size=(nf, 3)).astype(np.int32)),
+            )
+
+        a = pad_mesh_to_bucket(mesh_with(900, 950, 1800), 1024)
+        b = pad_mesh_to_bucket(mesh_with(950, 1100, 1900), 1024)
+        assert a.vertices.shape == b.vertices.shape
+        assert a.faces.shape == b.faces.shape
+        assert a.uv.shape == b.uv.shape, (a.uv.shape, b.uv.shape)
+        assert a.uv.shape[0] >= 1100

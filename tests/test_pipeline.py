@@ -318,3 +318,27 @@ class TestTorchRNGParityMode:
         pipe_jax = self._tiny_pipeline(parity=False)
         out3 = pipe_jax.infer_mv_stage(str(tmp_path), ref_img, condition)
         assert float(jnp.abs(out1 - out3).max()) > 0.0
+
+
+class TestAsyncIO:
+    def test_async_io_outputs_match_sync(self, assets, tmp_path):
+        """async_io=True defers the GLB write to the ordered writer pool;
+        after flush_io the artifacts are byte-identical to the sync run."""
+        mesh_path, img_path = assets
+        sync_dir, async_dir = str(tmp_path / "s"), str(tmp_path / "a")
+        pipe_s = CustomRGBTextureFullPipeline(
+            pretrain_models=None, seed=63, config=small_config()
+        )
+        pipe_s(sync_dir, img_path, mesh_path)
+        pipe_a = CustomRGBTextureFullPipeline(
+            pretrain_models=None, seed=63, config=small_config(),
+            async_io=True,
+        )
+        _, glb_out = pipe_a(async_dir, img_path, mesh_path)
+        pipe_a.flush_io()
+        assert os.path.exists(glb_out)
+        with open(os.path.join(sync_dir, "textured_mesh.glb"), "rb") as f:
+            want = f.read()
+        with open(glb_out, "rb") as f:
+            got = f.read()
+        assert got == want

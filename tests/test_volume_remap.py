@@ -172,3 +172,87 @@ class TestQueryExtensions:
         g3 = make_grid_3d(2, 4, 8)
         assert g3.shape == (2, 4, 8, 3)
         np.testing.assert_allclose(float(g3[0, 0, 0, 2]), -0.5, atol=1e-6)
+
+
+class TestCauchyQueries:
+    """query_circle / query_cylinder (reference query.py:202-233; the
+    reference's query_cylinder is FIXME-incomplete — ours completes the
+    same per-ring integral with linear z interpolation)."""
+
+    def test_query_circle_torch_parity(self):
+        import numpy as np
+        torch = pytest.importorskip("torch")
+        from unitex_tpu.render.volume import query_circle
+
+        rng = np.random.default_rng(0)
+        B, N, Cc, Wc = 2, 17, 3, 64
+        pos = (rng.uniform(-0.5, 0.5, size=(B, N, 2))).astype(np.float32)
+        circ = rng.normal(size=(B, Cc, Wc)).astype(np.float32)
+
+        # reference query_circle semantics, verbatim in torch
+        tpos, tcirc = torch.from_numpy(pos), torch.from_numpy(circ)
+        tcirc = torch.cat([tcirc, tcirc[..., [0]]], dim=-1)
+        t = torch.linspace(0, 1, Wc + 1)
+        d_t = torch.gradient(t)[0]
+        gamma = torch.complex(
+            torch.cos(2 * torch.pi * t), torch.sin(2 * torch.pi * t))
+        d_gamma = torch.complex(
+            -2 * torch.pi * torch.sin(2 * torch.pi * t),
+            2 * torch.pi * torch.cos(2 * torch.pi * t)) * d_t
+        z = torch.view_as_complex(tpos)[..., None, None]
+        f_gamma = tcirc.permute(0, 2, 1).unsqueeze(-3)
+        c = f_gamma * d_gamma[:, None] / (gamma[:, None] - z)
+        expect = (c.sum(dim=-2) / (2j * torch.pi)).real.numpy()
+
+        ours = query_circle(jnp.asarray(pos), jnp.asarray(circ))
+        np.testing.assert_allclose(np.asarray(ours), expect, atol=2e-5)
+
+    def test_query_circle_reconstructs_holomorphic(self):
+        """Real boundary channels cos θ = (γ + 1/γ)/2 and sin θ: the Cauchy
+        integral keeps only the holomorphic half (the 1/γ residues cancel),
+        so the interior values are Re(z/2) = x/2 and Re(-iz/2) = y/2 — i.e.
+        pos/2 (up to the reference quadrature's O(1/Wc) bias)."""
+        import numpy as np
+        from unitex_tpu.render.volume import query_circle
+
+        Wc = 512
+        th = np.arange(Wc) / Wc * 2 * np.pi
+        circ = np.stack([np.cos(th), np.sin(th)])[None].astype(np.float32)
+        rng = np.random.default_rng(1)
+        pos = rng.uniform(-0.6, 0.6, size=(1, 40, 2)).astype(np.float32)
+        out = np.asarray(query_circle(jnp.asarray(pos), jnp.asarray(circ)))
+        np.testing.assert_allclose(out, pos[0][None] / 2, atol=2e-2)
+
+    def test_query_cylinder_interpolates_rings(self):
+        import numpy as np
+        from unitex_tpu.render.volume import query_circle, query_cylinder
+
+        rng = np.random.default_rng(2)
+        B, N, Cc, Dc, Wc = 1, 9, 2, 4, 32
+        cyl = rng.normal(size=(B, Cc, Dc, Wc)).astype(np.float32)
+        xy = rng.uniform(-0.4, 0.4, size=(B, N, 2)).astype(np.float32)
+
+        # exactly on ring k: must equal the plain circle query of slice k
+        for k in (0, 2):
+            zk = -1.0 + 2.0 * k / (Dc - 1)
+            pos = np.concatenate([xy, np.full((B, N, 1), zk, np.float32)], -1)
+            out = query_cylinder(jnp.asarray(pos), jnp.asarray(cyl))
+            ref = query_circle(jnp.asarray(xy), jnp.asarray(cyl[:, :, k]))
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        # midway between rings 1 and 2: mean of the two slice queries
+        zm = -1.0 + 2.0 * 1.5 / (Dc - 1)
+        pos = np.concatenate([xy, np.full((B, N, 1), zm, np.float32)], -1)
+        out = query_cylinder(jnp.asarray(pos), jnp.asarray(cyl))
+        r1 = query_circle(jnp.asarray(xy), jnp.asarray(cyl[:, :, 1]))
+        r2 = query_circle(jnp.asarray(xy), jnp.asarray(cyl[:, :, 2]))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray((r1 + r2) / 2), atol=2e-5)
+
+        # single-ring cylinder: pure circle query at any z
+        one = cyl[:, :, :1]
+        pos = np.concatenate([xy, np.full((B, N, 1), 0.7, np.float32)], -1)
+        out = query_cylinder(jnp.asarray(pos), jnp.asarray(one))
+        ref = query_circle(jnp.asarray(xy), jnp.asarray(one[:, :, 0]))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

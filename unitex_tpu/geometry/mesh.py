@@ -257,10 +257,20 @@ def pad_mesh_to_bucket(mesh: "Mesh", bucket: int, mode: str = "pow2") -> "Mesh":
             ),
         ])
     if mesh.uv is not None:
+        # UV count = vertices + seam duplicates (~1.05-1.25x V), so an
+        # INDEPENDENT pow2 bucket can straddle a boundary the vertex count
+        # doesn't (e.g. V 15360 -> 16384 but UV 18356 -> 32768), splitting
+        # one face/vertex bucket into two compiled programs (measured: a
+        # 118 s recompile through the remote-compile tunnel on an asset
+        # whose ONLY shape difference was the UV count).  Pin the UV pad
+        # to 2x the padded vertex count so every asset in a face/vertex
+        # bucket shares all static shapes; up(nuv) still wins for
+        # pathological many-chart atlases with >2x seam duplication.
         nuv = mesh.uv.shape[0]
+        uv_target = max(2 * newV, up(nuv))
         kwargs["uv"] = jnp.concatenate(
-            [mesh.uv, jnp.broadcast_to(mesh.uv[:1], (up(nuv) - nuv, 2))]
-        ) if up(nuv) != nuv else mesh.uv
+            [mesh.uv, jnp.broadcast_to(mesh.uv[:1], (uv_target - nuv, 2))]
+        ) if uv_target != nuv else mesh.uv
     if mesh.faces_uv is not None:
         kwargs["faces_uv"] = jnp.concatenate(
             [mesh.faces_uv, jnp.zeros((newF - F, 3), mesh.faces_uv.dtype)]

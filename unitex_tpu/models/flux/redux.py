@@ -7,9 +7,10 @@ never loads it at inference — ``redux_id`` is computed and unused
 (/root/reference/pipeline.py:86) and the released flow passes
 ``redux_image=None``.  We provide the full Redux projection (the
 FluxPriorReduxPipeline "image embedder": Linear 1152 -> 4096*3, SiLU,
-Linear -> 4096) with a weights loader; the SigLIP backbone runs through HF
-transformers on the host when weights exist, else callers pass precomputed
-SigLIP features.
+Linear -> 4096) with a weights loader.  The SigLIP backbone is JAX-native
+(models/siglip.py, on-device — preferred when weights exist); the HF
+transformers host path remains as a fallback for torch-format checkpoints,
+and callers can always pass precomputed SigLIP features.
 """
 
 from __future__ import annotations
@@ -71,8 +72,9 @@ class ReduxConditioner:
 
     def __init__(self, pretrain_root: Optional[str] = None, params=None):
         self.params = params
-        self.siglip = None
+        self.siglip = None          # host-torch fallback
         self.processor = None
+        self.siglip_jax = None      # (params, config) — preferred
         if pretrain_root is not None:
             redux_dir = os.path.join(pretrain_root, "flux", "redux")
             if params is None and os.path.isdir(redux_dir):
@@ -83,14 +85,31 @@ class ReduxConditioner:
             siglip_dir = os.path.join(pretrain_root, "siglip")
             if os.path.isdir(siglip_dir):
                 try:
-                    from transformers import SiglipImageProcessor, SiglipVisionModel
+                    from ..siglip import load_siglip
 
-                    self.processor = SiglipImageProcessor.from_pretrained(siglip_dir)
-                    self.siglip = SiglipVisionModel.from_pretrained(siglip_dir).eval()
-                except (OSError, ImportError):
-                    pass
+                    self.siglip_jax = load_siglip(siglip_dir)
+                except (OSError, KeyError, ValueError, ImportError):
+                    try:
+                        from transformers import (
+                            SiglipImageProcessor,
+                            SiglipVisionModel,
+                        )
+
+                        self.processor = SiglipImageProcessor.from_pretrained(
+                            siglip_dir
+                        )
+                        self.siglip = SiglipVisionModel.from_pretrained(
+                            siglip_dir
+                        ).eval()
+                    except (OSError, ImportError):
+                        pass
 
     def features_from_image(self, image) -> jnp.ndarray:
+        if self.siglip_jax is not None:
+            from ..siglip import preprocess_siglip, siglip_forward
+
+            sp, scfg = self.siglip_jax
+            return siglip_forward(sp, scfg, preprocess_siglip(image, scfg))
         assert self.siglip is not None, "SigLIP weights not loaded"
         import torch
 

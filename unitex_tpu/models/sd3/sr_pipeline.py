@@ -167,8 +167,12 @@ class TSDSRConfig:
     tile_batch: int = 8                # latent tiles per transformer call
     vae_encode_batch: int = 8          # 512² pixel tiles per VAE-encode call
     # decode activations are the HBM peak (128² latent -> 1024² x 512-ch):
-    # 8-tile batches OOM a 16 GB v5e chip; 2 measured safe
-    vae_decode_batch: int = 2
+    # f32 8-tile batches OOM a 16 GB v5e chip (2 measured safe); bf16
+    # halves the peak so the batch doubles.  group_norm statistics stay
+    # f32 inside group_norm; the output is uint8-quantized downstream, so
+    # bf16's ~3-digit mantissa sits below the 1-LSB quantization floor.
+    vae_decode_batch: int = 4
+    vae_decode_dtype: str = "bfloat16"  # "float32" to force full precision
     # W8A8 int8 serving for the SD3 transformer blocks (the same transform
     # as FLUX's, models/flux/quantize.py — SD3 shares the linear dispatch);
     # q/k and AdaLN stay bf16 per the measured selective policy
@@ -412,8 +416,13 @@ class TSDSRPipeline:
         ds = self.vae_cfg.downscale
         tile = cfg.vae_decoder_tile
         _, h, w_, C = lat.shape
+        dec_dtype = jnp.bfloat16 if cfg.vae_decode_dtype == "bfloat16" \
+            else jnp.float32
+        lat = lat.astype(dec_dtype)
         if h <= tile and w_ <= tile:
-            return vae_decode_jit(self.vae_params, self.vae_cfg, lat)
+            return vae_decode_jit(
+                self.vae_params, self.vae_cfg, lat
+            ).astype(jnp.float32)
         offs = [
             (oy, ox)
             for oy in _tile_offsets(h, tile, tile // 4)

@@ -211,3 +211,84 @@ def contract_to_unisphere(
     contracted = (2.0 - 1.0 / safe) * (x / safe)
     x = jnp.where(mag > 1.0, contracted, x)
     return x / 4.0 + 0.5
+
+
+# ------------------------------------------------- Cauchy boundary queries
+
+
+def create_circle(n: int, radius: float = 1.0, t_0: float = 0.0):
+    """Closed unit-circle contour with ``n + 1`` parameter samples and its
+    analytic derivative (query.py create_circle:46-60).  Returns
+    ``(t, d_t, gamma, d_gamma)``; ``gamma``/``d_gamma`` are complex64,
+    ``d_gamma`` already includes the ``d_t`` quadrature weights (torch's
+    ``gradient`` on a uniform linspace: spacing ``1/n`` at every sample,
+    endpoints included — so the duplicated t=0/t=1 contour point is
+    double-weighted, matching the reference's quadrature exactly)."""
+    t = jnp.linspace(0.0, 1.0, n + 1, dtype=jnp.float32)
+    h = 1.0 / n
+    d_t = jnp.full((n + 1,), h, jnp.float32)
+    ang = 2.0 * jnp.pi * (t - t_0)
+    gamma = radius * (jnp.cos(ang) + 1j * jnp.sin(ang)).astype(jnp.complex64)
+    d_gamma = (
+        radius * 2.0 * jnp.pi * (-jnp.sin(ang) + 1j * jnp.cos(ang))
+    ).astype(jnp.complex64) * d_t
+    return t, d_t, gamma, d_gamma
+
+
+def cauchy_integrate(
+    z: jnp.ndarray, gamma: jnp.ndarray, d_gamma: jnp.ndarray,
+    f_gamma: jnp.ndarray,
+) -> jnp.ndarray:
+    """Discrete Cauchy integral ``(1 / 2πi) Σ f(γ) γ' dt / (γ - z)``
+    (query.py cauchy_integrate:76-90): evaluates the holomorphic extension
+    of boundary features at interior points.  z [...], gamma/d_gamma [N],
+    f_gamma [..., N, C] -> [..., C] complex."""
+    zc = z.astype(jnp.complex64)[..., None, None]
+    c = f_gamma * (d_gamma[:, None] / (gamma[:, None] - zc))
+    return c.sum(axis=-2) / (2j * jnp.pi)
+
+
+def query_circle(positions: jnp.ndarray, circles: jnp.ndarray) -> jnp.ndarray:
+    """Circle boundary-field query (query.py query_circle:202-214):
+    features living on the unit circle's boundary are extended to interior
+    2D points by the Cauchy integral.  positions [B, N, 2] in the unit
+    disk, circles [B, Cc, Wc] (Wc boundary samples per channel) ->
+    [B, N, Cc] real."""
+    Wc = circles.shape[-1]
+    circles = jnp.concatenate([circles, circles[..., :1]], axis=-1)
+    _, _, gamma, d_gamma = create_circle(Wc)
+    z = positions[..., 0] + 1j * positions[..., 1]  # [B, N]
+    f_gamma = jnp.swapaxes(circles, -1, -2)[:, None]  # [B, 1, Wc+1, Cc]
+    return cauchy_integrate(z, gamma, d_gamma, f_gamma).real
+
+
+def query_cylinder(
+    positions: jnp.ndarray, cylinders: jnp.ndarray
+) -> jnp.ndarray:
+    """Cylinder boundary-field query: features on a cylinder's lateral
+    surface (Dc rings of Wc samples) extended to interior 3D points — the
+    Cauchy circle query per depth ring on (x, y), linearly interpolated
+    along z in [-1, 1].  positions [B, N, 3], cylinders [B, Cc, Dc, Wc] ->
+    [B, N, Cc] real.  The reference's query_cylinder (query.py:217-233) is
+    FIXME-incomplete (it rasterizes per-slice Cauchy fields to a 128² grid
+    and ends before sampling); this is the direct evaluation of the same
+    integral at the query points — exact where the reference would have
+    interpolated its grid."""
+    B, Cc, Dc, Wc = cylinders.shape
+    rings = jnp.concatenate([cylinders, cylinders[..., :1]], axis=-1)
+    _, _, gamma, d_gamma = create_circle(Wc)
+    z2d = positions[..., 0] + 1j * positions[..., 1]  # [B, N]
+    # [B, 1, Dc, Wc+1, Cc]: one Cauchy query per depth ring
+    f_gamma = jnp.moveaxis(rings, 1, -1)[:, None]  # [B, 1, Dc, Wc+1, Cc]
+    per_ring = cauchy_integrate(
+        z2d[..., None], gamma, d_gamma, f_gamma
+    ).real  # [B, N, Dc, Cc]
+    if Dc == 1:
+        return per_ring[:, :, 0]
+    zf = (positions[..., 2] + 1.0) / 2.0 * (Dc - 1)  # [-1,1] -> ring index
+    zf = jnp.clip(zf, 0.0, Dc - 1)
+    lo = jnp.clip(jnp.floor(zf).astype(jnp.int32), 0, Dc - 2)
+    w = (zf - lo)[..., None]
+    a = jnp.take_along_axis(per_ring, lo[..., None, None], axis=2)[:, :, 0]
+    b = jnp.take_along_axis(per_ring, (lo + 1)[..., None, None], axis=2)[:, :, 0]
+    return a * (1.0 - w) + b * w

@@ -50,7 +50,24 @@ def load_image(path: str, mode: str = "RGB") -> np.ndarray:
 
 def to_uint8(arr) -> np.ndarray:
     a = np.asarray(arr)
+    if a.dtype == np.uint8:  # already quantized (e.g. on-device to_uint8_jit)
+        return a
     return (np.clip(a, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+
+
+def to_uint8_device(arr):
+    """On-device equivalent of :func:`to_uint8`: quantize BEFORE the
+    device->host transfer so a 2048² texture crosses the axon tunnel as
+    12.6 MB of uint8 instead of 50 MB of f32 (measured 2.5-3.0 s of the
+    warm asset path)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def q(x):
+        return jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+    return q(arr)
 
 
 def from_uint8(img: np.ndarray) -> np.ndarray:
