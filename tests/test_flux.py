@@ -205,6 +205,29 @@ class TestVAE:
         assert out.shape == (1, 16, 16, 3)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_group_norm_matches_reference_formula(self):
+        """group_norm applies stats in the INPUT dtype (the bf16 decode's
+        HBM ceiling depends on it) — f32 path must match the direct
+        normalize-then-affine formula, bf16 within its mantissa."""
+        from unitex_tpu.models.flux.vae import gn_init, group_norm
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 8, 8, 16)).astype(np.float32) * 3 + 1
+        p = gn_init(16)
+        p = {"scale": p["scale"] * 1.7 + 0.1, "bias": p["bias"] + 0.3}
+        g = 4
+        xg = x.reshape(2, 8, 8, g, 4)
+        mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+        var = xg.var(axis=(1, 2, 4), keepdims=True)
+        want = ((xg - mean) / np.sqrt(var + 1e-6)).reshape(2, 8, 8, 16)
+        want = want * np.asarray(p["scale"]) + np.asarray(p["bias"])
+        got32 = group_norm(jnp.asarray(x), p, g)
+        np.testing.assert_allclose(np.asarray(got32), want, atol=2e-4)
+        got16 = group_norm(jnp.asarray(x, jnp.bfloat16), p, g)
+        assert got16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got16, np.float32), want, atol=0.1)
+
 
 class TestPipeline:
     def test_end_to_end_tiny(self):

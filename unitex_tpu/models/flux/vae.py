@@ -79,13 +79,23 @@ def conv(p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME") -> jnp.ndar
 
 
 def group_norm(x: jnp.ndarray, p: Params, groups: int, eps: float = 1e-6) -> jnp.ndarray:
+    """Statistics in f32 (tiny [N, groups] reductions), normalization
+    applied in the INPUT dtype: upcasting the whole tensor to f32 would
+    double the HBM peak of a bf16 decode (the decode activations are the
+    SR stage's memory ceiling — 128² latent -> 1024² x 512-ch tiles)."""
     N, H, W, C = x.shape
-    xf = x.astype(jnp.float32).reshape(N, H, W, groups, C // groups)
-    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
-    var = xf.var(axis=(1, 2, 4), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(N, H, W, C)
-    return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+    xg = x.reshape(N, H, W, groups, C // groups)
+    mean = xg.astype(jnp.float32).mean(axis=(1, 2, 4), keepdims=True)
+    # Two-pass variance: E[(x-mean)^2], not E[x^2]-E[x]^2 — the one-pass
+    # form is ill-conditioned when |mean| >> std and measurably amplifies
+    # TP-induced latent noise through the deep decode stack.
+    var = jnp.square(xg.astype(jnp.float32) - mean).mean(
+        axis=(1, 2, 4), keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    scale = rstd.astype(x.dtype)
+    shift = (-mean * rstd).astype(x.dtype)
+    y = (xg * scale + shift).reshape(N, H, W, C)
+    return y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
 def gn_init(c: int) -> Params:
