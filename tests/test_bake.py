@@ -238,3 +238,58 @@ class TestFillCompaction:
         vis = jnp.ones(64, bool)
         out = _fill_invisible_knn(pos, col, vis, jnp.zeros(64, bool))
         assert out is col
+
+
+class TestFusedVisibilityPaste:
+    def test_fused_matches_eager_composition(self, sphere_mesh):
+        """The jitted _visibility_paste (one scanned XLA program, the
+        serving path) equals the eager view_visibility -> priority-paste
+        composition it replaced."""
+        from unitex_tpu.render.renderer_inverse import (
+            VIEW_PRIORITY,
+            _visibility_paste,
+        )
+        from unitex_tpu.ops.image_ops import boundary_mask as _bm
+
+        tex, uv = _procedural_texture(sphere_mesh)
+        c2ws, intr = condition_cameras()
+        out = render_views(
+            sphere_mesh, c2ws, intr, (VIEW, VIEW),
+            map_attr=tex, render_uv=True, render_map_attr=True,
+        )
+        views = out.map_attr
+        mv = mv_render(sphere_mesh, c2ws, intr, (VIEW, VIEW))
+        vis = view_visibility(uv, mv, c2ws, views)
+
+        # eager composition (the pre-fusion bake_reproject_blur paste loop)
+        H2, W2 = uv["mask"].shape[:2]
+        C = views.shape[-1]
+        color_ref = jnp.zeros((H2, W2, C), views.dtype)
+        mask_ref = jnp.zeros((H2, W2, 1), bool)
+        boundary_ref = jnp.zeros((H2, W2, 1), bool)
+        for i in VIEW_PRIORITY:
+            extra = (~mask_ref) & vis["visible"][i]
+            color_ref = jnp.where(extra, vis["colors"][i], color_ref)
+            mask_ref = mask_ref | extra
+            b_in, b_out = _bm(extra, 3)
+            boundary_ref = boundary_ref | b_in | b_out
+        boundary_ref = dilate_mask(boundary_ref, 3)
+        boundary_ref = boundary_ref & erode_mask(uv["mask"], 2 * (3 // 2) + 5)
+
+        color, mask_cur, boundary, vis_any, vis_pv = _visibility_paste(
+            uv["position"], uv["mask"], uv["tri"], uv["face_normal"],
+            mv["mvp"], mv["w2cs"], c2ws, mv["depth"], mv["tri"],
+            mv["mask"] & mv["mask_visible"], views,
+            perspective=False, ray_normal_angle_threshold=100.0,
+            depth_eps=5e-3, visibility_mode="depth", ring_kernels=(3, 5),
+            priority=VIEW_PRIORITY, kernel_size_boundary=3,
+            kernel_size_boundary_blur=3,
+        )
+        np.testing.assert_array_equal(np.asarray(mask_cur), np.asarray(mask_ref))
+        np.testing.assert_array_equal(np.asarray(boundary), np.asarray(boundary_ref))
+        np.testing.assert_array_equal(
+            np.asarray(vis_any), np.asarray(vis["visible"].any(axis=0)))
+        np.testing.assert_array_equal(
+            np.asarray(vis_pv), np.asarray(vis["visible"]))
+        np.testing.assert_allclose(
+            np.asarray(color), np.asarray(color_ref), atol=1e-6)

@@ -160,6 +160,60 @@ def uv_render(
     return {"tri": rast.tri, "mask": mask, "position": pos, "face_normal": fn}
 
 
+def _one_view_visibility(
+    pos, pos_h, mask_2d, tri_2d, fn_2d,
+    mvp_i, w2c_i, c2w_i, depth_i, tri_i, mask_i, img_i,
+    *, perspective, ray_normal_angle_threshold, depth_eps,
+    visibility_mode, ring_kernels,
+):
+    """One view's texel visibility + sampled color (shared by the eager
+    ``view_visibility`` and the fused jitted ``_visibility_paste``)."""
+    clip = pos_h @ mvp_i.T                    # [H2, W2, 4]
+    w = jnp.where(jnp.abs(clip[..., 3:4]) > 1e-12, clip[..., 3:4], 1e-12)
+    ndc = clip[..., :2] / w
+    # linear view depth of the texel point
+    cam = pos_h @ w2c_i.T
+    tex_depth = -cam[..., 2:3]
+    # sampled view depth + view mask at the projected location
+    samp = grid_sample(
+        jnp.concatenate(
+            [jnp.where(mask_i, depth_i, 0.0), mask_i.astype(jnp.float32)],
+            axis=-1,
+        ),
+        ndc,
+        padding_mode="zeros",
+    )
+    view_depth, view_alpha = samp[..., :1], samp[..., 1:2]
+    depth_ok = (view_alpha > 0.999) & (
+        jnp.abs(view_depth - tex_depth) < depth_eps
+    )
+    # nearest-pixel triangle-id equality (the reference's ray-trace test)
+    Hv, Wv = tri_i.shape[:2]
+    px = jnp.clip(((ndc[..., 0] + 1) * 0.5 * Wv).astype(jnp.int32), 0, Wv - 1)
+    py = jnp.clip(((ndc[..., 1] + 1) * 0.5 * Hv).astype(jnp.int32), 0, Hv - 1)
+    tid_ok = (tri_i[py, px] == tri_2d)[..., None] & (tri_2d >= 0)[..., None]
+    if visibility_mode == "depth":
+        vis = depth_ok
+    elif visibility_mode == "tid":
+        vis = tid_ok
+    else:
+        vis = depth_ok | tid_ok
+    # ray-normal angle test on the texel's own face normal
+    if perspective:
+        rays_d = pos - c2w_i[:3, 3]
+    else:
+        rays_d = jnp.broadcast_to(-c2w_i[:3, 2], pos.shape)
+    rays_d = rays_d / jnp.maximum(
+        jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-12
+    )
+    cos_rn = jnp.sum(rays_d * fn_2d, axis=-1, keepdims=True)
+    vis = vis & (cos_rn < math.cos(math.radians(ray_normal_angle_threshold)))
+    vis = ring_close_mask(vis, ring_kernels) if ring_kernels else vis
+    vis = vis & mask_2d
+    color = grid_sample(img_i, ndc, padding_mode="border") if img_i is not None else None
+    return vis, color, ndc
+
+
 def view_visibility(
     uv_out: Dict[str, jnp.ndarray],
     mv_out: Dict[str, jnp.ndarray],
@@ -185,51 +239,15 @@ def view_visibility(
     w2cs = mv_out["w2cs"]
     pos_h = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], axis=-1)
 
-    def one_view(mvp_i, w2c_i, c2w_i, depth_i, tri_i, mask_i, img_i):
-        clip = pos_h @ mvp_i.T                    # [H2, W2, 4]
-        w = jnp.where(jnp.abs(clip[..., 3:4]) > 1e-12, clip[..., 3:4], 1e-12)
-        ndc = clip[..., :2] / w
-        # linear view depth of the texel point
-        cam = pos_h @ w2c_i.T
-        tex_depth = -cam[..., 2:3]
-        # sampled view depth + view mask at the projected location
-        samp = grid_sample(
-            jnp.concatenate(
-                [jnp.where(mask_i, depth_i, 0.0), mask_i.astype(jnp.float32)],
-                axis=-1,
-            ),
-            ndc,
-            padding_mode="zeros",
+    def one_view(mvp_i, w2c_i, c2w_i, depth_i, tri_i, mask_i, img_i=None):
+        return _one_view_visibility(
+            pos, pos_h, mask_2d, tri_2d, fn_2d,
+            mvp_i, w2c_i, c2w_i, depth_i, tri_i, mask_i, img_i,
+            perspective=perspective,
+            ray_normal_angle_threshold=ray_normal_angle_threshold,
+            depth_eps=depth_eps, visibility_mode=visibility_mode,
+            ring_kernels=ring_kernels,
         )
-        view_depth, view_alpha = samp[..., :1], samp[..., 1:2]
-        depth_ok = (view_alpha > 0.999) & (
-            jnp.abs(view_depth - tex_depth) < depth_eps
-        )
-        # nearest-pixel triangle-id equality (the reference's ray-trace test)
-        Hv, Wv = tri_i.shape[:2]
-        px = jnp.clip(((ndc[..., 0] + 1) * 0.5 * Wv).astype(jnp.int32), 0, Wv - 1)
-        py = jnp.clip(((ndc[..., 1] + 1) * 0.5 * Hv).astype(jnp.int32), 0, Hv - 1)
-        tid_ok = (tri_i[py, px] == tri_2d)[..., None] & (tri_2d >= 0)[..., None]
-        if visibility_mode == "depth":
-            vis = depth_ok
-        elif visibility_mode == "tid":
-            vis = tid_ok
-        else:
-            vis = depth_ok | tid_ok
-        # ray-normal angle test on the texel's own face normal
-        if perspective:
-            rays_d = pos - c2w_i[:3, 3]
-        else:
-            rays_d = jnp.broadcast_to(-c2w_i[:3, 2], pos.shape)
-        rays_d = rays_d / jnp.maximum(
-            jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-12
-        )
-        cos_rn = jnp.sum(rays_d * fn_2d, axis=-1, keepdims=True)
-        vis = vis & (cos_rn < math.cos(math.radians(ray_normal_angle_threshold)))
-        vis = ring_close_mask(vis, ring_kernels) if ring_kernels else vis
-        vis = vis & mask_2d
-        color = grid_sample(img_i, ndc, padding_mode="border") if img_i is not None else None
-        return vis, color, ndc
 
     depth = mv_out["depth"]
     tri = mv_out["tri"]
@@ -243,6 +261,81 @@ def view_visibility(
             lambda a, b, c, d, e, f: one_view(a, b, c, d, e, f, None)
         )(mvp, w2cs, c2ws, depth, tri, maskv)
     return {"visible": vis, "colors": colors, "ndc": ndc}
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "perspective", "ray_normal_angle_threshold", "depth_eps",
+        "visibility_mode", "ring_kernels", "priority",
+        "kernel_size_boundary", "kernel_size_boundary_blur",
+    ),
+)
+def _visibility_paste(
+    uv_pos, uv_mask, uv_tri, uv_fn,
+    mvp, w2cs, c2ws, depth, tri, maskv, view_images,
+    *, perspective, ray_normal_angle_threshold, depth_eps,
+    visibility_mode, ring_kernels, priority,
+    kernel_size_boundary, kernel_size_boundary_blur,
+):
+    """Fused per-view visibility + priority paste, one XLA program.
+
+    Composition-equivalent to ``view_visibility`` followed by
+    ``bake_reproject_blur``'s paste loop (parity-tested), but scanned over
+    views with the paste in the carry: the eager composition materializes
+    [M, H2, W2, C] colors + [M, H2, W2, 1] masks and every elementwise
+    intermediate to HBM; here XLA fuses the projection/sampling/test
+    chain per view and only the [H2, W2, *] carry crosses iterations.
+    Shapes depend only on (uv_size, view count/res), NOT on mesh bucket —
+    one compile serves every asset.  Returns (color_cur, mask_cur,
+    boundary, visible_any, visible_per_view [M,...] in view order)."""
+    pos_h = jnp.concatenate([uv_pos, jnp.ones_like(uv_pos[..., :1])], axis=-1)
+    perm = list(priority)
+    xs = tuple(
+        a[jnp.asarray(perm)]
+        for a in (mvp, w2cs, c2ws, depth, tri, maskv, view_images)
+    )
+    H2, W2 = uv_mask.shape[:2]
+    C = view_images.shape[-1]
+    carry0 = (
+        jnp.zeros((H2, W2, C), view_images.dtype),
+        jnp.zeros((H2, W2, 1), bool),
+        jnp.zeros((H2, W2, 1), bool),
+        jnp.zeros((H2, W2, 1), bool),
+    )
+
+    def step(carry, x):
+        color_cur, mask_cur, boundary, visible_any = carry
+        mvp_i, w2c_i, c2w_i, depth_i, tri_i, maskv_i, img_i = x
+        vis, color, _ = _one_view_visibility(
+            uv_pos, pos_h, uv_mask, uv_tri, uv_fn,
+            mvp_i, w2c_i, c2w_i, depth_i, tri_i, maskv_i, img_i,
+            perspective=perspective,
+            ray_normal_angle_threshold=ray_normal_angle_threshold,
+            depth_eps=depth_eps, visibility_mode=visibility_mode,
+            ring_kernels=ring_kernels,
+        )
+        extra = (~mask_cur) & vis
+        color_cur = jnp.where(extra, color, color_cur)
+        mask_cur = mask_cur | extra
+        b_in, b_out = boundary_mask(extra, kernel_size_boundary)
+        boundary = boundary | b_in | b_out
+        visible_any = visible_any | vis
+        return (color_cur, mask_cur, boundary, visible_any), vis
+
+    (color_cur, mask_cur, boundary, visible_any), vis_stack = jax.lax.scan(
+        step, carry0, xs
+    )
+    boundary = dilate_mask(boundary, kernel_size_boundary_blur)
+    boundary = boundary & erode_mask(
+        uv_mask, 2 * (kernel_size_boundary_blur // 2) + 5
+    )
+    # un-permute the stacked per-view visibility back to view order
+    inv = [0] * len(perm)
+    for k, p in enumerate(perm):
+        inv[p] = k
+    visible_per_view = vis_stack[jnp.asarray(inv)]
+    return color_cur, mask_cur, boundary, visible_any, visible_per_view
 
 
 def _select_masked_points(
@@ -350,10 +443,25 @@ def bake_reproject_blur(
         b_in, b_out = boundary_mask(extra, kernel_size_boundary)
         boundary = boundary | b_in | b_out
     boundary = dilate_mask(boundary, kernel_size_boundary_blur)
-    # only blur well inside the chart (erode the atlas mask, reference uses
-    # kernel 2*(k//2)+5, renderer_inverse.py:601)
+    # only blur well inside the chart (reference uses kernel 2*(k//2)+5,
+    # renderer_inverse.py:601)
     boundary = boundary & erode_mask(mask_2d, 2 * (kernel_size_boundary_blur // 2) + 5)
 
+    return _finish_reproject_blur(
+        uv_out, color_cur, mask_cur, boundary, visible.any(axis=0),
+        method=method, kernel_size_blur=kernel_size_blur,
+        knn_max_ref=knn_max_ref, knn_chunk=knn_chunk,
+        query_field=query_field,
+    )
+
+
+def _finish_reproject_blur(
+    uv_out, color_cur, mask_cur, boundary, visible_any,
+    *, method, kernel_size_blur, knn_max_ref, knn_chunk, query_field,
+):
+    """KNN fill + seam blur + pull_push — the bake tail after the paste."""
+    mask_2d = uv_out["mask"]
+    H2, W2, C = color_cur.shape
     # fill texels never seen by any view with nearest visible color in 3D
     pos_flat = uv_out["position"].reshape(-1, 3)
     color_flat = color_cur.reshape(-1, C)
@@ -379,7 +487,7 @@ def bake_reproject_blur(
         "texture": texture,
         "color_before_fill": color_cur,
         "mask_2d": mask_2d,
-        "mask_visible_any": visible.any(axis=0),
+        "mask_visible_any": visible_any,
         "boundary": boundary,
     }
 
@@ -563,6 +671,36 @@ def bake_texture(
         face_chunk=face_chunk,
     )
     uv_out = uv_render(mesh, uv_size, face_chunk=face_chunk, pixel_tile=uv_pixel_tile)
+    if method == "reproject":
+        # fused visibility + paste: one jitted program instead of the eager
+        # view_visibility -> paste composition (parity-tested equal); its
+        # shapes depend only on (uv_size, view grid), so one compile serves
+        # every mesh bucket
+        color_cur, mask_cur, boundary, visible_any, vis_pv = _visibility_paste(
+            uv_out["position"], uv_out["mask"], uv_out["tri"],
+            uv_out["face_normal"],
+            mv_out["mvp"], mv_out["w2cs"], c2ws, mv_out["depth"],
+            mv_out["tri"], mv_out["mask"] & mv_out["mask_visible"],
+            view_images,
+            perspective=perspective,
+            ray_normal_angle_threshold=ray_normal_angle_threshold,
+            depth_eps=depth_eps, visibility_mode=visibility_mode,
+            ring_kernels=(3, 5),
+            priority=bake_kwargs.get("priority", VIEW_PRIORITY),
+            kernel_size_boundary=bake_kwargs.get("kernel_size_boundary", 3),
+            kernel_size_boundary_blur=bake_kwargs.get(
+                "kernel_size_boundary_blur", 3),
+        )
+        out = _finish_reproject_blur(
+            uv_out, color_cur, mask_cur, boundary, visible_any,
+            method=bake_kwargs.get("method", "lens"),
+            kernel_size_blur=bake_kwargs.get("kernel_size_blur", 5),
+            knn_max_ref=knn_max_ref, knn_chunk=knn_chunk,
+            query_field=bake_kwargs.get("query_field"),
+        )
+        out["visible_per_view"] = vis_pv
+        out["mask_visible_any"] = visible_any
+        return out
     vis_out = view_visibility(
         uv_out, mv_out, c2ws, view_images,
         perspective=perspective,
@@ -570,12 +708,7 @@ def bake_texture(
         depth_eps=depth_eps,
         visibility_mode=visibility_mode,
     )
-    if method == "reproject":
-        out = bake_reproject_blur(
-            uv_out, vis_out,
-            knn_max_ref=knn_max_ref, knn_chunk=knn_chunk, **bake_kwargs,
-        )
-    elif method == "reproject_blending":
+    if method == "reproject_blending":
         out = bake_reproject_blending(
             uv_out, vis_out,
             knn_max_ref=knn_max_ref, knn_chunk=knn_chunk, **bake_kwargs,
