@@ -42,6 +42,13 @@ class FluxConfig:
     # 13.8k-token joint sequence fits one GPU; this is the TPU-native
     # long-context answer for >6-view / higher-res grids.
     seq_axis: "str | None" = None
+    # SP scheme when seq_axis is set: "ulysses" (two all_to_all reshards,
+    # full-sequence flash attention on a head slice — least ICI traffic at
+    # UniTEX lengths, needs heads % axis == 0), "ring" (K/V rotation,
+    # O(S/n) K/V memory — for >100k-token sequences or head counts that
+    # don't divide the axis), or "auto" (ulysses when the head count
+    # divides the axis, ring otherwise).  See ops/ring_attention.py.
+    sp_mode: str = "auto"
 
     @property
     def hidden_size(self) -> int:

@@ -180,13 +180,26 @@ def _heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
 
 
 def _attention(cfg: FluxConfig, q, k, v) -> jnp.ndarray:
-    """Attention dispatch on [B, S, H, D]: ring sequence-parallel when
+    """Attention dispatch on [B, S, H, D]: sequence-parallel when
     ``cfg.seq_axis`` names the mesh axis the sequence is sharded over
-    (the forward then runs inside shard_map — see flux_forward_sp),
-    flash/jnp sdpa otherwise."""
+    (the forward then runs inside shard_map — see flux_forward_sp):
+    ``cfg.sp_mode`` picks ulysses (head-sharded full-seq flash) or ring
+    (K/V rotation); flash/jnp sdpa otherwise."""
     if cfg.seq_axis is not None:
-        from ...ops.ring_attention import ring_attention_local
+        from ...ops.ring_attention import (
+            ring_attention_local,
+            ulysses_attention_local,
+        )
 
+        mode = cfg.sp_mode
+        if mode == "auto":
+            n = jax.lax.axis_size(cfg.seq_axis)
+            mode = "ulysses" if q.shape[2] % n == 0 else "ring"
+        if mode == "ulysses":
+            return ulysses_attention_local(
+                q, k, v, cfg.seq_axis,
+                attn_fn=lambda a, b, c: sdpa(a, b, c, qk8=cfg.attn_qk8),
+            )
         return ring_attention_local(q, k, v, cfg.seq_axis)
     return sdpa(q, k, v, qk8=cfg.attn_qk8)
 

@@ -45,16 +45,20 @@ def flux_forward_sp(
     guidance: Optional[jnp.ndarray] = None,
     mesh: Optional[Mesh] = None,
     seq_axis: Optional[str] = None,
+    sp_mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """:func:`flux_forward` with the sequence sharded over ``seq_axis``
     (default ``cfg.seq_axis``).  Same numerics; S_img and S_txt must both
     divide the axis size.  ``mesh=None`` uses the ambient mesh
-    (``jax.set_mesh``).  Token dropping (``kv_keep_idx``) indexes the
-    global sequence and is not supported under SP.
+    (``jax.set_mesh``).  ``sp_mode`` overrides ``cfg.sp_mode``
+    (ulysses/ring/auto — ops/ring_attention.py).  Token dropping
+    (``kv_keep_idx``) indexes the global sequence and is not supported
+    under SP.
     """
     seq_axis = seq_axis or cfg.seq_axis
     assert seq_axis is not None, "flux_forward_sp needs a seq axis name"
-    cfg_sp = dataclasses.replace(cfg, seq_axis=seq_axis)
+    cfg_sp = dataclasses.replace(
+        cfg, seq_axis=seq_axis, sp_mode=sp_mode or cfg.sp_mode)
 
     if mesh is None:
         n = jax.sharding.get_abstract_mesh().shape[seq_axis]

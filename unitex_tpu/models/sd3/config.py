@@ -21,10 +21,12 @@ class SD3Config:
     qk_norm: bool = False              # medium has no qk-norm; 3.5 uses rms
     mlp_ratio: float = 4.0
     dtype: str = "bfloat16"
-    # sequence-parallel ring attention: mesh axis the token sequence is
-    # sharded over (see models/flux/config.py seq_axis; sd3_forward_sp
-    # runs the block stack inside shard_map over this axis)
+    # sequence parallelism: mesh axis the token sequence is sharded over
+    # (see models/flux/config.py seq_axis; sd3_forward_sp runs the block
+    # stack inside shard_map over this axis)
     seq_axis: "str | None" = None
+    # SP scheme: "ulysses" | "ring" | "auto" (see models/flux/config.py)
+    sp_mode: str = "auto"
 
     @property
     def hidden_size(self) -> int:

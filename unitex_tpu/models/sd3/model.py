@@ -105,12 +105,23 @@ def _heads(x, h):
 
 
 def _attention(cfg, q, k, v):
-    """Ring sequence-parallel attention when ``cfg.seq_axis`` names the
-    mesh axis the sequence is sharded over (the block stack then runs
-    inside shard_map — sd3_forward_sp), flash/jnp sdpa otherwise."""
+    """Sequence-parallel attention when ``cfg.seq_axis`` names the mesh
+    axis the sequence is sharded over (the block stack then runs inside
+    shard_map — sd3_forward_sp): ``cfg.sp_mode`` picks ulysses (head-
+    sharded full-seq flash) or ring (K/V rotation); flash/jnp sdpa
+    otherwise."""
     if cfg.seq_axis is not None:
-        from ...ops.ring_attention import ring_attention_local
+        from ...ops.ring_attention import (
+            ring_attention_local,
+            ulysses_attention_local,
+        )
 
+        mode = getattr(cfg, "sp_mode", "auto")
+        if mode == "auto":
+            n = jax.lax.axis_size(cfg.seq_axis)
+            mode = "ulysses" if q.shape[2] % n == 0 else "ring"
+        if mode == "ulysses":
+            return ulysses_attention_local(q, k, v, cfg.seq_axis, attn_fn=sdpa)
         return ring_attention_local(q, k, v, cfg.seq_axis)
     return sdpa(q, k, v)
 
@@ -248,9 +259,11 @@ def sd3_forward_sp(
     pooled_projections: jnp.ndarray,
     mesh=None,
     seq_axis: "str | None" = None,
+    sp_mode: "str | None" = None,
 ):
     """:func:`sd3_forward` with the token sequence sharded over
-    ``seq_axis`` (ring attention, ops/ring_attention.py).  The patchify /
+    ``seq_axis`` (ulysses/ring per ``sp_mode``, ops/ring_attention.py —
+    overrides ``cfg.sp_mode``).  The patchify /
     embedding prologue and the unpatchify epilogue stay replicated (cheap,
     token-local); the 24-block stack runs inside shard_map with hidden and
     context sequence-sharded.  ``mesh=None`` uses the ambient mesh.  Both
@@ -262,7 +275,9 @@ def sd3_forward_sp(
 
     seq_axis = seq_axis or cfg.seq_axis
     assert seq_axis is not None, "sd3_forward_sp needs a seq axis name"
-    cfg_sp = dataclasses.replace(cfg, seq_axis=seq_axis)
+    cfg_sp = dataclasses.replace(
+        cfg, seq_axis=seq_axis,
+        sp_mode=sp_mode or getattr(cfg, "sp_mode", "auto"))
 
     if mesh is None:
         n = jax.sharding.get_abstract_mesh().shape[seq_axis]

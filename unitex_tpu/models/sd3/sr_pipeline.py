@@ -167,11 +167,13 @@ class TSDSRConfig:
     tile_batch: int = 8                # latent tiles per transformer call
     vae_encode_batch: int = 8          # 512² pixel tiles per VAE-encode call
     # decode activations are the HBM peak (128² latent -> 1024² x 512-ch):
-    # f32 8-tile batches OOM a 16 GB v5e chip (2 measured safe); bf16
-    # halves the peak so the batch doubles.  group_norm statistics stay
-    # f32 inside group_norm; the output is uint8-quantized downstream, so
-    # bf16's ~3-digit mantissa sits below the 1-LSB quantization floor.
-    vae_decode_batch: int = 4
+    # f32 8-tile batches OOM a 16 GB v5e chip (2 measured safe); bf16 with
+    # input-dtype group_norm application halves the peak so 8 fits, and
+    # measured 3.0-3.5 s vs batch-4's 4.6-5.3 s for the full 512²->2048²
+    # stage (same process, 5 reps each).  group_norm statistics stay f32;
+    # the output is uint8-quantized downstream, so bf16's ~3-digit
+    # mantissa sits below the 1-LSB quantization floor.
+    vae_decode_batch: int = 8
     vae_decode_dtype: str = "bfloat16"  # "float32" to force full precision
     # W8A8 int8 serving for the SD3 transformer blocks (the same transform
     # as FLUX's, models/flux/quantize.py — SD3 shares the linear dispatch);

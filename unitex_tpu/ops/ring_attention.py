@@ -86,3 +86,78 @@ def ring_attention(
         out_specs=spec,
     )
     return fn(q, k, v)
+
+
+def ulysses_attention_local(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis_name: str,
+    attn_fn=None,
+):
+    """Ulysses (DeepSpeed-style) sequence parallelism: two ``all_to_all``
+    reshards instead of a K/V ring.
+
+    The per-shard body for q/k/v [B, S_local, H, D] inside shard_map over
+    ``axis_name``: all_to_all gathers the FULL sequence while splitting the
+    head axis (-> [B, S, H/n, D]), full attention runs locally — through
+    the tuned Pallas flash kernel via ``attn_fn`` — and a second
+    all_to_all restores the token sharding.  Exact for any head-sharded
+    full attention; H must divide the axis size.  At UniTEX's 13.8k-token
+    joint sequence this moves 2·S·H·D/n elements per device per attention
+    vs the ring's (n-1)·2·S·H·D/n for K+V — and the local compute is ONE
+    flash call instead of n online-softmax block merges, which is why it
+    is the default ``sp_mode`` (SURVEY §5: head-sharding is the natural
+    fit at this length; the ring remains for sequences whose K/V no longer
+    fit a chip, >100k tokens).
+    """
+    n_dev = jax.lax.axis_size(axis_name)
+    H = q.shape[2]
+    assert H % n_dev == 0, (
+        f"ulysses needs heads {H} divisible by the '{axis_name}' axis "
+        f"size {n_dev}")
+    if attn_fn is None:
+        def attn_fn(q_, k_, v_):
+            scale = 1.0 / math.sqrt(q_.shape[-1])
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q_, k_)
+            w = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+            return jnp.einsum("bhqk,bkhd->bqhd", w.astype(v_.dtype), v_)
+
+    def a2a(x, split_axis, concat_axis):
+        return jax.lax.all_to_all(
+            x, axis_name, split_axis=split_axis, concat_axis=concat_axis,
+            tiled=True,
+        )
+
+    # [B, S/n, H, D] -> [B, S, H/n, D]: every device sees the full
+    # sequence for its head slice
+    q_h = a2a(q, 2, 1)
+    k_h = a2a(k, 2, 1)
+    v_h = a2a(v, 2, 1)
+    out = attn_fn(q_h, k_h, v_h)
+    # [B, S, H/n, D] -> [B, S/n, H, D]
+    return a2a(out, 1, 2)
+
+
+def ulysses_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """Exact attention with q/k/v [B, S, H, D] sequence-sharded over
+    ``axis_name`` via two all_to_all reshards (see
+    :func:`ulysses_attention_local`).  S and H must divide the axis size."""
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    spec = P(None, axis_name, None, None)
+    fn = shard_map(
+        partial(ulysses_attention_local, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)

@@ -65,6 +65,13 @@ def _face_normal_image(face_normals, tri):
     return jnp.where((tri >= 0)[..., None], fn, 0.0)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "render_size", "perspective", "grad_norm_threshold",
+        "ray_normal_angle_threshold", "filt_gradient_points", "face_chunk",
+    ),
+)
 def mv_render(
     mesh: Mesh,
     c2ws: jnp.ndarray,
@@ -76,7 +83,11 @@ def mv_render(
     filt_gradient_points: bool = False,
     face_chunk: int = 512,
 ) -> Dict[str, jnp.ndarray]:
-    """Per-view geometry buffers of the processed mesh (mv_to_pcd)."""
+    """Per-view geometry buffers of the processed mesh (mv_to_pcd).
+
+    Jitted whole (the inner rasterize is itself jitted and inlines): the
+    interpolate/normal/depth/gradient-filter chain otherwise runs eagerly,
+    one HBM round-trip per op.  Compiles per mesh shape bucket."""
     H, W = render_size
     M = c2ws.shape[0]
     if intrinsics.ndim == 2:
@@ -140,6 +151,7 @@ def mv_render(
     }
 
 
+@partial(jax.jit, static_argnames=("uv_size", "face_chunk", "pixel_tile"))
 def uv_render(
     mesh: Mesh,
     uv_size: int,
@@ -147,7 +159,7 @@ def uv_render(
     pixel_tile: int = 512,
 ) -> Dict[str, jnp.ndarray]:
     """UV-space geometry buffers (uv_to_pcd first half): per-texel mask,
-    3D position, face normal, triangle id."""
+    3D position, face normal, triangle id.  Jitted whole (see mv_render)."""
     rast = rasterize_uv(
         mesh.uv, mesh.faces_uv.astype(jnp.int32), uv_size,
         face_chunk=face_chunk, pixel_tile=pixel_tile,
