@@ -24,8 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _pool(x: jnp.ndarray, k: int, op: str) -> jnp.ndarray:
-    """Same-padded kxk window reduce over the last-3/-2 (H, W) axes."""
+def _pool(x: jnp.ndarray, k: int, op: str, axes=(-3, -2)) -> jnp.ndarray:
+    """Same-padded kxk window reduce over the two ``axes`` (default: the
+    H, W axes of a channels-last image)."""
     if op == "max":
         init, fn = -jnp.inf, jax.lax.max
     else:
@@ -34,11 +35,10 @@ def _pool(x: jnp.ndarray, k: int, op: str) -> jnp.ndarray:
     nd = x.ndim
     dims = [1] * nd
     strides = [1] * nd
-    dims[-3] = k
-    dims[-2] = k
     padding = [(0, 0)] * nd
-    padding[-3] = (pad, pad)
-    padding[-2] = (pad, pad)
+    for ax in axes:
+        dims[ax] = k
+        padding[ax] = (pad, pad)
     return jax.lax.reduce_window(x, init, fn, dims, strides, padding)
 
 
@@ -50,13 +50,25 @@ def min_pool2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return _pool(x, k, "min")
 
 
+def _pool_mask(mask: jnp.ndarray, k: int, op: str) -> jnp.ndarray:
+    """kxk window reduce of a [..., H, W, 1] bool mask -> bool.
+
+    Pools the squeezed [..., H, W] array: a reduce_window over [H, W, 1]
+    f32 puts the size-1 channel in the TPU (8,128) tile's lane axis and
+    pads it 128x — at 2048^2 that is a 2 GB HBM temp PER window op
+    (measured: compile-time OOM in a fused-bake probe).  Squeezed, W is
+    the lane axis and pads to a multiple of 128 only."""
+    x = _pool(mask.astype(jnp.float32)[..., 0], k, op, axes=(-2, -1))
+    return (x > 0.0)[..., None]
+
+
 def dilate_mask(mask: jnp.ndarray, k: int) -> jnp.ndarray:
     """Binary dilation of a [..., H, W, 1] bool mask."""
-    return max_pool2d(mask.astype(jnp.float32), k) > 0.0
+    return _pool_mask(mask, k, "max")
 
 
 def erode_mask(mask: jnp.ndarray, k: int) -> jnp.ndarray:
-    return min_pool2d(mask.astype(jnp.float32), k) > 0.0
+    return _pool_mask(mask, k, "min")
 
 
 def boundary_mask(mask: jnp.ndarray, k: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -47,7 +47,6 @@ from ..ops.image_ops import (
     lens_blur,
     erode_mask,
     gaussian_blur,
-    min_pool2d,
     pull_push,
     ring_close_mask,
 )
@@ -133,7 +132,7 @@ def mv_render(
         smooth = grad_norm < grad_norm_threshold
         # erode the smooth region with a 31x31 window (reference dilates the
         # rejected region, renderer_inverse.py:210-213)
-        smooth = min_pool2d(smooth.astype(jnp.float32), 31) > 0.0
+        smooth = erode_mask(smooth, 31)
         mask_vis = mask_vis & smooth
     else:
         mask_vis = mask
@@ -293,32 +292,20 @@ def _visibility_paste(
     """Fused per-view visibility + priority paste, one XLA program.
 
     Composition-equivalent to ``view_visibility`` followed by
-    ``bake_reproject_blur``'s paste loop (parity-tested), but scanned over
-    views with the paste in the carry: the eager composition materializes
-    [M, H2, W2, C] colors + [M, H2, W2, 1] masks and every elementwise
-    intermediate to HBM; here XLA fuses the projection/sampling/test
-    chain per view and only the [H2, W2, *] carry crosses iterations.
-    Shapes depend only on (uv_size, view count/res), NOT on mesh bucket —
-    one compile serves every asset.  Returns (color_cur, mask_cur,
-    boundary, visible_any, visible_per_view [M,...] in view order)."""
+    ``bake_reproject_blur``'s paste loop (parity-tested).  The per-view
+    visibility math stays vmapped over the view axis — the convs/gathers/
+    grid_samples batch all M views into single dispatches, which measured
+    ~2x faster than a lax.scan over views at production scale (the scan
+    serialized conv/gather work the VPU wants batched) — and the paste is
+    an unrolled masked-select chain XLA fuses into the same program, so
+    the eager composition's per-op HBM round-trips between visibility and
+    paste disappear.  Shapes depend only on (uv_size, view count/res),
+    NOT on mesh bucket — one compile serves every asset.  Returns
+    (color_cur, mask_cur, boundary, visible_any,
+    visible_per_view [M,...] in view order)."""
     pos_h = jnp.concatenate([uv_pos, jnp.ones_like(uv_pos[..., :1])], axis=-1)
-    perm = list(priority)
-    xs = tuple(
-        a[jnp.asarray(perm)]
-        for a in (mvp, w2cs, c2ws, depth, tri, maskv, view_images)
-    )
-    H2, W2 = uv_mask.shape[:2]
-    C = view_images.shape[-1]
-    carry0 = (
-        jnp.zeros((H2, W2, C), view_images.dtype),
-        jnp.zeros((H2, W2, 1), bool),
-        jnp.zeros((H2, W2, 1), bool),
-        jnp.zeros((H2, W2, 1), bool),
-    )
 
-    def step(carry, x):
-        color_cur, mask_cur, boundary, visible_any = carry
-        mvp_i, w2c_i, c2w_i, depth_i, tri_i, maskv_i, img_i = x
+    def one_view(mvp_i, w2c_i, c2w_i, depth_i, tri_i, maskv_i, img_i):
         vis, color, _ = _one_view_visibility(
             uv_pos, pos_h, uv_mask, uv_tri, uv_fn,
             mvp_i, w2c_i, c2w_i, depth_i, tri_i, maskv_i, img_i,
@@ -327,27 +314,28 @@ def _visibility_paste(
             depth_eps=depth_eps, visibility_mode=visibility_mode,
             ring_kernels=ring_kernels,
         )
-        extra = (~mask_cur) & vis
-        color_cur = jnp.where(extra, color, color_cur)
+        return vis, color
+
+    visible, colors = jax.vmap(one_view)(
+        mvp, w2cs, c2ws, depth, tri, maskv, view_images
+    )
+
+    H2, W2 = uv_mask.shape[:2]
+    C = view_images.shape[-1]
+    color_cur = jnp.zeros((H2, W2, C), view_images.dtype)
+    mask_cur = jnp.zeros((H2, W2, 1), bool)
+    boundary = jnp.zeros((H2, W2, 1), bool)
+    for i in priority:
+        extra = (~mask_cur) & visible[i]
+        color_cur = jnp.where(extra, colors[i], color_cur)
         mask_cur = mask_cur | extra
         b_in, b_out = boundary_mask(extra, kernel_size_boundary)
         boundary = boundary | b_in | b_out
-        visible_any = visible_any | vis
-        return (color_cur, mask_cur, boundary, visible_any), vis
-
-    (color_cur, mask_cur, boundary, visible_any), vis_stack = jax.lax.scan(
-        step, carry0, xs
-    )
     boundary = dilate_mask(boundary, kernel_size_boundary_blur)
     boundary = boundary & erode_mask(
         uv_mask, 2 * (kernel_size_boundary_blur // 2) + 5
     )
-    # un-permute the stacked per-view visibility back to view order
-    inv = [0] * len(perm)
-    for k, p in enumerate(perm):
-        inv[p] = k
-    visible_per_view = vis_stack[jnp.asarray(inv)]
-    return color_cur, mask_cur, boundary, visible_any, visible_per_view
+    return color_cur, mask_cur, boundary, visible.any(axis=0), visible
 
 
 def _select_masked_points(
