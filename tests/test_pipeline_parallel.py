@@ -302,3 +302,48 @@ class TestPPTraining:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5
             )
+
+
+class TestPPServing:
+    """PP as a SERVING capability: the denoise loop's pluggable forward_fn
+    runs flux_forward_pp over storage-sharded weights (each device stores
+    L/P blocks at rest — the bf16 >16 GB path, prepare_flux_params_pp)."""
+
+    def test_denoise_pp_matches_sequential(self):
+        from functools import partial
+
+        from unitex_tpu.models.flux.pipeline import denoise
+        from unitex_tpu.models.flux.pp import prepare_flux_params_pp
+        from unitex_tpu.models.flux.scheduler import FlowMatchEulerScheduler
+
+        cfg = FluxConfig.tiny()
+        params = init_flux_params(jax.random.key(0), cfg)
+        rng = np.random.default_rng(0)
+        img_ids = latent_image_ids(2, 4)
+        S = img_ids.shape[0]
+        noise = jnp.asarray(
+            rng.normal(size=(1, S, cfg.in_channels)).astype(np.float32)
+        )
+        prompt = jnp.zeros((1, 6, cfg.joint_attention_dim), jnp.float32)
+        pooled = jnp.zeros((1, cfg.pooled_projection_dim), jnp.float32)
+        txt_ids = jnp.zeros((6, 3), jnp.float32)
+        sched = FlowMatchEulerScheduler.create(3, S)
+
+        ref = denoise(
+            params, cfg, noise, img_ids, txt_ids, prompt, pooled, sched, 3.5
+        )
+
+        mesh = _pipe_mesh(4)
+        prepared = prepare_flux_params_pp(params, mesh, pipe_axis="pipe")
+        # prepared stacks are padded to the pipe size and sharded layer-wise
+        lv = prepared["dual_blocks"]["_valid"]
+        assert lv.shape[0] % 4 == 0
+        assert "pipe" in str(jax.tree.leaves(prepared["dual_blocks"])[0].sharding)
+        out = denoise(
+            prepared, cfg, noise, img_ids, txt_ids, prompt, pooled, sched,
+            3.5,
+            forward_fn=partial(flux_forward_pp, mesh=mesh, n_micro=1),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5
+        )

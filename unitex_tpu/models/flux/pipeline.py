@@ -96,6 +96,7 @@ def denoise(
     inpaint_mask: Optional[jnp.ndarray] = None,
     fixed_noise: Optional[jnp.ndarray] = None,
     reuse_mask: Optional[jnp.ndarray] = None,
+    forward_fn=None,
 ) -> jnp.ndarray:
     """Flow-match Euler denoise loop over the packed sequence as a
     ``lax.scan``.  noise [B, S_noise, C]; condition_latents [B, S_cond, C]
@@ -116,7 +117,17 @@ def denoise(
     rectified-flow acceleration; the flow-match velocity field is smooth
     along the sampling trajectory).  Both scan branches compile once; a
     masked step costs ~0 device time.  Use :func:`make_reuse_mask` — it
-    never masks the first two or the last step and never two in a row."""
+    never masks the first two or the last step and never two in a row.
+
+    ``forward_fn`` swaps the velocity model (default
+    :func:`~unitex_tpu.models.flux.model.flux_forward`) for a parallel
+    variant with the same call signature — e.g.
+    ``partial(flux_forward_pp, mesh=mesh, n_micro=1)`` serves the bf16 12B
+    model with its weights stage-sharded at rest
+    (:func:`~unitex_tpu.models.flux.pp.prepare_flux_params_pp`), or
+    ``partial(flux_forward_sp, mesh=mesh, seq_axis=...)`` for
+    sequence-parallel long-grid denoising."""
+    fwd = flux_forward if forward_fn is None else forward_fn
     B, S_noise, C = noise.shape
     guidance = (
         jnp.full((B,), guidance_scale, jnp.float32)
@@ -144,7 +155,7 @@ def denoise(
         timestep = jnp.full((B,), t / 1000.0, jnp.float32)
 
         def compute(lat):
-            return flux_forward(
+            return fwd(
                 transformer_params,
                 flux_cfg,
                 lat,
@@ -221,6 +232,7 @@ def run_flux_pipeline(
     noise: Optional[jnp.ndarray] = None,
     control_eps: Optional[jnp.ndarray] = None,
     dual_eps: Optional[jnp.ndarray] = None,
+    forward_fn=None,
 ) -> jnp.ndarray:
     """Full text-free conditioned generation.
 
@@ -317,6 +329,7 @@ def run_flux_pipeline(
         reuse_mask=make_reuse_mask(
             pipe_cfg.num_inference_steps, pipe_cfg.velocity_reuse
         ),
+        forward_fn=forward_fn,
     )
     latents = unpack_latents(out_tokens, HL, WL)
     image = vae_decode_jit(vae_params, vae_cfg, latents)[0]

@@ -138,12 +138,24 @@ def flux_forward_pp(
         x, _ = jax.lax.scan(body, x, blocks)
         return x
 
+    def _prep(stacked):
+        # already prepared (prepare_flux_params_pp): pre-padded, validity-
+        # tagged, and storage-sharded over the pipe axis — use as-is so the
+        # shard_map consumes the resident layout without a per-call reshard
+        if "_valid" in stacked:
+            L = stacked["_valid"].shape[0]
+            assert L % P_sz == 0, (
+                f"prepared stack depth {L} not a multiple of pipe={P_sz}"
+            )
+            return stacked
+        return pad_stacked_blocks(_with_valid(stacked), P_sz)
+
     def _with_valid(stacked):
         L = jax.tree.leaves(stacked)[0].shape[0]
         return {**stacked, "_valid": jnp.ones((L,), jnp.float32)}
 
-    dual = pad_stacked_blocks(_with_valid(params["dual_blocks"]), P_sz)
-    single = pad_stacked_blocks(_with_valid(params["single_blocks"]), P_sz)
+    dual = _prep(params["dual_blocks"])
+    single = _prep(params["single_blocks"])
 
     pack = pipeline_apply_chain(
         dual_stage, dual, single_stage, single, pack, temb_m, shared,
@@ -154,3 +166,44 @@ def flux_forward_pp(
     sc, sh_ = _ada_ln_zero(params["norm_out"], temb, 2)
     x = layer_norm(x) * (1 + sc) + sh_
     return linear(params["proj_out"], x).astype(jnp.float32)
+
+
+def prepare_flux_params_pp(
+    params: Params, mesh: Mesh, pipe_axis: str = "pipe"
+) -> Params:
+    """Storage-level layer sharding for pipeline-parallel SERVING.
+
+    Pads the dual/single block stacks to a multiple of the pipe-axis size,
+    tags the per-block validity flag, and places every stacked leaf with
+    its leading LAYER axis sharded over ``pipe_axis`` — each device
+    *stores* L/P contiguous blocks at rest.  Full-quality bf16 12B FLUX is
+    ~24 GB of weights, more than one 16 GB v5e chip: P=2 holds 12 GB/chip,
+    P=8 holds 3 GB/chip, with no TP-style per-layer collectives (the
+    reference's small-VRAM answer is lossy NF4 quantization,
+    /root/reference/pipeline.py:87-95; this keeps bf16 exactly).
+    Non-block leaves (embedders, norm_out, proj_out) are replicated.
+
+    :func:`flux_forward_pp` detects the prepared stacks (``_valid`` key)
+    and skips its per-call padding, so the shard_map's ``P(pipe_axis)``
+    in_specs consume the resident layout without any resharding copy."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PSpec
+
+    P_sz = mesh.shape[pipe_axis]
+    staged = NamedSharding(mesh, PSpec(pipe_axis))
+    replicated = NamedSharding(mesh, PSpec())
+    out = {}
+    for name, sub in params.items():
+        if name in ("dual_blocks", "single_blocks"):
+            if "_valid" not in sub:
+                L = jax.tree.leaves(sub)[0].shape[0]
+                sub = {**sub, "_valid": jnp.ones((L,), jnp.float32)}
+            sub = pad_stacked_blocks(sub, P_sz)
+            out[name] = jax.tree.map(
+                lambda x: jax.device_put(x, staged), sub
+            )
+        else:
+            out[name] = jax.tree.map(
+                lambda x: jax.device_put(x, replicated), sub
+            )
+    return out
