@@ -342,3 +342,25 @@ class TestAsyncIO:
         with open(glb_out, "rb") as f:
             got = f.read()
         assert got == want
+
+    def test_async_deferred_texture_pull_matches_sync(self, assets, tmp_path):
+        """async_io + save_artifacts=False defers the device->host texture
+        pull itself to the writer thread; the GLB is still byte-identical."""
+        mesh_path, img_path = assets
+        sync_dir, async_dir = str(tmp_path / "s"), str(tmp_path / "a")
+        pipe_s = CustomRGBTextureFullPipeline(
+            pretrain_models=None, seed=63, config=small_config(),
+            save_artifacts=False,
+        )
+        pipe_s(sync_dir, img_path, mesh_path)
+        pipe_a = CustomRGBTextureFullPipeline(
+            pretrain_models=None, seed=63, config=small_config(),
+            save_artifacts=False, async_io=True,
+        )
+        _, glb_out = pipe_a(async_dir, img_path, mesh_path)
+        pipe_a.flush_io()
+        with open(os.path.join(sync_dir, "textured_mesh.glb"), "rb") as f:
+            want = f.read()
+        with open(glb_out, "rb") as f:
+            got = f.read()
+        assert got == want

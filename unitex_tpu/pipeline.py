@@ -408,7 +408,22 @@ class RGBTextureFullPipelineBase:
         # (12.6 MB) instead of f32 (50 MB) — measured 2.5-3.0 s saved
         from .utils.image_io import to_uint8_device
 
-        tex_u8 = np.asarray(to_uint8_device(out["texture"]))
+        tex_dev = to_uint8_device(out["texture"])
+        glb_path = os.path.join(save_dir, "textured_mesh.glb")
+        if self._io_pool is not None and not self.save_artifacts:
+            # fast serving: the device->host texture pull (~0.7 s through
+            # the tunnel) rides the ordered writer thread with the GLB
+            # encode, overlapping the next job's device dispatches
+            def _pull_encode_save(path, pm, tex):
+                save_mesh(path, HostMesh(
+                    pm.vertices, pm.faces, uv=pm.uv, faces_uv=pm.faces_uv,
+                    texture=np.asarray(tex),
+                ))
+
+            self._submit_io(_pull_encode_save, glb_path, processed_mesh, tex_dev)
+            return glb_path
+
+        tex_u8 = np.asarray(tex_dev)
         if self.save_artifacts:
             save_image(
                 os.path.join(save_dir, "visable_uv_mask.png"),
@@ -428,7 +443,6 @@ class RGBTextureFullPipelineBase:
             faces_uv=processed_mesh.faces_uv,
             texture=tex_u8,
         )
-        glb_path = os.path.join(save_dir, "textured_mesh.glb")
         self._submit_io(save_mesh, glb_path, textured)
         return glb_path
 
