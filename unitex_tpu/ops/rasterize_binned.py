@@ -155,7 +155,17 @@ def rasterize_binned(
     tile_flat = tile_id.reshape(-1)
     tri_flat = tri_id.reshape(-1)
 
-    order = jnp.argsort(tile_flat)
+    # sort candidates by (tile, nearest-z): when a bin overflows its static
+    # capacity, the dropped entries are the FARTHEST triangles in the tile —
+    # the ones most likely occluded anyway — instead of whichever happened
+    # to carry the highest face index (z-aware graceful degradation; it is
+    # what lets the capacity heuristic in ops/rasterize.py run without the
+    # old 8x headroom).  Composite int32 key: tile * 2^16 + z16, exact for
+    # tile counts up to 16384 (a 4096^2 image at tile 32).
+    z_near = jnp.clip(z_ndc.min(axis=1), -1.0, 1.0)          # [F]
+    z16 = ((z_near + 1.0) * 0.5 * 65535.0).astype(jnp.int32)
+    key = tile_flat * 65536 + jnp.take(z16, tri_flat)
+    order = jnp.argsort(key)
     tile_sorted = tile_flat[order]
     tri_sorted = tri_flat[order]
 
