@@ -76,6 +76,37 @@ class TestImageOps:
         closed = ring_close_mask(jnp.asarray(mask), (3,))
         assert not bool(np.asarray(closed)[4, 4, 0])
 
+    def test_ring_close_matches_dense_conv(self):
+        # the separable box-sum form must equal the reference dense kxk
+        # ring conv (k^2 border / -1 interior) bit-for-bit, including the
+        # sequential k=3 -> k=5 mask update and batched leading axes
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        mask = rng.random((2, 33, 47, 1)) > 0.35
+
+        def dense_ring_close(m, ks):
+            for k in ks:
+                kern = np.full((k, k), -1.0, dtype=np.float32)
+                kern[0, :] = kern[-1, :] = kern[:, 0] = kern[:, -1] = float(k * k)
+                x = m.astype(jnp.float32)[..., 0]
+                conv = jax.lax.conv_general_dilated(
+                    x[..., None], jnp.asarray(kern)[..., None, None],
+                    (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )[..., 0]
+                thresh = ((k - 1) ** 2 - 1) * ((k - 2) ** 2)
+                m = m | (conv >= thresh)[..., None]
+            return m
+
+        got = ring_close_mask(jnp.asarray(mask), (3, 5))
+        want = dense_ring_close(jnp.asarray(mask), (3, 5))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # unbatched [H, W, 1] input too
+        got2 = ring_close_mask(jnp.asarray(mask[0]), (3, 5))
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(want[0]))
+
     def test_boundary_and_morphology(self):
         mask = np.zeros((16, 16, 1), bool)
         mask[4:12, 4:12] = True

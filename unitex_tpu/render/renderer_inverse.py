@@ -185,14 +185,18 @@ def _one_view_visibility(
     # linear view depth of the texel point
     cam = pos_h @ w2c_i.T
     tex_depth = -cam[..., 2:3]
-    # sampled view depth + view mask at the projected location
+    # sampled view depth + view mask (+ view color) at the projected
+    # location, as ONE bilinear gather: color taps share the depth/alpha
+    # taps' addresses, so fusing them halves the 4M-texel gather passes.
+    # Zeros padding is sound for the color channels too: visibility
+    # requires view_alpha > 0.999, so any texel whose sample window leaves
+    # the image (where border vs zeros padding differ) is invisible and
+    # its color is never consumed (out-of-window tap weight < 1e-3).
+    planes = [jnp.where(mask_i, depth_i, 0.0), mask_i.astype(jnp.float32)]
+    if img_i is not None:
+        planes.append(img_i)
     samp = grid_sample(
-        jnp.concatenate(
-            [jnp.where(mask_i, depth_i, 0.0), mask_i.astype(jnp.float32)],
-            axis=-1,
-        ),
-        ndc,
-        padding_mode="zeros",
+        jnp.concatenate(planes, axis=-1), ndc, padding_mode="zeros"
     )
     view_depth, view_alpha = samp[..., :1], samp[..., 1:2]
     depth_ok = (view_alpha > 0.999) & (
@@ -221,7 +225,7 @@ def _one_view_visibility(
     vis = vis & (cos_rn < math.cos(math.radians(ray_normal_angle_threshold)))
     vis = ring_close_mask(vis, ring_kernels) if ring_kernels else vis
     vis = vis & mask_2d
-    color = grid_sample(img_i, ndc, padding_mode="border") if img_i is not None else None
+    color = samp[..., 2:] if img_i is not None else None
     return vis, color, ndc
 
 
