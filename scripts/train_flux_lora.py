@@ -249,6 +249,36 @@ def main():
             state = dataclasses.replace(
                 state, lora=restored, step=jnp.asarray(mgr.latest_step(), jnp.int32)
             )
+        if args.pipe and mesh is not None:
+            # one-time pad/tag/storage-shard of both the base stacks and
+            # the adapter (models/flux/pp.py): the traced step then
+            # consumes the resident layout with no in-trace concatenates —
+            # the per-call padding path made XLA SPMD emit an involuntary
+            # full rematerialization of the block params every step.
+            # Checkpoints store the STRIPPED (unpadded) adapter, so resume
+            # above works for any pipe config; opt state re-inits on the
+            # padded adapter (the CLI never checkpoints moments).
+            from unitex_tpu.models.flux.pp import (
+                prepare_flux_params_pp,
+                prepare_lora_pp,
+            )
+
+            tparams = prepare_flux_params_pp(tparams, mesh)
+            lora_pp = prepare_lora_pp(state.lora, mesh)
+            with jax.set_mesh(mesh):
+                opt_pp = jax.jit(tx.init)(lora_pp)
+            state = dataclasses.replace(state, lora=lora_pp, opt_state=opt_pp)
+
+    def _export_params(st):
+        """Checkpoint payload: full params, or the portable (pipe-padding-
+        stripped) adapter."""
+        if args.full_finetune:
+            return st.params
+        if args.pipe and mesh is not None:
+            from unitex_tpu.models.flux.pp import strip_lora_padding
+
+            return strip_lora_padding(st.lora, cfg)
+        return st.lora
 
     # fixed-prompt conditioning, computed once: the reference embeds the
     # trigger prompt with CLIP-L + T5 (trainer.py:165-181); our encoders
@@ -366,7 +396,7 @@ def main():
         if step % 10 == 0:
             print(f"step {step}: loss {float(loss):.4f}")
         if mgr.should_save(step):
-            mgr.save(step, state.params if args.full_finetune else state.lora)
+            mgr.save(step, _export_params(state))
         if args.validation_steps and step > 0 and step % args.validation_steps == 0:
             from unitex_tpu.models.flux.lora import merge_lora
             from unitex_tpu.models.flux.pipeline import (
@@ -379,6 +409,16 @@ def main():
                 state.params if args.full_finetune
                 else merge_lora(tparams, [(state.lora, 1.0)])
             )
+            val_forward = None
+            if args.pipe and mesh is not None:
+                # merged params are the prepared (padded, _valid-tagged,
+                # pipe-sharded) layout — only flux_forward_pp consumes it
+                from functools import partial as _partial
+
+                from unitex_tpu.models.flux.pp import flux_forward_pp
+
+                # batch is 1 here: single microbatch, no data sharding
+                val_forward = _partial(flux_forward_pp, mesh=mesh, n_micro=1)
             gh, gw = control.shape[1], control.shape[2]
             img = run_flux_pipeline(
                 merged, cfg, vparams, vae_cfg, jax.random.key(args.seed),
@@ -387,11 +427,12 @@ def main():
                     max_sequence_length=8 if args.tiny else 512,
                 ),
                 control_image=control[0],
+                forward_fn=val_forward,
             )
             save_image(
                 os.path.join(args.output_dir, f"validation_{step}.png"), img
             )
-    mgr.save(args.max_train_steps, state.params if args.full_finetune else state.lora)
+    mgr.save(args.max_train_steps, _export_params(state))
     logger.close()
 
 

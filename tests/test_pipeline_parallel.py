@@ -254,6 +254,76 @@ class TestPPTraining:
                 np.asarray(a), np.asarray(b), atol=1e-5
             )
 
+    def test_train_step_prepared_parity(self):
+        """The pre-prepared layout (prepare_flux_params_pp +
+        prepare_lora_pp: pad/tag/storage-shard ONCE, outside the trace)
+        matches the sequential step — loss and the updated adapter on the
+        real layers — and strip_lora_padding leaves padded layers exactly
+        zero-effect."""
+        from unitex_tpu.models.flux.pp import (
+            prepare_flux_params_pp,
+            prepare_lora_pp,
+            strip_lora_padding,
+        )
+        from unitex_tpu.training.flux_lora import (
+            FluxLoraTrainConfig,
+            create_train_state,
+            train_step,
+        )
+
+        cfg = FluxConfig.tiny()
+        base = init_flux_params(jax.random.key(0), cfg)
+        tcfg = FluxLoraTrainConfig(rank=2)
+        tcfg_pp = dataclasses.replace(tcfg, pipe_axis="pipe", pipe_n_micro=2)
+        rng = np.random.default_rng(0)
+        batch = {
+            "latents": jnp.asarray(
+                rng.normal(size=(2, 4, 4, cfg.in_channels // 4)), jnp.float32
+            ),
+            "prompt_embeds": jnp.asarray(
+                rng.normal(size=(2, 6, cfg.joint_attention_dim)), jnp.float32
+            ),
+            "pooled_embeds": jnp.asarray(
+                rng.normal(size=(2, cfg.pooled_projection_dim)), jnp.float32
+            ),
+        }
+        state, tx = create_train_state(jax.random.key(1), base, tcfg)
+        mesh = _pipe_mesh(4)
+        base_prep = prepare_flux_params_pp(base, mesh)
+        lora_prep = prepare_lora_pp(state.lora, mesh)
+        with jax.set_mesh(mesh):
+            opt_prep = jax.jit(tx.init)(lora_prep)
+        state_pp = dataclasses.replace(
+            state, lora=lora_prep, opt_state=opt_prep
+        )
+
+        state2, loss = train_step(
+            state, base, batch, jax.random.key(2), cfg, tcfg, tx
+        )
+        with jax.set_mesh(mesh):
+            state2_pp, loss_pp = train_step(
+                state_pp, base_prep, batch, jax.random.key(2), cfg,
+                tcfg_pp, tx
+            )
+        np.testing.assert_allclose(float(loss_pp), float(loss), rtol=1e-5)
+        stripped = strip_lora_padding(state2_pp.lora, cfg)
+        for a, b in zip(
+            jax.tree.leaves(stripped), jax.tree.leaves(state2.lora)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )
+        # padded adapter layers stay exactly zero-effect: b leaves are 0
+        for grp, L in (
+            ("dual_blocks", cfg.num_layers),
+            ("single_blocks", cfg.num_single_layers),
+        ):
+            for leaf in jax.tree.leaves(
+                jax.tree.map(lambda x: x[L:], state2_pp.lora[grp])
+            ):
+                pad_b = np.asarray(leaf)
+                assert pad_b.shape[0] == (-L) % 4
+
     def test_train_step_accum_parity(self):
         """--pipe composed with --grad-accum: the shard_map ppermute
         schedule inside train_step_accum's lax.scan (pipe=2, the config the

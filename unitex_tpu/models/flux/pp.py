@@ -168,6 +168,54 @@ def flux_forward_pp(
     return linear(params["proj_out"], x).astype(jnp.float32)
 
 
+def prepare_lora_pp(
+    lora: Params, mesh: Mesh, pipe_axis: str = "pipe"
+) -> Params:
+    """Adapter-side twin of :func:`prepare_flux_params_pp` for pipelined
+    TRAINING: pad the LoRA tree's block stacks to the pipe multiple and
+    storage-shard their layer axis over ``pipe_axis``.
+
+    With both the base stacks and the adapter prepared once, the traced
+    train step contains no concatenates — the in-trace padding path made
+    XLA SPMD emit an involuntary full rematerialization (replicate →
+    repartition of the 12B block params) on every step.  Padded adapter
+    layers are zero and receive zero gradient (the padded base blocks'
+    forward is skipped by their validity flag), so they stay exactly zero
+    under AdamW/Prodigy; :func:`strip_lora_padding` recovers the portable
+    unpadded adapter for export."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PSpec
+
+    P_sz = mesh.shape[pipe_axis]
+    staged = NamedSharding(mesh, PSpec(pipe_axis))
+    replicated = NamedSharding(mesh, PSpec())
+    out = {}
+    for name, sub in lora.items():
+        if name in ("dual_blocks", "single_blocks"):
+            sub = pad_stacked_blocks(sub, P_sz)
+            out[name] = jax.tree.map(lambda x: jax.device_put(x, staged), sub)
+        else:
+            out[name] = jax.tree.map(
+                lambda x: jax.device_put(x, replicated), sub
+            )
+    return out
+
+
+def strip_lora_padding(lora: Params, cfg: FluxConfig) -> Params:
+    """Slice the pipe padding off a prepared LoRA tree — the portable
+    adapter with the model's true 19/38 block depths."""
+    out = dict(lora)
+    if "dual_blocks" in out:
+        out["dual_blocks"] = jax.tree.map(
+            lambda x: x[: cfg.num_layers], out["dual_blocks"]
+        )
+    if "single_blocks" in out:
+        out["single_blocks"] = jax.tree.map(
+            lambda x: x[: cfg.num_single_layers], out["single_blocks"]
+        )
+    return out
+
+
 def prepare_flux_params_pp(
     params: Params, mesh: Mesh, pipe_axis: str = "pipe"
 ) -> Params:

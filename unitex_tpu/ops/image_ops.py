@@ -81,9 +81,12 @@ def boundary_mask(mask: jnp.ndarray, k: int = 3) -> Tuple[jnp.ndarray, jnp.ndarr
 
 def _box_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Same-padded (zeros) kxk box sum over the last two axes, as two
-    separable 1D reduce_window adds."""
+    separable 1D reduce_window adds.  k must be odd: symmetric (k//2, k//2)
+    padding only preserves SAME output shape for odd windows (even ring
+    kernels are semantically meaningless anyway)."""
     if k <= 1:
         return x
+    assert k % 2 == 1, f"_box_sum requires an odd kernel, got {k}"
     pad = k // 2
     nd = x.ndim
     for ax in (nd - 2, nd - 1):

@@ -202,11 +202,23 @@ def _one_view_visibility(
     depth_ok = (view_alpha > 0.999) & (
         jnp.abs(view_depth - tex_depth) < depth_eps
     )
-    # nearest-pixel triangle-id equality (the reference's ray-trace test)
+    # nearest-pixel triangle-id equality (the reference's ray-trace test).
+    # Gate by an in-frame check: the pixel lookup clamps, so a texel
+    # projecting outside the view image would otherwise read a border
+    # pixel's tri id and could pass while its bilinear color sample is
+    # zeros-diluted (the depth path is safe — view_alpha > 0.999 already
+    # implies in-frame under zeros padding).
     Hv, Wv = tri_i.shape[:2]
+    in_frame = (
+        (jnp.abs(ndc[..., 0]) <= 1.0) & (jnp.abs(ndc[..., 1]) <= 1.0)
+    )[..., None]
     px = jnp.clip(((ndc[..., 0] + 1) * 0.5 * Wv).astype(jnp.int32), 0, Wv - 1)
     py = jnp.clip(((ndc[..., 1] + 1) * 0.5 * Hv).astype(jnp.int32), 0, Hv - 1)
-    tid_ok = (tri_i[py, px] == tri_2d)[..., None] & (tri_2d >= 0)[..., None]
+    tid_ok = (
+        (tri_i[py, px] == tri_2d)[..., None]
+        & (tri_2d >= 0)[..., None]
+        & in_frame
+    )
     if visibility_mode == "depth":
         vis = depth_ok
     elif visibility_mode == "tid":
