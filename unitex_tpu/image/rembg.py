@@ -1,14 +1,18 @@
 """Background removal (the RMBG-2.0 / rembg capability,
 /root/reference/pipeline.py:34-78).
 
-Three backends behind one callable protocol (image -> L-mode alpha):
+Backends behind one callable protocol (image -> L-mode alpha), preferred
+in this order by :func:`build_background_remover`:
 
+* ``IsnetRemover``     — JAX-native ISNet (image/isnet.py) for RMBG-1.4
+                         weights; on-device.
+* ``BirefnetRemover``  — JAX-native BiRefNet (models/birefnet.py) for
+                         RMBG-2.0 weights; on-device.
 * ``OnnxRemover``      — an RMBG/BiRefNet-style ONNX segmentation model via
                          onnxruntime, when a model file is provided (the
                          reference's ``build_rembg`` path).
 * ``TorchRemover``     — transformers AutoModelForImageSegmentation on CPU
-                         (the reference's RMBG2 path), when weights exist
-                         locally.
+                         (the reference's RMBG2 path); fallback-only.
 * ``SaliencyRemover``  — dependency-free fallback: border-statistics
                          chroma keying + largest connected component.
                          Adequate for studio-style inputs (uniform
@@ -140,6 +144,17 @@ def build_background_remover(
                 except Exception:
                     break
         rmbg_dir = os.path.join(pretrain_root, "briaai", "RMBG-2.0")
+        # JAX-native BiRefNet tower (models/birefnet.py): preferred for
+        # RMBG-2.0 checkpoints — on-device, no host torch/onnx round-trip
+        for fname in ("model.safetensors", "pytorch_model.bin", "model.pth"):
+            path = os.path.join(rmbg_dir, fname)
+            if os.path.exists(path):
+                try:
+                    from ..models.birefnet import BirefnetRemover, load_birefnet
+
+                    return BirefnetRemover(*load_birefnet(path))
+                except Exception:
+                    break
         onnx_path = os.path.join(rmbg_dir, "onnx", "model.onnx")
         if os.path.exists(onnx_path):
             try:
