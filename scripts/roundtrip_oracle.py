@@ -29,13 +29,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", default=None, help="obj/ply/glb (unwrapped if needed)")
     ap.add_argument("--primitive", default="sphere",
-                    choices=["sphere", "torus", "trefoil"])
+                    choices=["sphere", "torus", "trefoil", "compound"])
     ap.add_argument("--subdiv", type=int, default=5, help="sphere subdivisions")
     ap.add_argument("--texture", default=None, help="ground-truth texture PNG")
     ap.add_argument("--view-size", type=int, default=512)
     ap.add_argument("--uv-size", type=int, default=2048)
     ap.add_argument("--method", default="reproject",
                     choices=["reproject", "kdtree", "reproject_blending"])
+    ap.add_argument("--paste-mode", default="priority",
+                    choices=["priority", "cosine"],
+                    help="reproject paste: reference fixed view order, or "
+                         "per-texel best-cosine view (renderer_inverse.py "
+                         "_paste_views)")
+    ap.add_argument("--fill-k", type=int, default=1,
+                    help="invisible-texel KNN fill neighbors (k>1 = IDW)")
+    ap.add_argument("--fill-relax", type=int, default=0,
+                    help="seam-aware Jacobi relaxation iters on the fill")
     ap.add_argument("--out", default=None, help="also write the report here")
     args = ap.parse_args()
 
@@ -64,10 +73,13 @@ def main():
 
         host = preprocess_blank_mesh(load_mesh(args.mesh), uv_size=args.uv_size)
     else:
+        from unitex_tpu.geometry.primitives import make_compound
+
         host = {
             "sphere": lambda: make_icosphere(args.subdiv),
             "torus": lambda: make_torus(n_major=192, n_minor=128),
             "trefoil": lambda: make_trefoil(n_major=384, n_minor=40),
+            "compound": lambda: make_compound(subdivisions=5),
         }[args.primitive]()
         host = unwrap_atlas(host, size=args.uv_size, gutter=4)
     mesh = Mesh(
@@ -98,10 +110,16 @@ def main():
             render_uv=True, render_map_attr=True,
         )
         views = np.asarray(out.map_attr)
+    bake_kwargs = {}
+    if args.method == "reproject":
+        bake_kwargs = dict(
+            paste_mode=args.paste_mode, fill_k=args.fill_k,
+            fill_relax_iters=args.fill_relax,
+        )
     with CPUTimer("bake"):
         baked = bake_texture(
             mesh, jnp.asarray(views), c2ws, intr,
-            uv_size=args.uv_size, method=args.method,
+            uv_size=args.uv_size, method=args.method, **bake_kwargs,
         )
         rec = np.asarray(baked["texture"])
 
@@ -117,6 +135,7 @@ def main():
     report = {
         "metric": "texture_roundtrip",
         "method": args.method,
+        **bake_kwargs,
         "faces": int(mesh.faces.shape[0]),
         "uv_size": args.uv_size,
         "view_size": args.view_size,

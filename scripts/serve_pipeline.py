@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--small", action="store_true",
                     help="reduced resolutions (smoke tests / CPU)")
     ap.add_argument("--no-prefetch", action="store_true")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="load/compile the default-bucket executables on "
+                         "the device worker before the first job (a fresh "
+                         "process otherwise spends minutes of cached-"
+                         "executable loads inside job 1)")
     args = ap.parse_args()
 
     from unitex_tpu.pipeline import CustomRGBTextureFullPipeline
@@ -65,7 +70,7 @@ def main() -> None:
     )
     httpd = serve(
         pipe, args.work_dir, port=args.port, host=args.host,
-        prefetch=not args.no_prefetch,
+        prefetch=not args.no_prefetch, prewarm=args.prewarm,
     )
     print(f"serving on http://{args.host}:{httpd.server_address[1]} "
           f"(work dir {args.work_dir})")

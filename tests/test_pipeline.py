@@ -13,6 +13,7 @@ from PIL import Image
 from unitex_tpu.config import (
     BakeConfig,
     CameraConfig,
+    DiffusionConfig,
     MeshConfig,
     PipelineConfig,
 )
@@ -364,3 +365,41 @@ class TestAsyncIO:
         with open(glb_out, "rb") as f:
             got = f.read()
         assert got == want
+
+
+class TestRandomWeightsMode:
+    def test_random_weights_runs_flux_path(self, assets, tmp_path, monkeypatch):
+        """random_weights=True (the E2E measurement mode,
+        scripts/e2e_production.py) initializes a production-SHAPED serving
+        tree and drives the real FLUX denoise path — tiny config here via
+        a patched flux1_dev so the CPU run stays fast."""
+        from unitex_tpu.models.flux.config import FluxConfig
+        from unitex_tpu.models.flux.vae import VAEConfig
+
+        monkeypatch.setattr(FluxConfig, "flux1_dev", staticmethod(FluxConfig.tiny))
+        monkeypatch.setattr(VAEConfig, "flux", staticmethod(VAEConfig.tiny))
+        # single-device placement: the conftest's 8 virtual CPU devices
+        # would route the tiny model through TP GSPMD compiles that take
+        # tens of minutes on this host — the multi-device serving layout
+        # has its own dryrun/dedicated tests
+        import jax as _jax
+
+        monkeypatch.setattr(_jax, "device_count", lambda *a, **k: 1)
+        mesh_path, img_path = assets
+        cfg = PipelineConfig(
+            camera=CameraConfig(view_size=32),
+            mesh=MeshConfig(min_faces=500, max_faces=4000, uv_size=128),
+            bake=BakeConfig(uv_size=128),
+            diffusion=DiffusionConfig(
+                height=32, width=192, dual_size=32, num_inference_steps=2,
+                max_sequence_length=8,
+            ),
+        )
+        pipe = CustomRGBTextureFullPipeline(
+            pretrain_models=None, seed=63, config=cfg,
+            random_weights=True, int8_serving=True,
+        )
+        assert pipe._flux_loaded
+        assert pipe.texture_lora is not None and pipe.delight_lora is not None
+        rembg_out, glb_out = pipe(str(tmp_path), img_path, mesh_path)
+        assert os.path.exists(glb_out) and os.path.getsize(glb_out) > 0

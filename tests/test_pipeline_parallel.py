@@ -417,3 +417,48 @@ class TestPPServing:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=3e-5
         )
+
+
+class TestTPxPP:
+    """3-axis data x tp x pipe composition (VERDICT r02 #6): Megatron TP
+    on kernel shards INSIDE the one-shard_map GPipe schedule
+    (prepare_flux_params_tp_pp + flux_forward_pp(tp_axis=...))."""
+
+    def _mesh3(self, data=2, tp=2, pipe=2):
+        devs = np.asarray(jax.devices()[: data * tp * pipe])
+        return Mesh(devs.reshape(data, tp, pipe), ("data", "model", "pipe"))
+
+    @pytest.mark.parametrize(
+        "data,tp,pipe", [(2, 2, 2), (1, 4, 2), (1, 2, 4)],
+        ids=["d2t2p2", "t4p2", "t2p4"],
+    )
+    def test_forward_parity(self, data, tp, pipe):
+        from unitex_tpu.models.flux.pp import prepare_flux_params_tp_pp
+
+        cfg = FluxConfig.tiny()
+        base = init_flux_params(jax.random.key(0), cfg)
+        mesh = self._mesh3(data, tp, pipe)
+        prep = prepare_flux_params_tp_pp(base, cfg, mesh, tp_axis="model")
+        rng = np.random.default_rng(0)
+        B = 2 * data
+        img_ids = latent_image_ids(2, 4)
+        hidden = jnp.asarray(
+            rng.normal(size=(B, img_ids.shape[0], cfg.in_channels)),
+            jnp.float32,
+        )
+        ctx = jnp.asarray(
+            rng.normal(size=(B, 6, cfg.joint_attention_dim)), jnp.float32
+        )
+        args = (
+            hidden, ctx, jnp.full((B,), 0.5),
+            jnp.zeros((B, cfg.pooled_projection_dim), jnp.float32),
+            img_ids, jnp.zeros((6, 3), jnp.float32), jnp.full((B,), 3.5),
+        )
+        ref = flux_forward(base, cfg, *args)
+        got = flux_forward_pp(
+            prep, cfg, *args, mesh=mesh, n_micro=2,
+            data_axis="data" if data > 1 else None, tp_axis="model",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-5
+        )

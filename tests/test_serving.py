@@ -146,3 +146,34 @@ class TestServing:
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(server + "/jobs", {"mesh_ext": ".exe"})
         assert e.value.code == 400
+
+
+class TestPrewarm:
+    def test_prewarm_then_job(self, assets, tmp_path):
+        """prewarm=True loads the default-bucket executables on the device
+        worker before the first job and records the per-stage breakdown;
+        real jobs still complete afterwards."""
+        from unitex_tpu.serving import TextureJobServer
+
+        mesh_path, img_path = assets
+        cfg = PipelineConfig(
+            camera=CameraConfig(view_size=64),
+            mesh=MeshConfig(min_faces=500, max_faces=4000, uv_size=128),
+            bake=BakeConfig(uv_size=128),
+        )
+        pipe = CustomRGBTextureFullPipeline(
+            pretrain_models=None, seed=63, config=cfg
+        )
+        srv = TextureJobServer(pipe, str(tmp_path), prewarm=True)
+        jid = srv.submit(img_path, mesh_path)
+        for _ in range(600):
+            rec = srv.public_record(jid)
+            if rec["status"] in ("done", "failed"):
+                break
+            time.sleep(0.5)
+        assert rec["status"] == "done", rec
+        assert srv.prewarm_timings is not None
+        assert set(srv.prewarm_timings) == {
+            "host_preprocess", "render_geometry", "infer_mv", "reproject"
+        }
+        srv.stop()

@@ -172,3 +172,40 @@ def make_trefoil(
             d = i * n_minor + (j + 1) % n_minor
             faces += [[a, b, cc], [a, cc, d]]
     return HostMesh(verts.astype(np.float32), np.asarray(faces, dtype=np.int32))
+
+
+def make_compound(
+    subdivisions: int = 4,
+    n_major: int = 160,
+    n_minor: int = 48,
+) -> HostMesh:
+    """Multi-component compound: a central sphere, a DISCONNECTED torus
+    ring around its equator (each occludes the other in every box view),
+    and a small sphere TOUCHING the central one from above (a contact
+    crease no single view resolves).  This is the oracle case shaped like
+    real inputs — disconnected shells + touching parts — stressing chart
+    packing, seam handling, and occluded-texel fill at once (VERDICT r02
+    item 3)."""
+    parts = []
+    big = make_icosphere(subdivisions, radius=0.55)
+    parts.append(big)
+    ring = make_torus(
+        major_radius=0.8, minor_radius=0.12, n_major=n_major, n_minor=n_minor
+    )
+    parts.append(ring)
+    small = make_icosphere(max(subdivisions - 1, 2), radius=0.25)
+    small = HostMesh(
+        small.vertices + np.asarray([0.0, 0.0, 0.72], np.float32),
+        small.faces,
+    )
+    parts.append(small)
+    verts = []
+    faces = []
+    off = 0
+    for p in parts:
+        verts.append(np.asarray(p.vertices, np.float32))
+        faces.append(np.asarray(p.faces, np.int32) + off)
+        off += p.vertices.shape[0]
+    v = np.concatenate(verts)
+    v = v / np.abs(v).max()
+    return HostMesh(v.astype(np.float32), np.concatenate(faces))

@@ -49,6 +49,15 @@ class FluxConfig:
     # don't divide the axis), or "auto" (ulysses when the head count
     # divides the axis, ring otherwise).  See ops/ring_attention.py.
     sp_mode: str = "auto"
+    # tensor-parallel axis INSIDE a shard_map (the TPxPP composition,
+    # models/flux/pp.py): block kernels arrive as Megatron column/row
+    # SHARDS (heads/mlp split over this axis) and the block functions psum
+    # after the out/ff/proj_out row-parallel matmuls.  Distinct from the
+    # jit-level GSPMD TP (parallel/sharding.flux_param_shardings), which
+    # needs no model-code awareness; shard_map bodies are per-device
+    # programs, so here the collective is explicit.  When set,
+    # num_attention_heads must already be the LOCAL head count.
+    tp_axis: "str | None" = None
 
     @property
     def hidden_size(self) -> int:

@@ -59,6 +59,22 @@ def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+def row_linear(p: Params, x: jnp.ndarray, tp_axis: "str | None"):
+    """Megatron row-parallel linear for shard_map bodies: the kernel's
+    INPUT dim is sharded over ``tp_axis`` (x carries the matching local
+    slice), partial products all-reduce, bias (replicated) adds once after
+    the psum.  ``tp_axis=None`` degrades to :func:`linear`."""
+    if tp_axis is None:
+        return linear(p, x)
+    y = x @ p["kernel"].astype(x.dtype)
+    if "lora_a" in p:
+        y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
+    y = jax.lax.psum(y, tp_axis)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)

@@ -32,6 +32,7 @@ from .layers import (
     mlp_embedder_init,
     rms_norm,
     rope_freqs,
+    row_linear,
     sdpa,
     sinusoidal_embedding,
 )
@@ -249,7 +250,13 @@ def _joint_attention(
     out = out.reshape(out.shape[0], out.shape[1], -1)
     S_txt = context.shape[1]
     ctx_out, img_out = out[:, :S_txt], out[:, S_txt:]
-    return linear(p["to_out"], img_out), linear(p["to_add_out"], ctx_out)
+    # row-parallel under shard_map TP (cfg.tp_axis): partial products over
+    # the local heads all-reduce here — one of Megatron's two per-layer
+    # psums (the other is after the MLP's row projection)
+    return (
+        row_linear(p["to_out"], img_out, cfg.tp_axis),
+        row_linear(p["to_add_out"], ctx_out, cfg.tp_axis),
+    )
 
 
 def _single_attention(
@@ -294,10 +301,14 @@ def _dual_block(p, cfg, hidden, context, temb, cos, sin, kv_keep_idx=None):
     hidden = hidden + g_a * h_attn
     context = context + cg_a * c_attn
     h_mlp = layer_norm(hidden) * (1 + sc_m) + sh_m
-    hidden = hidden + g_m * linear(p["ff"]["out"], gelu_tanh(linear(p["ff"]["in"], h_mlp)))
+    hidden = hidden + g_m * row_linear(
+        p["ff"]["out"], gelu_tanh(linear(p["ff"]["in"], h_mlp)), cfg.tp_axis
+    )
     c_mlp = layer_norm(context) * (1 + csc_m) + csh_m
-    context = context + cg_m * linear(
-        p["ff_context"]["out"], gelu_tanh(linear(p["ff_context"]["in"], c_mlp))
+    context = context + cg_m * row_linear(
+        p["ff_context"]["out"],
+        gelu_tanh(linear(p["ff_context"]["in"], c_mlp)),
+        cfg.tp_axis,
     )
     return hidden, context
 
@@ -315,8 +326,21 @@ def _single_block(p, cfg, x, temb, cos, sin, kv_keep_idx=None):
     else:
         attn_out = _single_attention(p["attn"], cfg, x_norm, cos, sin, kv_keep_idx)
         mlp_out = gelu_tanh(linear(p["proj_mlp"], x_norm))
+    po = p["proj_out"]
+    if cfg.tp_axis is not None and "kernel_attn" in po:
+        # shard_map TP: proj_out's input rows interleave [attn ‖ mlp], so
+        # a plain leading-axis shard can't split it — the prepare step
+        # (prepare_flux_params_tp_pp) pre-splits the kernel into the attn
+        # and mlp row blocks, each row-sharded; partials psum, bias adds
+        # once after
+        part = attn_out @ po["kernel_attn"].astype(x.dtype)
+        part = part + mlp_out @ po["kernel_mlp"].astype(x.dtype)
+        y = jax.lax.psum(part, cfg.tp_axis)
+        if "bias" in po:
+            y = y + po["bias"].astype(x.dtype)
+        return x + gate * y
     merged = jnp.concatenate([attn_out, mlp_out], axis=-1)
-    return x + gate * linear(p["proj_out"], merged)
+    return x + gate * linear(po, merged)
 
 
 def flux_forward(

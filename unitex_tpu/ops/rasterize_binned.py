@@ -23,6 +23,7 @@ above a face-count threshold.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Tuple
 
@@ -112,6 +113,9 @@ def rasterize_binned(
     assert H % tile == 0 and W % tile == 0
     TX, TY = W // tile, H // tile
     T = TX * TY
+    # small images have fewer tiles than the default map batch; the batch
+    # must divide T (tids.reshape(-1, tile_batch) below)
+    tile_batch = math.gcd(tile_batch, T)
     F = faces.shape[0]
 
     pix, z_ndc, w_clip, valid = _triangle_setup(verts_clip, faces, H, W)

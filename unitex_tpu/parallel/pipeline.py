@@ -228,13 +228,20 @@ def pipeline_apply_chain(
     mesh: Optional[Mesh] = None,
     pipe_axis: str = "pipe",
     data_axis: Optional[str] = None,
+    param_specs_a=None,
+    param_specs_b=None,
 ) -> jnp.ndarray:
     """:func:`pipeline_apply` for two chained stacks (phase a then b) —
     one shard_map, one schedule, no intermediate activation broadcast.
-    Both stacks must be padded to a multiple of the pipe-axis size."""
+    Both stacks must be padded to a multiple of the pipe-axis size.
+    ``param_specs_a/b`` override the default layer-axis-only specs (the
+    TPxPP composition shards kernel dims over a second axis —
+    models/flux/pp.py _tp_pp_leaf_spec)."""
     sm = _shard_map()
-    spec_a = jax.tree.map(lambda _: P(pipe_axis), stacked_params_a)
-    spec_b = jax.tree.map(lambda _: P(pipe_axis), stacked_params_b)
+    spec_a = param_specs_a if param_specs_a is not None else jax.tree.map(
+        lambda _: P(pipe_axis), stacked_params_a)
+    spec_b = param_specs_b if param_specs_b is not None else jax.tree.map(
+        lambda _: P(pipe_axis), stacked_params_b)
     row = P(None, data_axis) if data_axis else P()
     aux_specs = jax.tree.map(lambda _: row, micro_aux)
     shared_specs = jax.tree.map(lambda _: P(), shared)

@@ -69,6 +69,7 @@ class RGBTextureFullPipelineBase:
         save_artifacts: bool = True,
         int8_serving: bool | str = False,
         async_io: bool = False,
+        random_weights: bool = False,
     ):
         from .utils import enable_compilation_cache
 
@@ -109,6 +110,12 @@ class RGBTextureFullPipelineBase:
         self.sr_pipeline = None
         if pretrain_models is not None:
             self._try_load_weights(require_weights)
+        elif random_weights:
+            # production-SCALE random init: the E2E measurement path when
+            # no checkpoints exist in the environment (WEIGHTS.md) — real
+            # 12B shapes, real LoRA attach, real quantization, same
+            # compiled programs as the weighted pipeline
+            self._init_random_weights()
         elif require_weights:
             raise FileNotFoundError("pretrain_models is required")
         if super_resolutions:
@@ -182,6 +189,110 @@ class RGBTextureFullPipelineBase:
             if require:
                 raise
             print(f"[pipeline] FLUX weights not found ({e}); running weightless")
+
+    def _init_random_weights(self) -> None:
+        """Random-init the serving tree at PRODUCTION scale (numpy host
+        init — f32 12B jax.random temporaries would blow the 16 GB HBM and
+        threefry is minutes-slow on CPU), cast/quantize/place exactly like
+        :meth:`_try_load_weights`.  Outputs are meaningless images; every
+        compiled program, transfer, and memory footprint is the real
+        one."""
+        from .models.flux.lora import init_lora_params
+        from .models.flux.model import init_flux_params_numpy
+        from .models.flux.vae import init_vae_params
+
+        host = jax.devices("cpu")[0]
+        with jax.default_device(host):
+            self.transformer_params = init_flux_params_numpy(
+                self.flux_cfg, seed=0
+            )
+            self.texture_lora = init_lora_params(
+                jax.random.key(1), self.transformer_params, rank=16
+            )
+            self.delight_lora = init_lora_params(
+                jax.random.key(2), self.transformer_params, rank=16
+            )
+            self.vae_params = init_vae_params(jax.random.key(3), self.vae_cfg)
+            self.transformer_params = jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.bfloat16), self.transformer_params
+            )
+            if self.int8_serving:
+                from .models.flux.quantize import quantize_flux_params
+
+                self.transformer_params = quantize_flux_params(
+                    self.transformer_params,
+                    weight_only_rest=(self.int8_serving == "max_memory"),
+                )
+        if jax.device_count() > 1:
+            from .parallel.mesh import make_mesh
+            from .parallel.sharding import flux_param_shardings, shard_params
+
+            self.device_mesh = make_mesh(
+                data=self.config.parallel.data_size, model=-1
+            )
+            self.transformer_params = shard_params(
+                self.transformer_params,
+                flux_param_shardings(self.transformer_params, self.device_mesh),
+            )
+        else:
+            dev = jax.devices()[0]
+            self.transformer_params = jax.device_put(
+                self.transformer_params, dev
+            )
+            self.vae_params = jax.device_put(self.vae_params, dev)
+        self._flux_loaded = True
+
+    def prewarm(self, n_faces_hint: int = 20_000) -> Dict[str, float]:
+        """Load/compile the device executables for the default operating
+        point BEFORE the first real job: runs every device stage once on a
+        synthetic asset at the default shape bucket (a fresh process
+        otherwise spends ~3.5-5 min of cached-executable loads inside
+        job 1 — CLAUDE.md measured facts).  Returns the per-stage warm-up
+        seconds, which is also the cold-start breakdown VERDICT r02 #9
+        asked for.  Serving calls this from the device worker at startup
+        (TextureJobServer prewarm=True) so it overlaps the first job's
+        host-side preprocessing."""
+        import tempfile
+        import time as _time
+
+        from .geometry.io.mesh_io import save_mesh
+        from .geometry.primitives import make_icosphere
+
+        timings: Dict[str, float] = {}
+        with tempfile.TemporaryDirectory(prefix="prewarm_") as d:
+            # icosphere at the face budget's default bucket
+            subdiv, faces = 2, 320
+            while faces * 4 <= max(n_faces_hint, 1280):
+                subdiv, faces = subdiv + 1, faces * 4
+            mesh_path = os.path.join(d, "prewarm.obj")
+            save_mesh(mesh_path, make_icosphere(subdiv))
+            img = np.full((256, 256, 3), 255, np.uint8)
+            img[64:192, 64:192] = [180, 80, 40]
+            img_path = os.path.join(d, "prewarm.png")
+            from PIL import Image
+
+            Image.fromarray(img).save(img_path)
+
+            t0 = _time.perf_counter()
+            processed, ref_image = self.preprocess_job(d, img_path, mesh_path)
+            timings["host_preprocess"] = _time.perf_counter() - t0
+
+            t0 = _time.perf_counter()
+            condition = self.render_geometry_images_stage(d, processed)
+            jax.block_until_ready(condition["alpha"])
+            timings["render_geometry"] = _time.perf_counter() - t0
+
+            t0 = _time.perf_counter()
+            mv_rgb = self.infer_mv_stage(d, ref_image, condition)
+            timings["infer_mv"] = _time.perf_counter() - t0
+
+            t0 = _time.perf_counter()
+            self.reproject_stage(
+                d, condition["mesh"], mv_rgb, condition, processed
+            )
+            self.flush_io()
+            timings["reproject"] = _time.perf_counter() - t0
+        return {k: round(v, 2) for k, v in timings.items()}
 
     # ---------------------------------------------------------- async io
 
@@ -337,6 +448,16 @@ class RGBTextureFullPipelineBase:
                 )
                 plan_del = {"noise": p["noise"], "control_eps": p["control_eps"]}
 
+            # dual conditioning at the configured resolution (the host
+            # preprocess always emits 512² — matches the production
+            # dual_size, but small configs must not silently push a
+            # 512²-latent dual token stream)
+            dual = jnp.asarray(reference_image)
+            ds = dcfg.dual_size
+            if dual.shape[:2] != (ds, ds):
+                dual = jax.image.resize(
+                    dual, (ds, ds, dual.shape[-1]), "bilinear"
+                )
             # texture pass: adapters [1, 0]
             params_tex = apply_lora(
                 self.transformer_params,
@@ -346,7 +467,7 @@ class RGBTextureFullPipelineBase:
                 params_tex, self.flux_cfg, self.vae_params, self.vae_cfg,
                 jax.random.key(self.seed), pipe_cfg,
                 control_image=control_strip,
-                dual_image=jnp.asarray(reference_image),
+                dual_image=dual,
                 **plan_tex,
             )
             if self.save_artifacts:

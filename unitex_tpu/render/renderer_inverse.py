@@ -238,7 +238,7 @@ def _one_view_visibility(
     vis = ring_close_mask(vis, ring_kernels) if ring_kernels else vis
     vis = vis & mask_2d
     color = samp[..., 2:] if img_i is not None else None
-    return vis, color, ndc
+    return vis, color, ndc, cos_rn
 
 
 def view_visibility(
@@ -280,14 +280,63 @@ def view_visibility(
     tri = mv_out["tri"]
     maskv = mv_out["mask"] & mv_out["mask_visible"]
     if view_images is not None:
-        vis, colors, ndc = jax.vmap(one_view)(
+        vis, colors, ndc, cos = jax.vmap(one_view)(
             mvp, w2cs, c2ws, depth, tri, maskv, view_images
         )
     else:
-        vis, colors, ndc = jax.vmap(
+        vis, colors, ndc, cos = jax.vmap(
             lambda a, b, c, d, e, f: one_view(a, b, c, d, e, f, None)
         )(mvp, w2cs, c2ws, depth, tri, maskv)
-    return {"visible": vis, "colors": colors, "ndc": ndc}
+    return {"visible": vis, "colors": colors, "ndc": ndc, "cos": cos}
+
+
+def _paste_views(
+    visible, colors, cos, priority, paste_mode,
+    kernel_size_boundary,
+):
+    """Combine per-view (visible, color) maps into one texture + seam
+    boundary.
+
+    ``paste_mode='priority'`` — the reference's fixed-order
+    first-visible-view paste (renderer_inverse.py:44, :574-633).
+    ``paste_mode='cosine'`` — per-texel winner-take-all on the most
+    head-on visible view (max |cos(ray, normal)|): still a hard selection
+    (no cross-view ghosting on inconsistent diffusion outputs), but
+    grazing-angle samples — whose view-pixel footprint smears a long 3D
+    strip — lose to any view that sees the texel straight on.  The seam
+    boundary is then where the winning view changes between neighboring
+    texels (plus the visibility edge), feeding the same seam blur."""
+    M = visible.shape[0]
+    H2, W2 = visible.shape[1:3]
+    C = colors.shape[-1]
+    color_cur = jnp.zeros((H2, W2, C), colors.dtype)
+    mask_cur = jnp.zeros((H2, W2, 1), bool)
+    boundary = jnp.zeros((H2, W2, 1), bool)
+    if paste_mode == "priority":
+        for i in priority:
+            extra = (~mask_cur) & visible[i]
+            color_cur = jnp.where(extra, colors[i], color_cur)
+            mask_cur = mask_cur | extra
+            b_in, b_out = boundary_mask(extra, kernel_size_boundary)
+            boundary = boundary | b_in | b_out
+        return color_cur, mask_cur, boundary
+    assert paste_mode == "cosine"
+    score = jnp.where(visible, -cos, -jnp.inf)            # [M, H2, W2, 1]
+    win = jnp.argmax(score, axis=0)                       # [H2, W2, 1]
+    mask_cur = visible.any(axis=0)
+    color_cur = jnp.take_along_axis(
+        colors, win[None, ..., :1].repeat(C, axis=-1), axis=0
+    )[0]
+    color_cur = jnp.where(mask_cur, color_cur, 0.0)
+    # seams: winner changes between 4-neighbors, or visibility edge
+    wid = jnp.where(mask_cur, win + 1, 0)                 # 0 = no view
+    change = jnp.zeros_like(mask_cur)
+    for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        change = change | (wid != jnp.roll(wid, sh, axis=ax))
+    boundary = dilate_mask(
+        change & mask_cur, kernel_size_boundary
+    )
+    return color_cur, mask_cur, boundary
 
 
 @partial(
@@ -295,7 +344,7 @@ def view_visibility(
     static_argnames=(
         "perspective", "ray_normal_angle_threshold", "depth_eps",
         "visibility_mode", "ring_kernels", "priority",
-        "kernel_size_boundary", "kernel_size_boundary_blur",
+        "kernel_size_boundary", "kernel_size_boundary_blur", "paste_mode",
     ),
 )
 def _visibility_paste(
@@ -303,7 +352,7 @@ def _visibility_paste(
     mvp, w2cs, c2ws, depth, tri, maskv, view_images,
     *, perspective, ray_normal_angle_threshold, depth_eps,
     visibility_mode, ring_kernels, priority,
-    kernel_size_boundary, kernel_size_boundary_blur,
+    kernel_size_boundary, kernel_size_boundary_blur, paste_mode="priority",
 ):
     """Fused per-view visibility + priority paste, one XLA program.
 
@@ -322,7 +371,7 @@ def _visibility_paste(
     pos_h = jnp.concatenate([uv_pos, jnp.ones_like(uv_pos[..., :1])], axis=-1)
 
     def one_view(mvp_i, w2c_i, c2w_i, depth_i, tri_i, maskv_i, img_i):
-        vis, color, _ = _one_view_visibility(
+        vis, color, _, cos = _one_view_visibility(
             uv_pos, pos_h, uv_mask, uv_tri, uv_fn,
             mvp_i, w2c_i, c2w_i, depth_i, tri_i, maskv_i, img_i,
             perspective=perspective,
@@ -330,23 +379,15 @@ def _visibility_paste(
             depth_eps=depth_eps, visibility_mode=visibility_mode,
             ring_kernels=ring_kernels,
         )
-        return vis, color
+        return vis, color, cos
 
-    visible, colors = jax.vmap(one_view)(
+    visible, colors, cos = jax.vmap(one_view)(
         mvp, w2cs, c2ws, depth, tri, maskv, view_images
     )
 
-    H2, W2 = uv_mask.shape[:2]
-    C = view_images.shape[-1]
-    color_cur = jnp.zeros((H2, W2, C), view_images.dtype)
-    mask_cur = jnp.zeros((H2, W2, 1), bool)
-    boundary = jnp.zeros((H2, W2, 1), bool)
-    for i in priority:
-        extra = (~mask_cur) & visible[i]
-        color_cur = jnp.where(extra, colors[i], color_cur)
-        mask_cur = mask_cur | extra
-        b_in, b_out = boundary_mask(extra, kernel_size_boundary)
-        boundary = boundary | b_in | b_out
+    color_cur, mask_cur, boundary = _paste_views(
+        visible, colors, cos, priority, paste_mode, kernel_size_boundary
+    )
     boundary = dilate_mask(boundary, kernel_size_boundary_blur)
     boundary = boundary & erode_mask(
         uv_mask, 2 * (kernel_size_boundary_blur // 2) + 5
@@ -408,6 +449,19 @@ def _fill_invisible_knn(
     n_fill = int(jnp.count_nonzero(target_mask_flat))  # host sync, ~40 ms
     if n_fill == 0:
         return color_flat
+
+    def blend(d, idx):
+        vals = ref_vals[idx]                           # [Q, k, C]
+        if k == 1:
+            return vals[..., 0, :]
+        # inverse-distance weighting: smooth fill instead of the nearest
+        # texel's hard copy (k=1 is the reference's choice,
+        # renderer_inverse.py:611; k>1 IDW measurably helps occluded
+        # regions — ORACLE_r03)
+        w = 1.0 / jnp.maximum(d, 1e-6)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        return jnp.einsum("qk,qkc->qc", w, vals)
+
     ref_pts, ref_vals, ref_valid = _select_masked_points(
         pos_flat, color_flat, visible_flat, max_ref
     )
@@ -416,13 +470,13 @@ def _fill_invisible_knn(
         d, idx = knn(
             pos_flat[qidx], ref_pts, k=k, chunk=chunk, ref_valid=ref_valid
         )
-        nn_color = jnp.mean(ref_vals[idx], axis=-2)
+        nn_color = blend(d, idx)
         upd = jnp.where(
             target_mask_flat[qidx][:, None], nn_color, color_flat[qidx]
         )
         return color_flat.at[qidx].set(upd)
     d, idx = knn(pos_flat, ref_pts, k=k, chunk=chunk, ref_valid=ref_valid)
-    nn_color = jnp.mean(ref_vals[idx], axis=-2)
+    nn_color = blend(d, idx)
     return jnp.where(target_mask_flat[:, None], nn_color, color_flat)
 
 
@@ -437,27 +491,25 @@ def bake_reproject_blur(
     knn_max_ref: int = 65536,
     knn_chunk: int = 4096,
     query_field=None,
+    paste_mode: str = "priority",
+    fill_k: int = 1,
+    fill_relax_iters: int = 0,
 ) -> Dict[str, jnp.ndarray]:
-    """Priority paste + seam blur + KNN fill + pull_push (the shipped
-    default bake, renderer_inverse.py:574-633).  ``query_field`` swaps the
-    KNN fill for a learned texture-function (the LTM inpainting path,
-    ``reproject_inpainting=True``)."""
+    """Paste + seam blur + KNN fill + pull_push (the shipped default bake,
+    renderer_inverse.py:574-633).  ``query_field`` swaps the KNN fill for a
+    learned texture-function (the LTM inpainting path,
+    ``reproject_inpainting=True``).  ``paste_mode``/``fill_k``/
+    ``fill_relax_iters`` — see :func:`_paste_views` /
+    :func:`_finish_reproject_blur`."""
     assert method in ("gaussian", "lens")
     mask_2d = uv_out["mask"]
     visible = vis_out["visible"]
     colors = vis_out["colors"]
-    H2, W2 = mask_2d.shape[:2]
-    C = colors.shape[-1]
 
-    color_cur = jnp.zeros((H2, W2, C), colors.dtype)
-    mask_cur = jnp.zeros((H2, W2, 1), bool)
-    boundary = jnp.zeros((H2, W2, 1), bool)
-    for i in priority:
-        extra = (~mask_cur) & visible[i]
-        color_cur = jnp.where(extra, colors[i], color_cur)
-        mask_cur = mask_cur | extra
-        b_in, b_out = boundary_mask(extra, kernel_size_boundary)
-        boundary = boundary | b_in | b_out
+    color_cur, mask_cur, boundary = _paste_views(
+        visible, colors, vis_out.get("cos"), priority, paste_mode,
+        kernel_size_boundary,
+    )
     boundary = dilate_mask(boundary, kernel_size_boundary_blur)
     # only blur well inside the chart (reference uses kernel 2*(k//2)+5,
     # renderer_inverse.py:601)
@@ -467,13 +519,39 @@ def bake_reproject_blur(
         uv_out, color_cur, mask_cur, boundary, visible.any(axis=0),
         method=method, kernel_size_blur=kernel_size_blur,
         knn_max_ref=knn_max_ref, knn_chunk=knn_chunk,
-        query_field=query_field,
+        query_field=query_field, fill_k=fill_k,
+        fill_relax_iters=fill_relax_iters,
     )
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _relax_fill(color, update_mask, support_mask, iters: int):
+    """Seam-aware relaxation of filled texels: Jacobi-average each
+    ``update_mask`` texel over its in-chart 4-neighbors, holding visible
+    texels fixed (Dirichlet boundary).  Makes the KNN fill C0-continuous
+    with the visible regions at visibility boundaries instead of leaving a
+    hard copied-color edge; out-of-chart texels never contribute (chart
+    packing keeps disconnected surface pieces from bleeding)."""
+    w = support_mask.astype(color.dtype)
+    upd = update_mask & support_mask
+
+    def body(c, _):
+        cw = c * w
+        nsum = wsum = 0.0
+        for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+            nsum = nsum + jnp.roll(cw, sh, axis=ax)
+            wsum = wsum + jnp.roll(w, sh, axis=ax)
+        avg = nsum / jnp.maximum(wsum, 1e-6)
+        return jnp.where(upd & (wsum > 0), avg, c), None
+
+    color, _ = jax.lax.scan(body, color, None, length=iters)
+    return color
 
 
 def _finish_reproject_blur(
     uv_out, color_cur, mask_cur, boundary, visible_any,
     *, method, kernel_size_blur, knn_max_ref, knn_chunk, query_field,
+    fill_k=1, fill_relax_iters=0,
 ):
     """KNN fill + seam blur + pull_push — the bake tail after the paste."""
     mask_2d = uv_out["mask"]
@@ -485,9 +563,14 @@ def _finish_reproject_blur(
     invis_flat = (mask_2d & ~mask_cur).reshape(-1)
     color_flat = _fill_invisible_knn(
         pos_flat, color_flat, vis_flat, invis_flat,
-        k=1, max_ref=knn_max_ref, chunk=knn_chunk, query_field=query_field,
+        k=fill_k, max_ref=knn_max_ref, chunk=knn_chunk,
+        query_field=query_field,
     )
     color_cur = color_flat.reshape(H2, W2, C)
+    if fill_relax_iters > 0:
+        color_cur = _relax_fill(
+            color_cur, mask_2d & ~mask_cur, mask_2d, fill_relax_iters
+        )
 
     if method == "gaussian":
         blurred = gaussian_blur(color_cur, kernel_size_blur)
@@ -706,6 +789,7 @@ def bake_texture(
             kernel_size_boundary=bake_kwargs.get("kernel_size_boundary", 3),
             kernel_size_boundary_blur=bake_kwargs.get(
                 "kernel_size_boundary_blur", 3),
+            paste_mode=bake_kwargs.get("paste_mode", "priority"),
         )
         out = _finish_reproject_blur(
             uv_out, color_cur, mask_cur, boundary, visible_any,
@@ -713,6 +797,8 @@ def bake_texture(
             kernel_size_blur=bake_kwargs.get("kernel_size_blur", 5),
             knn_max_ref=knn_max_ref, knn_chunk=knn_chunk,
             query_field=bake_kwargs.get("query_field"),
+            fill_k=bake_kwargs.get("fill_k", 1),
+            fill_relax_iters=bake_kwargs.get("fill_relax_iters", 0),
         )
         out["visible_per_view"] = vis_pv
         out["mask_visible_any"] = visible_any

@@ -39,7 +39,13 @@ MESH_EXTS = (".glb", ".obj", ".ply")
 class TextureJobServer:
     """Owns the pipeline, the job store, and the two worker threads."""
 
-    def __init__(self, pipeline, work_dir: str, prefetch: bool = True):
+    def __init__(
+        self,
+        pipeline,
+        work_dir: str,
+        prefetch: bool = True,
+        prewarm: bool = False,
+    ):
         self.pipeline = pipeline
         self.work_dir = work_dir
         os.makedirs(work_dir, exist_ok=True)
@@ -48,6 +54,14 @@ class TextureJobServer:
         self._q_pre: queue.Queue = queue.Queue()
         self._q_dev: queue.Queue = queue.Queue()
         self._prefetch = prefetch
+        self.prewarm_timings: Optional[Dict[str, float]] = None
+        if prewarm:
+            # background-prewarm the default shape bucket on the device
+            # worker BEFORE any real job: a fresh process otherwise spends
+            # its ~3.5-5 min of cached-executable loads inside job 1,
+            # while this overlaps them with the first job's upload + host
+            # preprocessing (the pre worker thread runs concurrently)
+            self._q_dev.put(("__prewarm__", None))
         self._threads = [
             threading.Thread(target=self._pre_worker, daemon=True),
             threading.Thread(target=self._dev_worker, daemon=True),
@@ -185,6 +199,13 @@ class TextureJobServer:
             if item is None:
                 return
             job_id, pre = item
+            if job_id == "__prewarm__":
+                try:
+                    self.prewarm_timings = self.pipeline.prewarm()
+                    print(f"[server] prewarm done: {self.prewarm_timings}")
+                except Exception as e:  # noqa: BLE001 — warm-up best effort
+                    print(f"[server] prewarm failed: {e}")
+                continue
             job = self._set(job_id, status="generating")
             t0 = time.perf_counter()
             try:
@@ -281,11 +302,14 @@ def serve(
     port: int = 8080,
     host: str = "127.0.0.1",
     prefetch: bool = True,
+    prewarm: bool = False,
 ) -> ThreadingHTTPServer:
     """Build the job server + HTTP front end.  Returns the (not yet
     serving) ThreadingHTTPServer; call ``serve_forever`` (or run it in a
     thread) — ``httpd.jobs`` is the TextureJobServer."""
-    jobs = TextureJobServer(pipeline, work_dir, prefetch=prefetch)
+    jobs = TextureJobServer(
+        pipeline, work_dir, prefetch=prefetch, prewarm=prewarm
+    )
     httpd = ThreadingHTTPServer((host, port), make_handler(jobs))
     httpd.jobs = jobs
     return httpd
