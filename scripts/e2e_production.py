@@ -27,7 +27,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-if os.environ.get("JAX_PLATFORMS"):
+# honor an explicit platform request (cpu smoke runs) — but do NOT lock
+# the platform list to the sitecustomize's "axon" value: that would hide
+# the host cpu backend these drivers stage GB-scale inits on
+if os.environ.get("JAX_PLATFORMS") and os.environ["JAX_PLATFORMS"] != "axon":
     import jax
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
@@ -80,6 +83,10 @@ def main():
                     help="include the TSD-SR stage (random-init SD3)")
     ap.add_argument("--small", action="store_true",
                     help="tiny config for a CPU smoke run")
+    ap.add_argument("--weightless", action="store_true",
+                    help="skip the transformer (geometry+bake serving path "
+                         "only, production scale — isolates the non-FLUX "
+                         "stages)")
     ap.add_argument("--work", default=None, help="work dir (default: temp)")
     args = ap.parse_args()
 
@@ -103,8 +110,9 @@ def main():
 
     config = None
     pipe_kwargs = dict(
-        random_weights=not args.small,
-        int8_serving="max_memory" if not args.small else False,
+        random_weights=not args.small and not args.weightless,
+        int8_serving="max_memory" if not (args.small or args.weightless)
+        else False,
         save_artifacts=False,
         async_io=True,
     )
@@ -181,6 +189,8 @@ def main():
         "metric": "e2e_production_pipeline",
         "protocol": (
             "small-mode smoke (weightless, tiny shapes)" if args.small else
+            "weightless serving path (geometry+bake, production scale)"
+            if args.weightless else
             "one process, CustomRGBTextureFullPipeline, 12B random-init "
             "transformer int8 weight_only_rest + 2 runtime-attached LoRAs, "
             "2x28 denoise @ seq 13824, 6x512^2 views, 2048^2 bake"

@@ -1,0 +1,151 @@
+"""Round-trip oracle campaign: all primitives x bake options in ONE
+process (per-process warm-up is ~3.5-5 min on this platform — one process
+amortizes it across every case).
+
+Writes ORACLE_r03.json: sphere/torus/trefoil/compound at production scale,
+with the reference-parity bake (priority paste, k=1 fill) and the round-3
+occlusion-quality options (cosine winner-take-all paste, k=8 IDW fill +
+seam-aware relaxation) side by side — VERDICT r02 #3.
+
+  python scripts/oracle_campaign.py --out ORACLE_r03.json
+"""
+
+import argparse
+import datetime
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# honor an explicit platform request (cpu smoke runs) — but do NOT lock
+# the platform list to the sitecustomize's "axon" value: that would hide
+# the host cpu backend these drivers stage GB-scale inits on
+if os.environ.get("JAX_PLATFORMS") and os.environ["JAX_PLATFORMS"] != "axon":
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def run_case(primitive, view_size=512, uv_size=2048, **bake_kwargs):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unitex_tpu.geometry.mesh import Mesh
+    from unitex_tpu.geometry.primitives import (
+        make_compound,
+        make_icosphere,
+        make_torus,
+        make_trefoil,
+    )
+    from unitex_tpu.geometry.uv_atlas import unwrap_atlas
+    from unitex_tpu.render.conditioning import condition_cameras
+    from unitex_tpu.render.renderer import render_views
+    from unitex_tpu.render.renderer_inverse import bake_texture, uv_render
+
+    host = {
+        "sphere": lambda: make_icosphere(5),
+        "torus": lambda: make_torus(n_major=192, n_minor=128),
+        "trefoil": lambda: make_trefoil(n_major=384, n_minor=40),
+        "compound": lambda: make_compound(subdivisions=5),
+    }[primitive]()
+    host = unwrap_atlas(host, size=uv_size, gutter=4)
+    mesh = Mesh(
+        jnp.asarray(host.vertices * 0.85),
+        jnp.asarray(host.faces),
+        uv=jnp.asarray(host.uv),
+        faces_uv=jnp.asarray(host.faces_uv),
+    )
+    uv_out = uv_render(mesh, uv_size)
+    tex = jnp.where(uv_out["mask"], 0.5 + 0.5 * uv_out["position"] / 0.85, 0.0)
+    c2ws, intr = condition_cameras()
+    V = (view_size, view_size)
+    out = render_views(
+        mesh, c2ws, intr, V, map_attr=tex, render_uv=True,
+        render_map_attr=True,
+    )
+    views = np.asarray(out.map_attr)
+    baked = bake_texture(
+        mesh, jnp.asarray(views), c2ws, intr, uv_size=uv_size,
+        method="reproject", **bake_kwargs,
+    )
+    rec = np.asarray(baked["texture"])
+    mask = np.asarray(uv_out["mask"])[..., 0]
+    vis_any = np.asarray(baked["mask_visible_any"])[..., 0]
+    ok = mask & vis_any
+
+    def psnr(a, b):
+        mse = float(np.mean((a - b) ** 2))
+        return round(-10 * np.log10(max(mse, 1e-10)), 2)
+
+    tex_np = np.asarray(tex)
+    out2 = render_views(
+        mesh, c2ws, intr, V, map_attr=jnp.asarray(rec), render_uv=True,
+        render_map_attr=True,
+    )
+    alpha = np.asarray(out.alpha) > 0.5
+    return {
+        "primitive": primitive,
+        "faces": int(mesh.faces.shape[0]),
+        **bake_kwargs,
+        "visible_texel_fraction": round(float(vis_any[mask].mean()), 4),
+        "texture_psnr_visible": psnr(rec[ok], tex_np[ok]),
+        "texture_psnr_all": psnr(rec[mask], tex_np[mask]),
+        "rerender_psnr": psnr(
+            np.asarray(out2.map_attr)[alpha[..., 0]], views[alpha[..., 0]]
+        ),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="ORACLE_r03.json")
+    ap.add_argument("--view-size", type=int, default=512)
+    ap.add_argument("--uv-size", type=int, default=2048)
+    ap.add_argument("--primitives", nargs="+",
+                    default=["sphere", "torus", "trefoil", "compound"])
+    args = ap.parse_args()
+
+    from unitex_tpu.utils import enable_compilation_cache
+    from unitex_tpu.utils.timer import CPUTimer
+
+    enable_compilation_cache()
+    settings = [
+        dict(paste_mode="priority", fill_k=1, fill_relax_iters=0),
+        dict(paste_mode="cosine", fill_k=8, fill_relax_iters=50),
+    ]
+    cases = []
+    for prim in args.primitives:
+        for s in settings:
+            with CPUTimer(f"{prim}:{s['paste_mode']}"):
+                cases.append(
+                    run_case(
+                        prim, view_size=args.view_size,
+                        uv_size=args.uv_size, **s,
+                    )
+                )
+            print(json.dumps(cases[-1]), flush=True)
+    report = {
+        "metric": "texture_roundtrip",
+        "protocol": (
+            "scripts/oracle_campaign.py — render GT-textured mesh into the "
+            "6 box views (512^2, ortho, radius 2.8), re-bake a 2048^2 "
+            "texture (method=reproject), PSNR over visible texels / all "
+            "chart texels / re-rendered views; reference analogue: "
+            "renderer_inverse.py test_gt/test_pred:732-827.  Two option "
+            "sets per case: reference-parity (priority paste, k=1 fill) "
+            "and round-3 quality (cosine winner paste, k=8 IDW fill + "
+            "50-iter seam-aware relaxation)"
+        ),
+        "device": "TPU v5e (1 chip)",
+        "date": str(datetime.date.today()),
+        "cases": cases,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

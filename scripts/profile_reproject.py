@@ -20,7 +20,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-if os.environ.get("JAX_PLATFORMS"):
+# honor an explicit platform request (cpu smoke runs) — but do NOT lock
+# the platform list to the sitecustomize's "axon" value: that would hide
+# the host cpu backend these drivers stage GB-scale inits on
+if os.environ.get("JAX_PLATFORMS") and os.environ["JAX_PLATFORMS"] != "axon":
     import jax
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])

@@ -92,6 +92,26 @@ def transform_points_homo(points_h: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarra
     return jnp.matmul(points_h, jnp.swapaxes(mat, -1, -2), precision="highest")
 
 
+def transform_points_mat4(points3: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
+    """3D points [..., 3] through a 4×4 matrix → homogeneous output
+    [..., 4], WITHOUT materializing a homogeneous input.
+
+    The obvious ``concatenate([p, ones]) @ mat.T`` MISCOMPILES on the
+    current TPU toolchain when the concat is inside the jit: XLA fuses the
+    concat into the dot and reads the ones column in place of z — measured
+    2026-08-20 as a constant camera depth (z_cam ≡ 1 − radius) that
+    silently degenerated the bake's visibility test (all-visible in the
+    fused program, none-visible eagerly).  The affine split below is
+    numerically identical for w=1 inputs, immune to the fusion bug, and
+    one fewer HBM pass.  HIGHEST precision: these projections feed the
+    5e-3-epsilon depth test — the MXU's bf16-grade default f32 matmul
+    precision is ~0.01 absolute at radius-2.8 depths."""
+    lin = jnp.matmul(
+        points3, jnp.swapaxes(mat[..., :, :3], -1, -2), precision="highest"
+    )
+    return lin + mat[..., :, 3]
+
+
 def project(
     points_h: jnp.ndarray, intrinsics: jnp.ndarray, perspective: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

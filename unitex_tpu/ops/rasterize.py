@@ -277,5 +277,11 @@ def interpolate(
     background pixels get ``fill``."""
     tri = jnp.maximum(rast.tri, 0)
     corners = attr[faces[tri]]                    # [H, W, 3, C]
-    out = jnp.einsum("...kc,...k->...c", corners, rast.bary3)
+    # exact f32 barycentric blend: interpolated positions feed the
+    # visibility depth test at 5e-3 eps — keep it off the MXU's
+    # bf16-grade default precision
+    out = jnp.einsum(
+        "...kc,...k->...c", corners, rast.bary3,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.where(rast.mask[..., None], out, fill)

@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..camera.conversion import c2w_to_w2c, get_mvp
+from ..camera.conversion import transform_points_mat4, c2w_to_w2c, get_mvp
 from ..geometry.mesh import Mesh, compute_vertex_normals
 from ..ops.grid_sample import grid_sample
 from ..ops.rasterize import Rast, interpolate, rasterize
@@ -238,14 +238,16 @@ def render_views(
     w2cs = c2w_to_w2c(c2ws)
 
     v = mesh.vertices
-    vh = jnp.concatenate([v, jnp.ones_like(v[:, :1])], axis=-1)
     faces = mesh.faces.astype(jnp.int32)
     v_nrm = None
     if render_world_normal or render_camera_normal or render_cos_ray_normal:
         v_nrm = compute_vertex_normals(v, faces)
 
     def one_view(mvp_i, w2c_i, c2w_i):
-        clip = vh @ mvp_i.T
+        # transform_points_mat4: exact f32, immune to the in-jit
+        # concat->matmul fusion miscompile (camera/conversion.py) — the
+        # re-bake depth test resolves these at the 5e-3 level
+        clip = transform_points_mat4(v, mvp_i)
         rast = rasterize(clip, faces, (H, W), face_chunk=face_chunk, pixel_tile=pixel_tile)
         mask = rast.mask[..., None]
         alpha = mask.astype(jnp.float32)
@@ -278,7 +280,7 @@ def render_views(
             or render_ray_direction
             or render_cos_ray_normal
         ):
-            v_cam = (vh @ w2c_i.T)[:, :3]
+            v_cam = transform_points_mat4(v, w2c_i)[:, :3]
             cp = interp(v_cam)
             if render_camera_position:
                 out["camera_position"] = cp * alpha

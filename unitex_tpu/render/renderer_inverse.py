@@ -38,7 +38,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..camera.conversion import c2w_to_w2c, get_mvp
+from ..camera.conversion import c2w_to_w2c, get_mvp, transform_points_mat4
 from ..geometry.mesh import Mesh, compute_face_normals
 from ..ops.grid_sample import grid_sample
 from ..ops.image_ops import (
@@ -94,18 +94,20 @@ def mv_render(
     mvp = get_mvp(c2ws, intrinsics, perspective=perspective)
     w2cs = c2w_to_w2c(c2ws)
     v = mesh.vertices
-    vh = jnp.concatenate([v, jnp.ones_like(v[:, :1])], axis=-1)
     faces = mesh.faces.astype(jnp.int32)
     face_normals = compute_face_normals(v, faces)
 
     def one_view(mvp_i, w2c_i, c2w_i):
-        clip = vh @ mvp_i.T
+        # transform_points_mat4: exact f32 projections, immune to the
+        # in-jit concat->matmul fusion miscompile — the visibility depth
+        # test compares these against texel-point projections at 5e-3 eps
+        clip = transform_points_mat4(v, mvp_i)
         rast = rasterize(clip, faces, (H, W), face_chunk=face_chunk)
         mask = rast.mask[..., None]
         pos = interpolate(v, rast, faces)
         fn = _face_normal_image(face_normals, rast.tri)
         # linear view depth: camera-space -z (distance along the view axis)
-        v_cam = (vh @ w2c_i.T)[:, :3]
+        v_cam = transform_points_mat4(v, w2c_i)[:, :3]
         depth = interpolate(v_cam[:, 2:3], rast, faces)
         depth = jnp.where(mask, -depth, jnp.inf)
         if perspective:
@@ -172,18 +174,22 @@ def uv_render(
 
 
 def _one_view_visibility(
-    pos, pos_h, mask_2d, tri_2d, fn_2d,
+    pos, mask_2d, tri_2d, fn_2d,
     mvp_i, w2c_i, c2w_i, depth_i, tri_i, mask_i, img_i,
     *, perspective, ray_normal_angle_threshold, depth_eps,
     visibility_mode, ring_kernels,
 ):
     """One view's texel visibility + sampled color (shared by the eager
-    ``view_visibility`` and the fused jitted ``_visibility_paste``)."""
-    clip = pos_h @ mvp_i.T                    # [H2, W2, 4]
+    ``view_visibility`` and the fused jitted ``_visibility_paste``).
+
+    Projections via :func:`transform_points_mat4` — exact f32 and immune
+    to the in-jit concat→matmul fusion miscompile (see that docstring):
+    the depth test below resolves 5e-3 differences."""
+    clip = transform_points_mat4(pos, mvp_i)          # [H2, W2, 4]
     w = jnp.where(jnp.abs(clip[..., 3:4]) > 1e-12, clip[..., 3:4], 1e-12)
     ndc = clip[..., :2] / w
     # linear view depth of the texel point
-    cam = pos_h @ w2c_i.T
+    cam = transform_points_mat4(pos, w2c_i)
     tex_depth = -cam[..., 2:3]
     # sampled view depth + view mask (+ view color) at the projected
     # location, as ONE bilinear gather: color taps share the depth/alpha
@@ -264,11 +270,10 @@ def view_visibility(
     fn_2d = uv_out["face_normal"]
     mvp = mv_out["mvp"]
     w2cs = mv_out["w2cs"]
-    pos_h = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], axis=-1)
 
     def one_view(mvp_i, w2c_i, c2w_i, depth_i, tri_i, mask_i, img_i=None):
         return _one_view_visibility(
-            pos, pos_h, mask_2d, tri_2d, fn_2d,
+            pos, mask_2d, tri_2d, fn_2d,
             mvp_i, w2c_i, c2w_i, depth_i, tri_i, mask_i, img_i,
             perspective=perspective,
             ray_normal_angle_threshold=ray_normal_angle_threshold,
@@ -368,11 +373,10 @@ def _visibility_paste(
     NOT on mesh bucket — one compile serves every asset.  Returns
     (color_cur, mask_cur, boundary, visible_any,
     visible_per_view [M,...] in view order)."""
-    pos_h = jnp.concatenate([uv_pos, jnp.ones_like(uv_pos[..., :1])], axis=-1)
 
     def one_view(mvp_i, w2c_i, c2w_i, depth_i, tri_i, maskv_i, img_i):
         vis, color, _, cos = _one_view_visibility(
-            uv_pos, pos_h, uv_mask, uv_tri, uv_fn,
+            uv_pos, uv_mask, uv_tri, uv_fn,
             mvp_i, w2c_i, c2w_i, depth_i, tri_i, maskv_i, img_i,
             perspective=perspective,
             ray_normal_angle_threshold=ray_normal_angle_threshold,

@@ -38,8 +38,11 @@ def flatten_scene(objects: Sequence[SceneObject]) -> Tuple[Mesh, jnp.ndarray]:
     for oid, obj in enumerate(objects):
         v = obj.mesh.vertices
         if obj.transform is not None:
-            vh = jnp.concatenate([v, jnp.ones_like(v[:, :1])], axis=-1)
-            v = (vh @ obj.transform.T)[:, :3]
+            # transform_points_mat4: no in-jit homogeneous concat->matmul
+            # (miscompiles on the current TPU toolchain; conversion.py)
+            from ..camera.conversion import transform_points_mat4
+
+            v = transform_points_mat4(v, obj.transform)[:, :3]
         vs.append(v)
         fs.append(obj.mesh.faces + v_off)
         fids.append(jnp.full((obj.mesh.faces.shape[0],), oid, jnp.int32))

@@ -150,9 +150,17 @@ def refine_poses(
 
     def loss_fn(p):
         w2cs = c2w_to_w2c(build_c2ws(p))                      # [M, 4, 4]
-        ph = jnp.concatenate([wpos, jnp.ones_like(wpos[..., :1])], axis=-1)
-        cam = jnp.einsum("mhwc,mdc->mhwd", ph, w2cs)          # [M, H, W, 4]
-        clip = jnp.einsum("mhwc,mdc->mhwd", cam, projs)
+        # per-view affine transform (no homogeneous concat into the
+        # einsum — the fused concat->dot miscompiles on the current TPU
+        # toolchain; camera/conversion.transform_points_mat4)
+        cam = jnp.einsum(
+            "mhwc,mdc->mhwd", wpos, w2cs[:, :, :3],
+            precision="highest",
+        ) + w2cs[:, None, None, :, 3]
+        clip = jnp.einsum(
+            "mhwc,mdc->mhwd", cam[..., :3], projs[:, :, :3],
+            precision="highest",
+        ) + cam[..., 3:4] * projs[:, None, None, :, 3]
         ndc = clip[..., :2] / jnp.maximum(jnp.abs(clip[..., 3:4]), 1e-8) * jnp.sign(
             clip[..., 3:4])
         # rasterizer convention: ndc y=-1 is the top row — grid_sample agrees
