@@ -144,10 +144,16 @@ def main():
 
         s_cfg = SD3Config.tiny() if args.small else SD3Config.sd3_medium()
         v_cfg = VAEConfig.tiny() if args.small else VAEConfig.sd3()
+        import jax.numpy as jnp
+
         host = jax.devices("cpu")[0]
         with jax.default_device(host):
             sp = init_sd3_params(jax.random.key(10), s_cfg)
+            # bf16 storage: the SD3 must co-reside with the 12 GB int8
+            # FLUX on the 16 GB chip (f32 2B = 8 GB would OOM at build)
+            sp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), sp)
             vp = init_vae_params(jax.random.key(11), v_cfg)
+            vp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vp)
         pipe.sr_pipeline = TSDSRPipeline(
             cfg=TSDSRConfig(),
             sd3_cfg=s_cfg,

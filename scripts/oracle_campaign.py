@@ -59,10 +59,19 @@ def run_case(primitive, view_size=512, uv_size=2048, **bake_kwargs):
     )
     uv_out = uv_render(mesh, uv_size)
     tex = jnp.where(uv_out["mask"], 0.5 + 0.5 * uv_out["position"] / 0.85, 0.0)
+    # render the GT views from a pull_push-DILATED texture — the same
+    # gutter convention the baked texture ships with.  A zero gutter
+    # darkens every seam pixel of the GT views (bilinear taps mix black),
+    # which both corrupts the bake's input views AND biases the re-render
+    # comparison: measured +10 dB trefoil re-render from this one line
+    # (the r02 oracle under-scored every case this way)
+    from unitex_tpu.ops.image_ops import pull_push
+
+    tex_render = pull_push(tex, uv_out["mask"])
     c2ws, intr = condition_cameras()
     V = (view_size, view_size)
     out = render_views(
-        mesh, c2ws, intr, V, map_attr=tex, render_uv=True,
+        mesh, c2ws, intr, V, map_attr=tex_render, render_uv=True,
         render_map_attr=True,
     )
     views = np.asarray(out.map_attr)

@@ -102,11 +102,18 @@ def main():
         tex = jnp.where(
             uv_out["mask"], 0.5 + 0.5 * uv_out["position"] / 0.85, 0.0)
 
+    # GT views render from a pull_push-dilated texture: the gutter
+    # convention of the baked output (zero gutters darken seam pixels in
+    # both the bake's inputs and the re-render comparison — measured
+    # +10 dB trefoil re-render; see oracle_campaign.py)
+    from unitex_tpu.ops.image_ops import pull_push
+
+    tex_render = pull_push(tex, uv_out["mask"])
     c2ws, intr = condition_cameras()
     V = (args.view_size, args.view_size)
     with CPUTimer("render_gt_views"):
         out = render_views(
-            mesh, c2ws, intr, V, map_attr=tex,
+            mesh, c2ws, intr, V, map_attr=tex_render,
             render_uv=True, render_map_attr=True,
         )
         views = np.asarray(out.map_attr)

@@ -414,3 +414,31 @@ class TestOcclusionQualityUpgrades:
         )
         assert np.isfinite(psnr) and psnr > 10, psnr
         assert bool(jnp.isfinite(baked["texture"]).all())
+
+
+class TestLowHbmBake:
+    def test_scan_matches_vmapped(self, sphere_mesh):
+        """low_hbm=True (lax.scan over views, one view's peak footprint —
+        the mode that co-resides with the 12 GB int8 12B on a 16 GB chip)
+        must produce the same bake as the vmapped program."""
+        tex, uv_out = _procedural_texture(sphere_mesh)
+        c2ws, intr = condition_cameras()
+        out = render_views(
+            sphere_mesh, c2ws, intr, (VIEW, VIEW),
+            map_attr=tex, render_uv=True, render_map_attr=True,
+        )
+        kw = dict(
+            uv_size=UV, method="reproject",
+            knn_max_ref=8192, knn_chunk=2048, uv_pixel_tile=0,
+        )
+        a = bake_texture(sphere_mesh, out.map_attr, c2ws, intr, **kw)
+        b = bake_texture(
+            sphere_mesh, out.map_attr, c2ws, intr, low_hbm=True, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["texture"]), np.asarray(b["texture"]), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a["visible_per_view"]),
+            np.asarray(b["visible_per_view"]),
+        )

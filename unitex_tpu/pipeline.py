@@ -524,6 +524,11 @@ class RGBTextureFullPipelineBase:
             grad_norm_threshold=bcfg.grad_norm_threshold,
             ray_normal_angle_threshold=bcfg.ray_normal_angle_threshold,
             depth_eps=bcfg.depth_eps,
+            # max_memory serving keeps ~12 GB of int8 12B params resident:
+            # the vmapped 6-view visibility+paste peak OOMed the 16 GB
+            # chip on the measured E2E's second asset — scan views instead
+            # (one view's footprint, ~2x the stage time; E2E_r03)
+            low_hbm=(self.int8_serving == "max_memory" and self._flux_loaded),
         )
         # quantize on device: the 2048² texture crosses the tunnel as uint8
         # (12.6 MB) instead of f32 (50 MB) — measured 2.5-3.0 s saved

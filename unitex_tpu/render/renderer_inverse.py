@@ -399,6 +399,68 @@ def _visibility_paste(
     return color_cur, mask_cur, boundary, visible.any(axis=0), visible
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "perspective", "ray_normal_angle_threshold", "depth_eps",
+        "visibility_mode", "ring_kernels", "priority",
+        "kernel_size_boundary", "kernel_size_boundary_blur",
+    ),
+)
+def _visibility_paste_scan(
+    uv_pos, uv_mask, uv_tri, uv_fn,
+    mvp, w2cs, c2ws, depth, tri, maskv, view_images,
+    *, perspective, ray_normal_angle_threshold, depth_eps,
+    visibility_mode, ring_kernels, priority,
+    kernel_size_boundary, kernel_size_boundary_blur,
+):
+    """Low-HBM variant of :func:`_visibility_paste`: one view at a time
+    through a ``lax.scan`` IN PRIORITY ORDER, pasting into the carry — the
+    peak footprint is one view's visibility temps instead of all M
+    vmapped together.  ~2× slower at production scale (the scan serializes
+    conv/gather work the VPU batches well — round-2 measurement) but it is
+    the mode that CO-RESIDES with the 12 GB int8 12B params on a 16 GB
+    chip: the vmapped form OOMed on the second asset of the measured E2E
+    run (E2E_r03).  Priority paste only."""
+    order = jnp.asarray(priority, jnp.int32)
+
+    def step(carry, idx):
+        color_cur, mask_cur, boundary = carry
+        vis, color, _, _ = _one_view_visibility(
+            uv_pos, uv_mask, uv_tri, uv_fn,
+            mvp[idx], w2cs[idx], c2ws[idx], depth[idx], tri[idx],
+            maskv[idx], view_images[idx],
+            perspective=perspective,
+            ray_normal_angle_threshold=ray_normal_angle_threshold,
+            depth_eps=depth_eps, visibility_mode=visibility_mode,
+            ring_kernels=ring_kernels,
+        )
+        extra = (~mask_cur) & vis
+        color_cur = jnp.where(extra, color, color_cur)
+        mask_cur = mask_cur | extra
+        b_in, b_out = boundary_mask(extra, kernel_size_boundary)
+        boundary = boundary | b_in | b_out
+        return (color_cur, mask_cur, boundary), vis
+
+    H2, W2 = uv_mask.shape[:2]
+    C = view_images.shape[-1]
+    init = (
+        jnp.zeros((H2, W2, C), view_images.dtype),
+        jnp.zeros((H2, W2, 1), bool),
+        jnp.zeros((H2, W2, 1), bool),
+    )
+    (color_cur, mask_cur, boundary), vis_by_prio = jax.lax.scan(
+        step, init, order
+    )
+    # un-permute the stacked per-view masks back to view order
+    visible = jnp.zeros_like(vis_by_prio).at[order].set(vis_by_prio)
+    boundary = dilate_mask(boundary, kernel_size_boundary_blur)
+    boundary = boundary & erode_mask(
+        uv_mask, 2 * (kernel_size_boundary_blur // 2) + 5
+    )
+    return color_cur, mask_cur, boundary, visible.any(axis=0), visible
+
+
 def _select_masked_points(
     points: jnp.ndarray, values: jnp.ndarray, mask: jnp.ndarray, max_n: int
 ):
@@ -756,12 +818,16 @@ def bake_texture(
     knn_chunk: int = 4096,
     face_chunk: int = 512,
     uv_pixel_tile: int = 512,
+    low_hbm: bool = False,
     **bake_kwargs,
 ) -> Dict[str, jnp.ndarray]:
     """Full stage-2 bake (``NVDiffRendererInverse.infer``,
     renderer_inverse.py:635-726): view_images [M, H, W, C] (C = 3 RGB or 9
     PBR albedo/MR/bump), returns the baked texture [uv_size, uv_size, C] and
-    diagnostic masks."""
+    diagnostic masks.  ``low_hbm`` scans views through the visibility+paste
+    instead of vmapping them — ~2x slower but one view's peak footprint,
+    for serving with the 12 GB int8 12B resident (see
+    :func:`_visibility_paste_scan`)."""
     assert method in ("reproject", "kdtree", "reproject_blending")
     M, H, W, C = view_images.shape
     assert C in (3, 9)
@@ -779,12 +845,7 @@ def bake_texture(
         # view_visibility -> paste composition (parity-tested equal); its
         # shapes depend only on (uv_size, view grid), so one compile serves
         # every mesh bucket
-        color_cur, mask_cur, boundary, visible_any, vis_pv = _visibility_paste(
-            uv_out["position"], uv_out["mask"], uv_out["tri"],
-            uv_out["face_normal"],
-            mv_out["mvp"], mv_out["w2cs"], c2ws, mv_out["depth"],
-            mv_out["tri"], mv_out["mask"] & mv_out["mask_visible"],
-            view_images,
+        vp_kwargs = dict(
             perspective=perspective,
             ray_normal_angle_threshold=ray_normal_angle_threshold,
             depth_eps=depth_eps, visibility_mode=visibility_mode,
@@ -793,7 +854,23 @@ def bake_texture(
             kernel_size_boundary=bake_kwargs.get("kernel_size_boundary", 3),
             kernel_size_boundary_blur=bake_kwargs.get(
                 "kernel_size_boundary_blur", 3),
-            paste_mode=bake_kwargs.get("paste_mode", "priority"),
+        )
+        if low_hbm:
+            assert bake_kwargs.get("paste_mode", "priority") == "priority", \
+                "low_hbm bake supports priority paste only"
+            paste_fn = _visibility_paste_scan
+        else:
+            paste_fn = partial(
+                _visibility_paste,
+                paste_mode=bake_kwargs.get("paste_mode", "priority"),
+            )
+        color_cur, mask_cur, boundary, visible_any, vis_pv = paste_fn(
+            uv_out["position"], uv_out["mask"], uv_out["tri"],
+            uv_out["face_normal"],
+            mv_out["mvp"], mv_out["w2cs"], c2ws, mv_out["depth"],
+            mv_out["tri"], mv_out["mask"] & mv_out["mask_visible"],
+            view_images,
+            **vp_kwargs,
         )
         out = _finish_reproject_blur(
             uv_out, color_cur, mask_cur, boundary, visible_any,
