@@ -149,9 +149,19 @@ def main():
         host = jax.devices("cpu")[0]
         with jax.default_device(host):
             sp = init_sd3_params(jax.random.key(10), s_cfg)
-            # bf16 storage: the SD3 must co-reside with the 12 GB int8
-            # FLUX on the 16 GB chip (f32 2B = 8 GB would OOM at build)
+            # the SD3 must co-reside with the 12 GB int8 FLUX on the
+            # 16 GB chip: bf16 first (f32 2B = 8 GB OOMs at build), then
+            # the int8 serving quantization (TSDSRConfig.int8_serving
+            # applies quantize_linears — ~2 GB resident; the stage is
+            # VAE-dominated so int8 is time-neutral, CLAUDE.md)
             sp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), sp)
+            if not args.small:
+                # quantize ON THE HOST: letting TSDSRPipeline quantize
+                # after device_put would transiently hold bf16 (4 GB) +
+                # int8 next to the 12 GB FLUX
+                from unitex_tpu.ops.quant import quantize_linears
+
+                sp = quantize_linears(sp)
             vp = init_vae_params(jax.random.key(11), v_cfg)
             vp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vp)
         pipe.sr_pipeline = TSDSRPipeline(

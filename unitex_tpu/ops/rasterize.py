@@ -175,6 +175,7 @@ def rasterize(
     face_chunk: int = 512,
     pixel_tile: int = 0,
     binned_threshold: int = 8192,
+    tile_batch: int = 64,
 ) -> Rast:
     """Rasterize clip-space triangles into a z-buffered id/barycentric buffer.
 
@@ -207,8 +208,12 @@ def rasterize(
         n_tiles = (H // 32) * (W // 32)
         est = faces.shape[0] * 4 // max(n_tiles, 1)
         cap = min(8192, (est * 4 + 128 + 127) // 128 * 128)
+        # tile_batch bounds the binned kernel's transient edge-eval
+        # buffer (tiles/step x 32^2 px x cap) — drop it in low-HBM serving
+        # where 12 GB of int8 params are resident
         return rasterize_binned(
-            verts_clip, faces, resolution, bin_capacity=cap
+            verts_clip, faces, resolution, bin_capacity=cap,
+            tile_batch=tile_batch,
         )
     pix, z_ndc, w_clip, valid = _triangle_setup(verts_clip, faces, H, W)
     if pixel_tile <= 0 or (pixel_tile >= H and pixel_tile >= W):
@@ -250,6 +255,7 @@ def rasterize_uv(
     resolution: int,
     face_chunk: int = 512,
     pixel_tile: int = 512,
+    tile_batch: int = 64,
 ) -> Rast:
     """Rasterize the UV atlas into texture space (renderer_inverse.py uv_to_pcd
     first step).  UVs are [T, 2] in [0,1], v-up; image row 0 = v=1 (top)."""
@@ -263,6 +269,7 @@ def rasterize_uv(
     return rasterize(
         clip, faces_uv, (resolution, resolution),
         face_chunk=face_chunk, pixel_tile=pixel_tile,
+        tile_batch=tile_batch,
     )
 
 

@@ -69,6 +69,7 @@ def _face_normal_image(face_normals, tri):
     static_argnames=(
         "render_size", "perspective", "grad_norm_threshold",
         "ray_normal_angle_threshold", "filt_gradient_points", "face_chunk",
+        "view_scan", "tile_batch",
     ),
 )
 def mv_render(
@@ -81,6 +82,8 @@ def mv_render(
     ray_normal_angle_threshold: float = 100.0,
     filt_gradient_points: bool = False,
     face_chunk: int = 512,
+    view_scan: bool = False,
+    tile_batch: int = 64,
 ) -> Dict[str, jnp.ndarray]:
     """Per-view geometry buffers of the processed mesh (mv_to_pcd).
 
@@ -102,7 +105,10 @@ def mv_render(
         # in-jit concat->matmul fusion miscompile — the visibility depth
         # test compares these against texel-point projections at 5e-3 eps
         clip = transform_points_mat4(v, mvp_i)
-        rast = rasterize(clip, faces, (H, W), face_chunk=face_chunk)
+        rast = rasterize(
+            clip, faces, (H, W), face_chunk=face_chunk,
+            tile_batch=tile_batch,
+        )
         mask = rast.mask[..., None]
         pos = interpolate(v, rast, faces)
         fn = _face_normal_image(face_normals, rast.tri)
@@ -120,7 +126,15 @@ def mv_render(
         cos_rn = jnp.sum(rays_d * fn, axis=-1, keepdims=True)
         return rast.tri, mask, pos, fn, depth, cos_rn
 
-    tri, mask, pos, fn, depth, cos_rn = jax.vmap(one_view)(mvp, w2cs, c2ws)
+    if view_scan:
+        # low-HBM serving: one view's rasterizer transients at a time
+        # (the vmapped 6-view form OOMed next to 12 GB of resident int8
+        # params at the larger face buckets — E2E_r03)
+        tri, mask, pos, fn, depth, cos_rn = jax.lax.map(
+            lambda args: one_view(*args), (mvp, w2cs, c2ws)
+        )
+    else:
+        tri, mask, pos, fn, depth, cos_rn = jax.vmap(one_view)(mvp, w2cs, c2ws)
 
     cos_thresh = math.cos(math.radians(ray_normal_angle_threshold))
     mask_vis = mask & (cos_rn < cos_thresh)
@@ -152,18 +166,21 @@ def mv_render(
     }
 
 
-@partial(jax.jit, static_argnames=("uv_size", "face_chunk", "pixel_tile"))
+@partial(jax.jit, static_argnames=(
+    "uv_size", "face_chunk", "pixel_tile", "tile_batch"))
 def uv_render(
     mesh: Mesh,
     uv_size: int,
     face_chunk: int = 512,
     pixel_tile: int = 512,
+    tile_batch: int = 64,
 ) -> Dict[str, jnp.ndarray]:
     """UV-space geometry buffers (uv_to_pcd first half): per-texel mask,
     3D position, face normal, triangle id.  Jitted whole (see mv_render)."""
     rast = rasterize_uv(
         mesh.uv, mesh.faces_uv.astype(jnp.int32), uv_size,
         face_chunk=face_chunk, pixel_tile=pixel_tile,
+        tile_batch=tile_batch,
     )
     faces = mesh.faces.astype(jnp.int32)
     mask = rast.mask[..., None]
@@ -838,8 +855,16 @@ def bake_texture(
         ray_normal_angle_threshold=ray_normal_angle_threshold,
         filt_gradient_points=filt_gradient_points,
         face_chunk=face_chunk,
+        # low_hbm: one view's rasterizer transients at a time + a small
+        # binned-tile batch — the 65k-face bucket's vmapped transients
+        # OOMed next to 12 GB of resident int8 params (E2E_r03)
+        view_scan=low_hbm,
+        tile_batch=8 if low_hbm else 64,
     )
-    uv_out = uv_render(mesh, uv_size, face_chunk=face_chunk, pixel_tile=uv_pixel_tile)
+    uv_out = uv_render(
+        mesh, uv_size, face_chunk=face_chunk, pixel_tile=uv_pixel_tile,
+        tile_batch=8 if low_hbm else 64,
+    )
     if method == "reproject":
         # fused visibility + paste: one jitted program instead of the eager
         # view_visibility -> paste composition (parity-tested equal); its
