@@ -1,0 +1,105 @@
+"""Quantized-serving-params disk cache (utils/param_cache.py).
+
+The TPU analog of the reference's prequantized-NF4 checkpoint branch
+(reference pipeline.py:74-96): quantize once, serve from a cached tree.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitex_tpu.utils.param_cache import load_params, save_params
+
+
+class TestParamCacheRoundTrip:
+    def test_nested_tree_all_dtypes(self, tmp_path):
+        tree = {
+            "blocks": {
+                "kernel_int8": np.arange(-8, 8, dtype=np.int8).reshape(4, 4),
+                "kernel_scale": np.linspace(0.1, 1, 4, dtype=np.float32),
+                "bias": jnp.arange(3, dtype=jnp.bfloat16) * 0.5,
+            },
+            "stack": [np.ones((2, 2), np.float32), np.zeros((1,), np.int32)],
+            "empty": {},  # dropped: no leaves
+        }
+        path = str(tmp_path / "t.npz")
+        save_params(path, tree)
+        out = load_params(path)
+        assert set(out) == {"blocks", "stack"}
+        np.testing.assert_array_equal(
+            out["blocks"]["kernel_int8"], np.asarray(tree["blocks"]["kernel_int8"])
+        )
+        np.testing.assert_array_equal(
+            out["blocks"]["kernel_scale"], tree["blocks"]["kernel_scale"]
+        )
+        assert str(out["blocks"]["bias"].dtype) == "bfloat16"
+        np.testing.assert_array_equal(
+            out["blocks"]["bias"].view(np.uint16),
+            np.asarray(tree["blocks"]["bias"]).view(np.uint16),
+        )
+        assert isinstance(out["stack"], list) and len(out["stack"]) == 2
+        np.testing.assert_array_equal(out["stack"][1], tree["stack"][1])
+
+    def test_atomic_overwrite_and_slash_guard(self, tmp_path):
+        path = str(tmp_path / "t.npz")
+        save_params(path, {"a": np.zeros(2)})
+        save_params(path, {"a": np.ones(2)})  # overwrite via tmp+rename
+        np.testing.assert_array_equal(load_params(path)["a"], np.ones(2))
+        with pytest.raises(AssertionError):
+            save_params(path, {"a/b": np.zeros(2)})
+
+
+class TestPipelineParamsCache:
+    def test_second_build_hits_cache(self, tmp_path, monkeypatch):
+        """Second pipeline build with the same params_cache dir must load
+        the quantized tree from disk (init/quantize never called) and get
+        a leaf-identical tree."""
+        from unitex_tpu.config import (
+            BakeConfig, CameraConfig, DiffusionConfig, MeshConfig,
+            PipelineConfig,
+        )
+        from unitex_tpu.models.flux import model as flux_model
+        from unitex_tpu.models.flux.config import FluxConfig
+        from unitex_tpu.models.flux.vae import VAEConfig
+        from unitex_tpu.pipeline import CustomRGBTextureFullPipeline
+
+        monkeypatch.setattr(
+            FluxConfig, "flux1_dev", staticmethod(FluxConfig.tiny)
+        )
+        monkeypatch.setattr(VAEConfig, "flux", staticmethod(VAEConfig.tiny))
+        monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+        cfg = PipelineConfig(
+            camera=CameraConfig(view_size=32),
+            mesh=MeshConfig(min_faces=500, max_faces=4000, uv_size=128),
+            bake=BakeConfig(uv_size=128),
+            diffusion=DiffusionConfig(
+                height=32, width=192, dual_size=32, num_inference_steps=2,
+                max_sequence_length=8,
+            ),
+        )
+        cache = str(tmp_path / "cache")
+        kw = dict(
+            pretrain_models=None, config=cfg, random_weights=True,
+            int8_serving="max_memory", params_cache=cache,
+        )
+        p1 = CustomRGBTextureFullPipeline(**kw)
+        assert os.path.exists(os.path.join(cache, "flux_random_s0_int8wo.npz"))
+
+        def boom(*a, **k):
+            raise AssertionError("init must not run on a cache hit")
+
+        monkeypatch.setattr(flux_model, "init_flux_params_numpy", boom)
+        p2 = CustomRGBTextureFullPipeline(**kw)
+        l1 = jax.tree.leaves(p1.transformer_params)
+        l2 = jax.tree.leaves(p2.transformer_params)
+        assert len(l1) == len(l2)
+        for a, b in zip(l1, l2):
+            assert a.dtype == b.dtype and a.shape == b.shape
+            np.testing.assert_array_equal(
+                np.asarray(a).view(np.uint8), np.asarray(b).view(np.uint8)
+            )
+        # LoRA init composed with the quantized (kernel_int8) tree
+        assert p2.texture_lora is not None

@@ -64,14 +64,23 @@ def init_lora_params(
             "b": jnp.zeros((L, rank, d_out), jnp.float32),
         }
 
+    def kernel_of(node):
+        # only the SHAPE is read — a quantized serving tree (kernel_int8 /
+        # kernel_int8_wo + scale, same [L, d_in, d_out] kernel layout)
+        # works too, so LoRA init composes with a params_cache'd tree
+        for k in ("kernel", "kernel_int8", "kernel_int8_wo"):
+            if k in node:
+                return node[k]
+        raise KeyError(f"no kernel leaf among {sorted(node)}")
+
     lora: Dict[str, Any] = {"dual_blocks": {}, "single_blocks": {}}
     for path in DUAL_TARGETS:
-        kernel = _get(params["dual_blocks"], path)["kernel"]
-        _ensure_set(lora["dual_blocks"], path, make(kernel))
+        _ensure_set(lora["dual_blocks"], path,
+                    make(kernel_of(_get(params["dual_blocks"], path))))
     if include_single:
         for path in SINGLE_TARGETS:
-            kernel = _get(params["single_blocks"], path)["kernel"]
-            _ensure_set(lora["single_blocks"], path, make(kernel))
+            _ensure_set(lora["single_blocks"], path,
+                        make(kernel_of(_get(params["single_blocks"], path))))
     return lora
 
 

@@ -30,6 +30,7 @@ end-to-end (CI, smoke tests).
 from __future__ import annotations
 
 import os
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -70,6 +71,7 @@ class RGBTextureFullPipelineBase:
         int8_serving: bool | str = False,
         async_io: bool = False,
         random_weights: bool = False,
+        params_cache: Optional[str] = None,
     ):
         from .utils import enable_compilation_cache
 
@@ -95,6 +97,14 @@ class RGBTextureFullPipelineBase:
         # the full 12B fits one 16 GB chip).  LoRA adapters are then
         # runtime-attached (lora.attach_lora) instead of kernel-merged.
         self.int8_serving = int8_serving
+        # params_cache: directory holding the POST-quantization serving
+        # tree (utils/param_cache.py) — the TPU analog of the reference's
+        # prequantized-NF4 checkpoint branch (reference pipeline.py:74-96).
+        # Building the 12B serving tree (load/init -> bf16 -> int8) costs
+        # ~45 min of single-core host time; the cache is one file read.
+        # The filename is keyed by the quantization mode so a mode switch
+        # never reads a mismatched tree.
+        self.params_cache = params_cache
         # production serving can skip the intermediate artifact PNGs
         # (2048^2 encodes cost seconds each); final outputs always save
         self.save_artifacts = save_artifacts
@@ -127,6 +137,36 @@ class RGBTextureFullPipelineBase:
                 pretrain_models, mesh=self.device_mesh
             )
 
+    def _cache_path(self, kind: str) -> Optional[str]:
+        if not self.params_cache:
+            return None
+        mode = {False: "bf16", True: "int8", "max_memory": "int8wo"}[
+            self.int8_serving
+        ]
+        return os.path.join(self.params_cache, f"{kind}_{mode}.npz")
+
+    def _load_cached_tree(self, kind: str):
+        path = self._cache_path(kind)
+        if path and os.path.exists(path):
+            from .utils.param_cache import load_params
+
+            t0 = time.perf_counter()
+            tree = load_params(path)
+            print(f"[pipeline] params cache hit {path} "
+                  f"({time.perf_counter() - t0:.1f}s)")
+            return tree
+        return None
+
+    def _store_cached_tree(self, kind: str, tree) -> None:
+        path = self._cache_path(kind)
+        if path and not os.path.exists(path):
+            from .utils.param_cache import save_params
+
+            t0 = time.perf_counter()
+            save_params(path, tree)
+            print(f"[pipeline] params cache write {path} "
+                  f"({time.perf_counter() - t0:.1f}s)")
+
     def _try_load_weights(self, require: bool) -> None:
         from .models.flux.loader import load_flux_transformer, load_vae
         from .models.flux.lora import load_lora_safetensors
@@ -141,10 +181,14 @@ class RGBTextureFullPipelineBase:
             # "max_memory" mode this exists for (16 GB HBM), and doubles
             # peak HBM in every other mode.
             host = jax.devices("cpu")[0]
+            cached = self._load_cached_tree("flux")
             with jax.default_device(host):
-                self.transformer_params = load_flux_transformer(
-                    tdir, self.flux_cfg
-                )
+                if cached is None:
+                    self.transformer_params = load_flux_transformer(
+                        tdir, self.flux_cfg
+                    )
+                else:
+                    self.transformer_params = cached
                 self.vae_params = load_vae(vdir, self.vae_cfg)
                 for name in ("texture", "delight"):
                     p = os.path.join(root, f"{name}_lora.safetensors")
@@ -155,16 +199,21 @@ class RGBTextureFullPipelineBase:
                             self.flux_cfg.num_single_layers,
                         )
                         setattr(self, f"{name}_lora", lora)
-                self.transformer_params = jax.tree.map(
-                    lambda x: x.astype(jnp.bfloat16), self.transformer_params
-                )
-                if self.int8_serving:
-                    from .models.flux.quantize import quantize_flux_params
-
-                    self.transformer_params = quantize_flux_params(
+                if cached is None:
+                    self.transformer_params = jax.tree.map(
+                        lambda x: x.astype(jnp.bfloat16),
                         self.transformer_params,
-                        weight_only_rest=(self.int8_serving == "max_memory"),
                     )
+                    if self.int8_serving:
+                        from .models.flux.quantize import quantize_flux_params
+
+                        self.transformer_params = quantize_flux_params(
+                            self.transformer_params,
+                            weight_only_rest=(
+                                self.int8_serving == "max_memory"
+                            ),
+                        )
+                    self._store_cached_tree("flux", self.transformer_params)
             if jax.device_count() > 1:
                 from .parallel.mesh import make_mesh
                 from .parallel.sharding import flux_param_shardings, shard_params
@@ -202,10 +251,14 @@ class RGBTextureFullPipelineBase:
         from .models.flux.vae import init_vae_params
 
         host = jax.devices("cpu")[0]
+        cached = self._load_cached_tree("flux_random_s0")
         with jax.default_device(host):
-            self.transformer_params = init_flux_params_numpy(
-                self.flux_cfg, seed=0
-            )
+            if cached is None:
+                self.transformer_params = init_flux_params_numpy(
+                    self.flux_cfg, seed=0
+                )
+            else:
+                self.transformer_params = cached
             self.texture_lora = init_lora_params(
                 jax.random.key(1), self.transformer_params, rank=16
             )
@@ -213,16 +266,20 @@ class RGBTextureFullPipelineBase:
                 jax.random.key(2), self.transformer_params, rank=16
             )
             self.vae_params = init_vae_params(jax.random.key(3), self.vae_cfg)
-            self.transformer_params = jax.tree.map(
-                lambda x: jnp.asarray(x, jnp.bfloat16), self.transformer_params
-            )
-            if self.int8_serving:
-                from .models.flux.quantize import quantize_flux_params
-
-                self.transformer_params = quantize_flux_params(
+            if cached is None:
+                self.transformer_params = jax.tree.map(
+                    lambda x: jnp.asarray(x, jnp.bfloat16),
                     self.transformer_params,
-                    weight_only_rest=(self.int8_serving == "max_memory"),
                 )
+                if self.int8_serving:
+                    from .models.flux.quantize import quantize_flux_params
+
+                    self.transformer_params = quantize_flux_params(
+                        self.transformer_params,
+                        weight_only_rest=(self.int8_serving == "max_memory"),
+                    )
+                self._store_cached_tree("flux_random_s0",
+                                        self.transformer_params)
         if jax.device_count() > 1:
             from .parallel.mesh import make_mesh
             from .parallel.sharding import flux_param_shardings, shard_params
