@@ -88,6 +88,10 @@ def main():
                          "only, production scale — isolates the non-FLUX "
                          "stages)")
     ap.add_argument("--work", default=None, help="work dir (default: temp)")
+    ap.add_argument("--params-cache", default="/root/e2e_params_cache",
+                    help="quantized-serving-tree disk cache dir "
+                         "(utils/param_cache.py) — skips the ~45 min "
+                         "host init/quantize on later runs")
     args = ap.parse_args()
 
     import tempfile
@@ -115,6 +119,8 @@ def main():
         else False,
         save_artifacts=False,
         async_io=True,
+        params_cache=(args.params_cache
+                      if not (args.small or args.weightless) else None),
     )
     if args.small:
         import dataclasses
@@ -199,6 +205,14 @@ def main():
             "total_s": round(total, 3), "stages_s": stages, "glb_ok": ok,
         })
         print(json.dumps(results[-1]))
+        _write_report(args, t_build, results)  # incremental: survive kills
+
+    _write_report(args, t_build, results, final=True)
+
+
+def _write_report(args, t_build, results, final=False):
+    import jax
+    import numpy as np
 
     warm = [r["total_s"] for r in results if r["pass"] == "warm"]
     report = {
@@ -218,10 +232,12 @@ def main():
         "build_s": round(t_build, 1),
         "assets": results,
         "warm_median_s": round(float(np.median(warm)), 3) if warm else None,
+        "complete": final,
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
-    print(json.dumps({k: v for k, v in report.items() if k != "assets"}))
+    if final:
+        print(json.dumps({k: v for k, v in report.items() if k != "assets"}))
 
 
 if __name__ == "__main__":

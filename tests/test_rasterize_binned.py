@@ -66,3 +66,22 @@ def test_big_triangle_fallback():
     mask = np.asarray(out.tri >= 0)
     assert mask[32, 32]
     assert mask.mean() > 0.4
+
+
+def test_tile_batch_static_through_outer_jit():
+    """Regression: tile_batch is consumed by Python-level math (gcd) in the
+    binned kernel, so `rasterize` must mark it static — left dynamic, the
+    concrete int became a tracer when rasterize was called from INSIDE an
+    outer jit above the binned face threshold (mv_render with the low-HBM
+    tile_batch=8 crashed the full-12B E2E run with
+    TracerIntegerConversionError).  Trace-only (eval_shape): no compile."""
+    import jax
+
+    F = 8200  # > binned_threshold -> takes the rasterize_binned path
+    verts = jax.ShapeDtypeStruct((3 * F, 4), jnp.float32)
+    faces = jax.ShapeDtypeStruct((F, 3), jnp.int32)
+
+    def outer(v, f):
+        return rasterize(v, f, (64, 64), tile_batch=8).tri
+
+    jax.eval_shape(jax.jit(outer), verts, faces)  # must not raise

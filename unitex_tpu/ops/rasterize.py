@@ -166,7 +166,14 @@ def _rasterize_tile(
 
 @partial(
     jax.jit,
-    static_argnames=("resolution", "face_chunk", "pixel_tile", "binned_threshold"),
+    static_argnames=(
+        "resolution", "face_chunk", "pixel_tile", "binned_threshold",
+        # tile_batch is consumed by Python-level math (gcd/range) in the
+        # binned kernel — leaving it dynamic turns it into a tracer when
+        # rasterize is called from inside an outer jit (mv_render with
+        # low-HBM tile_batch=8 crashed the full-12B E2E run here)
+        "tile_batch",
+    ),
 )
 def rasterize(
     verts_clip: jnp.ndarray,
