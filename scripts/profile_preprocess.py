@@ -48,10 +48,10 @@ def main():
     }
 
     report = {"metric": "host_preprocess_profile", "cases": []}
-    prof_target = None
     for name, maker in cases.items():
         mesh0 = maker()
         best = None
+        best_faces_out = None
         for _ in range(args.reps):
             mesh = mesh0
             stages = {}
@@ -84,12 +84,14 @@ def main():
             stages["total"] = time.perf_counter() - t0
             if best is None or stages["total"] < best["total"]:
                 best = stages
-                prof_target = (name, mesh, dict(stages))
+                best_faces_out = int(
+                    unwrapped.n_faces
+                    if hasattr(unwrapped, "n_faces") else mesh.n_faces
+                )
         report["cases"].append({
             "case": name,
             "faces_in": int(mesh0.n_faces),
-            "faces_out": int(unwrapped.n_faces
-                             if hasattr(unwrapped, "n_faces") else mesh.n_faces),
+            "faces_out": best_faces_out,
             "stages_s": {k: round(v, 3) for k, v in best.items()},
         })
         print(json.dumps(report["cases"][-1]))
@@ -112,13 +114,28 @@ def main():
         m = gp.normalize_to_unit_cube(m)
         while m.n_faces < 20_000:
             m = gp.loop_subdivide(m, 1)
-    else:
+    elif slow_stage == "decimate":
+        m = gp.normalize_to_unit_cube(cases[name](), scale=1.0)
+        m = gp.remove_unreferenced_vertices(gp.remove_degenerate_faces(m))
+        gp.qem_decimate(m, 200_000)
+    elif slow_stage == "weld_clean":
+        m = gp.merge_close_vertices(mesh, 1e-8)
+        m = gp.remove_degenerate_faces(m)
+        gp.remove_unreferenced_vertices(m)
+    elif slow_stage == "normalize_clean":
+        m = gp.normalize_to_unit_cube(cases[name](), scale=1.0)
+        m = gp.remove_degenerate_faces(m)
+        gp.remove_unreferenced_vertices(m)
+    else:  # unknown stage label: whole-pipeline fallback (noted in report)
         gp.preprocess_blank_mesh_geometry(mesh0)
     pr.disable()
     s = io.StringIO()
     pstats.Stats(pr, stream=s).sort_stats("cumulative").print_stats(15)
     top = [ln for ln in s.getvalue().splitlines() if ln.strip()][4:19]
-    report["slowest"] = {"case": name, "stage": slow_stage, "top": top}
+    report["slowest"] = {"case": name, "stage": slow_stage, "top": top,
+                         "isolated": slow_stage in (
+                             "unwrap", "subdivide", "decimate",
+                             "weld_clean", "normalize_clean")}
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({"slowest": name, "stage": slow_stage}))

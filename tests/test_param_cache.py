@@ -51,6 +51,23 @@ class TestParamCacheRoundTrip:
         with pytest.raises(AssertionError):
             save_params(path, {"a/b": np.zeros(2)})
 
+    def test_hash_key_guard(self, tmp_path):
+        """Dict keys starting with '#' would round-trip as a LIST (the
+        list-node encoding) — rejected at save time (ADVICE r03)."""
+        path = str(tmp_path / "t.npz")
+        with pytest.raises(AssertionError):
+            save_params(path, {"#0": np.zeros(2), "#1": np.ones(2)})
+
+    def test_meta_round_trip(self, tmp_path):
+        from unitex_tpu.utils.param_cache import load_meta
+
+        path = str(tmp_path / "t.npz")
+        save_params(path, {"a": np.zeros(2)})
+        assert load_meta(path) is None  # legacy: no fingerprint
+        meta = {"version": 1, "source": "random_s0"}
+        save_params(path, {"a": np.zeros(2)}, meta=meta)
+        assert load_meta(path) == meta
+
 
 class TestPipelineParamsCache:
     def test_second_build_hits_cache(self, tmp_path, monkeypatch):
@@ -103,3 +120,101 @@ class TestPipelineParamsCache:
             )
         # LoRA init composed with the quantized (kernel_int8) tree
         assert p2.texture_lora is not None
+
+    def test_stale_cache_detected_and_overwritten(self, tmp_path, monkeypatch):
+        """A cache whose fingerprint (quantizer version) or leaf shapes no
+        longer match the config is rejected AND the rebuilt tree overwrites
+        it, so the cache refreshes after a code change (ADVICE r03
+        medium)."""
+        from unitex_tpu.config import (
+            BakeConfig, CameraConfig, DiffusionConfig, MeshConfig,
+            PipelineConfig,
+        )
+        from unitex_tpu.models.flux.config import FluxConfig
+        from unitex_tpu.models.flux.vae import VAEConfig
+        from unitex_tpu.pipeline import (
+            CustomRGBTextureFullPipeline, RGBTextureFullPipelineBase,
+        )
+        from unitex_tpu.utils.param_cache import load_meta, save_params
+
+        monkeypatch.setattr(
+            FluxConfig, "flux1_dev", staticmethod(FluxConfig.tiny)
+        )
+        monkeypatch.setattr(VAEConfig, "flux", staticmethod(VAEConfig.tiny))
+        monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+        cfg = PipelineConfig(
+            camera=CameraConfig(view_size=32),
+            mesh=MeshConfig(min_faces=500, max_faces=4000, uv_size=128),
+            bake=BakeConfig(uv_size=128),
+            diffusion=DiffusionConfig(
+                height=32, width=192, dual_size=32, num_inference_steps=2,
+                max_sequence_length=8,
+            ),
+        )
+        cache = str(tmp_path / "cache")
+        path = os.path.join(cache, "flux_random_s0_int8wo.npz")
+        # poison the cache: right filename, wrong tree shape, old version
+        save_params(path, {"bogus": np.zeros((3, 3), np.float32)},
+                    meta={"version": 0, "source": "flux_random_s0"})
+        p = CustomRGBTextureFullPipeline(
+            pretrain_models=None, config=cfg, random_weights=True,
+            int8_serving="max_memory", params_cache=cache,
+        )
+        assert p.transformer_params is not None
+        assert "bogus" not in p.transformer_params
+        # the stale file was overwritten with a valid fingerprinted tree
+        meta = load_meta(path)
+        assert meta == {
+            "version": RGBTextureFullPipelineBase._PARAMS_CACHE_VERSION,
+            "source": "flux_random_s0",
+        }
+
+    def test_legacy_cache_without_meta_accepted(self, tmp_path, monkeypatch):
+        """A pre-fingerprint cache (no __meta__, e.g. the round-3 12 GB
+        E2E cache) must still be accepted when its leaf shapes/dtypes match
+        the config-derived expectation."""
+        from unitex_tpu.config import (
+            BakeConfig, CameraConfig, DiffusionConfig, MeshConfig,
+            PipelineConfig,
+        )
+        from unitex_tpu.models.flux import model as flux_model
+        from unitex_tpu.models.flux.config import FluxConfig
+        from unitex_tpu.models.flux.vae import VAEConfig
+        from unitex_tpu.pipeline import CustomRGBTextureFullPipeline
+        from unitex_tpu.utils.param_cache import load_meta, load_params
+
+        monkeypatch.setattr(
+            FluxConfig, "flux1_dev", staticmethod(FluxConfig.tiny)
+        )
+        monkeypatch.setattr(VAEConfig, "flux", staticmethod(VAEConfig.tiny))
+        monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+        cfg = PipelineConfig(
+            camera=CameraConfig(view_size=32),
+            mesh=MeshConfig(min_faces=500, max_faces=4000, uv_size=128),
+            bake=BakeConfig(uv_size=128),
+            diffusion=DiffusionConfig(
+                height=32, width=192, dual_size=32, num_inference_steps=2,
+                max_sequence_length=8,
+            ),
+        )
+        cache = str(tmp_path / "cache")
+        kw = dict(
+            pretrain_models=None, config=cfg, random_weights=True,
+            int8_serving="max_memory", params_cache=cache,
+        )
+        CustomRGBTextureFullPipeline(**kw)
+        path = os.path.join(cache, "flux_random_s0_int8wo.npz")
+        # strip the fingerprint, simulating a legacy cache file
+        tree = load_params(path)
+        os.unlink(path)
+        from unitex_tpu.utils.param_cache import save_params
+
+        save_params(path, tree)  # no meta
+        assert load_meta(path) is None
+
+        def boom(*a, **k):
+            raise AssertionError("legacy cache must be accepted (cache hit)")
+
+        monkeypatch.setattr(flux_model, "init_flux_params_numpy", boom)
+        p2 = CustomRGBTextureFullPipeline(**kw)
+        assert p2.transformer_params is not None

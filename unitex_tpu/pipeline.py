@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -105,6 +105,10 @@ class RGBTextureFullPipelineBase:
         # The filename is keyed by the quantization mode so a mode switch
         # never reads a mismatched tree.
         self.params_cache = params_cache
+        # kinds whose on-disk cache failed validation this process: the
+        # rebuilt tree may then OVERWRITE the stale file (otherwise the
+        # cache would never refresh after a quantizer change, ADVICE r03)
+        self._stale_caches: set = set()
         # production serving can skip the intermediate artifact PNGs
         # (2048^2 encodes cost seconds each); final outputs always save
         self.save_artifacts = save_artifacts
@@ -137,6 +141,11 @@ class RGBTextureFullPipelineBase:
                 pretrain_models, mesh=self.device_mesh
             )
 
+    # bump when the serving-tree layout produced by quantize_flux_params /
+    # the npz encoding changes: a version mismatch invalidates old caches
+    # instead of silently serving a stale tree (ADVICE r03)
+    _PARAMS_CACHE_VERSION = 1
+
     def _cache_path(self, kind: str) -> Optional[str]:
         if not self.params_cache:
             return None
@@ -145,25 +154,90 @@ class RGBTextureFullPipelineBase:
         ]
         return os.path.join(self.params_cache, f"{kind}_{mode}.npz")
 
+    def _cache_meta(self, kind: str) -> Dict[str, Any]:
+        """Cache fingerprint: format/quantizer version + source checkpoint
+        identity (path+mtime) — the things leaf-shape validation cannot
+        catch (same shapes, different weights)."""
+        if self.pretrain_models:
+            tdir = os.path.join(self.pretrain_models, "flux", "transformer")
+            try:
+                src = f"{tdir}:{os.path.getmtime(tdir):.0f}"
+            except OSError:
+                src = tdir
+        else:
+            src = kind  # random-init caches carry the seed in the kind name
+        return {"version": self._PARAMS_CACHE_VERSION, "source": src}
+
+    def _expected_serving_tree(self):
+        """Abstract (eval_shape) serving tree for the current flux_cfg +
+        quantization mode — the ground truth a cached tree must match."""
+        from .models.flux.model import init_flux_params
+
+        def build(key):
+            p = init_flux_params(key, self.flux_cfg)
+            p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p)
+            if self.int8_serving:
+                from .models.flux.quantize import quantize_flux_params
+
+                p = quantize_flux_params(
+                    p, weight_only_rest=(self.int8_serving == "max_memory")
+                )
+            return p
+        return jax.eval_shape(build, jax.random.key(0))
+
+    def _validate_cached_tree(self, tree) -> Optional[str]:
+        """Leaf path/shape/dtype check of a cache-loaded tree against the
+        config-derived expectation; returns a mismatch description or
+        None.  A stale cache (config change, quantizer change) otherwise
+        surfaces as wrong weights or a late confusing shape error."""
+        import jax.tree_util as jtu
+
+        exp = jtu.tree_flatten_with_path(self._expected_serving_tree())[0]
+        got = jtu.tree_flatten_with_path(tree)[0]
+        if len(exp) != len(got):
+            return f"leaf count {len(got)} != expected {len(exp)}"
+        for (pe, le), (pg, lg) in zip(exp, got):
+            if pe != pg:
+                return f"leaf path {jtu.keystr(pg)} != expected {jtu.keystr(pe)}"
+            if tuple(le.shape) != tuple(lg.shape):
+                return (f"{jtu.keystr(pe)}: shape {tuple(lg.shape)} != "
+                        f"expected {tuple(le.shape)}")
+            if jnp.dtype(le.dtype) != jnp.dtype(lg.dtype):
+                return (f"{jtu.keystr(pe)}: dtype {jnp.dtype(lg.dtype)} != "
+                        f"expected {jnp.dtype(le.dtype)}")
+        return None
+
     def _load_cached_tree(self, kind: str):
         path = self._cache_path(kind)
-        if path and os.path.exists(path):
-            from .utils.param_cache import load_params
+        if not (path and os.path.exists(path)):
+            return None
+        from .utils.param_cache import load_meta, load_params
 
-            t0 = time.perf_counter()
-            tree = load_params(path)
-            print(f"[pipeline] params cache hit {path} "
-                  f"({time.perf_counter() - t0:.1f}s)")
-            return tree
-        return None
+        meta = load_meta(path)
+        if meta is not None and meta != self._cache_meta(kind):
+            print(f"[pipeline] params cache STALE {path}: fingerprint "
+                  f"{meta} != {self._cache_meta(kind)}; rebuilding")
+            self._stale_caches.add(kind)
+            return None
+        t0 = time.perf_counter()
+        tree = load_params(path)
+        err = self._validate_cached_tree(tree)
+        if err is not None:
+            print(f"[pipeline] params cache STALE {path}: {err}; rebuilding")
+            self._stale_caches.add(kind)
+            return None
+        print(f"[pipeline] params cache hit {path} "
+              f"({time.perf_counter() - t0:.1f}s)")
+        return tree
 
     def _store_cached_tree(self, kind: str, tree) -> None:
         path = self._cache_path(kind)
-        if path and not os.path.exists(path):
+        if path and (not os.path.exists(path) or kind in self._stale_caches):
             from .utils.param_cache import save_params
 
             t0 = time.perf_counter()
-            save_params(path, tree)
+            save_params(path, tree, meta=self._cache_meta(kind))
+            self._stale_caches.discard(kind)
             print(f"[pipeline] params cache write {path} "
                   f"({time.perf_counter() - t0:.1f}s)")
 

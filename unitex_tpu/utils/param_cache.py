@@ -26,7 +26,7 @@ from typing import Any, Dict
 
 import numpy as np
 
-__all__ = ["save_params", "load_params"]
+__all__ = ["save_params", "load_params", "load_meta"]
 
 _BF16_TAG = "bfloat16"
 
@@ -35,6 +35,12 @@ def _flatten(tree: Any, prefix: str, out: Dict[str, np.ndarray]) -> None:
     if isinstance(tree, dict):
         for k in sorted(tree):
             assert "/" not in str(k), f"param key {k!r} contains '/'"
+            # '#'-prefixed keys are the list-node encoding (_listify):
+            # a dict key starting with '#' would silently round-trip as a
+            # list (ADVICE r03)
+            assert not str(k).startswith("#"), (
+                f"param key {k!r} starts with '#' (reserved for list nodes)"
+            )
             _flatten(tree[k], f"{prefix}/{k}" if prefix else str(k), out)
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
@@ -62,8 +68,13 @@ def _listify(tree: Any) -> Any:
     return {k: _listify(v) for k, v in tree.items()}
 
 
-def save_params(path: str, params: Any) -> None:
-    """Atomically write a nested dict/list tree of arrays to ``path``."""
+def save_params(path: str, params: Any, meta: Any = None) -> None:
+    """Atomically write a nested dict/list tree of arrays to ``path``.
+
+    ``meta`` (JSON-serializable) is stored alongside the leaves as a
+    ``__meta__`` entry — a cache fingerprint (quantizer version, source
+    checkpoint identity, …) the caller verifies on load so a stale or
+    mismatched tree is never silently served (ADVICE r03)."""
     leaves: Dict[str, np.ndarray] = {}
     _flatten(params, "", leaves)
     payload: Dict[str, np.ndarray] = {}
@@ -77,6 +88,10 @@ def save_params(path: str, params: Any) -> None:
     payload["__paths__"] = np.frombuffer(
         json.dumps(index).encode(), dtype=np.uint8
     )
+    if meta is not None:
+        payload["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fd, tmp = tempfile.mkstemp(
         dir=os.path.dirname(os.path.abspath(path)), suffix=".tmp"
@@ -104,3 +119,12 @@ def load_params(path: str) -> Any:
                 a = a.view(ml_dtypes.bfloat16)
             _insert(tree, p, a)
     return _listify(tree)
+
+
+def load_meta(path: str) -> Any:
+    """Return the ``meta`` stored by :func:`save_params`, or None (legacy
+    caches written before the fingerprint existed have no ``__meta__``)."""
+    with np.load(path) as z:
+        if "__meta__" not in z.files:
+            return None
+        return json.loads(bytes(z["__meta__"]).decode())
