@@ -25,7 +25,12 @@ def main():
     ap.add_argument("--fast-steps", type=int, default=0,
                     help="denoise steps served by velocity extrapolation "
                          "instead of a transformer evaluation (training-"
-                         "free speedup; 0 = the exact 28-step schedule)")
+                         "free speedup; 0 = the exact 28-step schedule). "
+                         "CAVEAT: the quality table (VELOCITY_REUSE_r03."
+                         "json, 48.3/47.5/40.5 dB at 4/8/12) was measured "
+                         "on a RANDOM-INIT transformer — re-run scripts/"
+                         "eval_velocity_reuse.py before relying on it "
+                         "with trained weights")
     args = ap.parse_args()
 
     import dataclasses

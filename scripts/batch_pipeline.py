@@ -68,7 +68,11 @@ def main():
     ap.add_argument("--fast-steps", type=int, default=0,
                     help="denoise steps served by velocity extrapolation "
                          "instead of a transformer evaluation (training-"
-                         "free speedup; 0 = the exact 28-step schedule)")
+                         "free speedup; 0 = the exact 28-step schedule). "
+                         "CAVEAT: quality measured on a RANDOM-INIT "
+                         "transformer only (VELOCITY_REUSE_r03.json) — "
+                         "re-run scripts/eval_velocity_reuse.py on real "
+                         "weights before relying on it")
     args = ap.parse_args()
 
     from unitex_tpu.pipeline import CustomRGBTextureFullPipeline

@@ -17,11 +17,18 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 COMPARED = (
+    "rembg_image.png",
+    "processed_image.png",
     "mv_alpha.png",
     "mv_ccm.png",
     "mv_normal.png",
     "mv_rgb_w_light.png",
     "mv_rgb.png",
+    # --sr artifact set: with super_resolutions on, mv_rgb.png is the
+    # TSD-SR 2048^2 output and mv_rgb_lr.png keeps the pre-SR 512^2 grid
+    # (pipeline.py infer_mv_stage) — both are scored so SR parity and
+    # diffusion parity are separable; absent files report null
+    "mv_rgb_lr.png",
     "visable_uv_mask.png",
     "valid_uv_mask.png",
     "completed_uv.png",

@@ -12,6 +12,11 @@ against reuse=0.
 
   python scripts/eval_velocity_reuse.py --out VELOCITY_REUSE_r03.json
       [--levels 4 8 12] [--tiny]   # --tiny = CPU smoke shapes
+
+TODO(weights): when real FLUX checkpoints exist (WEIGHTS.md), re-run with
+``--pretrain-models <root>`` added to the pipeline build below and publish
+the trained-weights table — the random-init numbers are directionally
+conservative but NOT a substitute (VERDICT r03 weak #6).
 """
 
 import argparse

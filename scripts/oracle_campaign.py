@@ -27,7 +27,20 @@ if os.environ.get("JAX_PLATFORMS") and os.environ["JAX_PLATFORMS"] != "axon":
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
-def run_case(primitive, view_size=512, uv_size=2048, **bake_kwargs):
+def load_ltm_query_field(path):
+    """Trained LTM checkpoint (scripts/train_ltm.py npz) -> the
+    ``query_field`` bake hook (models/ltm.make_query_field)."""
+    from unitex_tpu.models.ltm import LTMConfig, make_query_field
+    from unitex_tpu.utils.param_cache import load_meta, load_params
+
+    meta = load_meta(path) or {}
+    cfg = LTMConfig(**meta.get("config", {}))
+    params = load_params(path)
+    return make_query_field(params, cfg)
+
+
+def run_case(primitive, view_size=512, uv_size=2048, ltm_path=None,
+             **bake_kwargs):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,6 +48,7 @@ def run_case(primitive, view_size=512, uv_size=2048, **bake_kwargs):
     from unitex_tpu.geometry.mesh import Mesh
     from unitex_tpu.geometry.primitives import (
         make_compound,
+        make_cup,
         make_icosphere,
         make_torus,
         make_trefoil,
@@ -49,6 +63,10 @@ def run_case(primitive, view_size=512, uv_size=2048, **bake_kwargs):
         "torus": lambda: make_torus(n_major=192, n_minor=128),
         "trefoil": lambda: make_trefoil(n_major=384, n_minor=40),
         "compound": lambda: make_compound(subdivisions=5),
+        # deep-cavity case (VERDICT r03 #6): tilted open cup — interior
+        # texels within one wall thickness of the outer surface stress the
+        # 5e-3 depth-eps visibility joint at bf16-grade matmul precision
+        "cup": lambda: make_cup(),
     }[primitive]()
     host = unwrap_atlas(host, size=uv_size, gutter=4)
     mesh = Mesh(
@@ -75,9 +93,12 @@ def run_case(primitive, view_size=512, uv_size=2048, **bake_kwargs):
         render_map_attr=True,
     )
     views = np.asarray(out.map_attr)
+    extra = {}
+    if ltm_path is not None:
+        extra["query_field"] = load_ltm_query_field(ltm_path)
     baked = bake_texture(
         mesh, jnp.asarray(views), c2ws, intr, uv_size=uv_size,
-        method="reproject", **bake_kwargs,
+        method="reproject", **bake_kwargs, **extra,
     )
     rec = np.asarray(baked["texture"])
     mask = np.asarray(uv_out["mask"])[..., 0]
@@ -97,6 +118,7 @@ def run_case(primitive, view_size=512, uv_size=2048, **bake_kwargs):
     return {
         "primitive": primitive,
         "faces": int(mesh.faces.shape[0]),
+        **({"fill": "ltm"} if ltm_path is not None else {}),
         **bake_kwargs,
         "visible_texel_fraction": round(float(vis_any[mask].mean()), 4),
         "texture_psnr_visible": psnr(rec[ok], tex_np[ok]),
@@ -113,7 +135,11 @@ def main():
     ap.add_argument("--view-size", type=int, default=512)
     ap.add_argument("--uv-size", type=int, default=2048)
     ap.add_argument("--primitives", nargs="+",
-                    default=["sphere", "torus", "trefoil", "compound"])
+                    default=["sphere", "torus", "trefoil", "compound",
+                             "cup"])
+    ap.add_argument("--ltm", default=None,
+                    help="trained LTM checkpoint (scripts/train_ltm.py) — "
+                         "adds a fill=ltm option set per primitive")
     args = ap.parse_args()
 
     from unitex_tpu.utils import enable_compilation_cache
@@ -124,6 +150,10 @@ def main():
         dict(paste_mode="priority", fill_k=1, fill_relax_iters=0),
         dict(paste_mode="cosine", fill_k=8, fill_relax_iters=50),
     ]
+    if args.ltm:
+        # the trained-LTM inpainting column (VERDICT r03 #3): same paste
+        # as the quality set, learned field instead of the KNN fill
+        settings.append(dict(paste_mode="cosine", ltm_path=args.ltm))
     cases = []
     for prim in args.primitives:
         for s in settings:
@@ -147,6 +177,9 @@ def main():
             "and round-3 quality (cosine winner paste, k=8 IDW fill + "
             "50-iter seam-aware relaxation)"
         ),
+        # version the GT-gutter convention so cross-round numbers are
+        # never compared across protocol changes (VERDICT r03 weak #7)
+        "protocol_version": "v2-dilated-gutter-gt",
         "device": "TPU v5e (1 chip)",
         "date": str(datetime.date.today()),
         "cases": cases,

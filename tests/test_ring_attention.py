@@ -100,6 +100,59 @@ class TestFluxSP:
             with jax.set_mesh(mesh):
                 flux_forward_sp(params, cfg, **batch, seq_axis="model")
 
+    def test_sp_composes_with_tp(self):
+        """VERDICT r03 #4: SP x TP on a (seq x model) mesh — the shard_map
+        goes manual over 'seq' only (axis_names), params keep their
+        Megatron flux_param_shardings over 'model', and the XLA SPMD
+        partitioner inserts the TP collectives inside each sequence shard.
+        Must match the replicated forward exactly (the >100k-token layout
+        where neither the sequence nor the 12B weights fit one chip)."""
+        from jax.sharding import Mesh
+        from unitex_tpu.models.flux.model import flux_forward
+        from unitex_tpu.models.flux.sp import flux_forward_sp
+        from unitex_tpu.parallel.sharding import (
+            flux_param_shardings, shard_params,
+        )
+
+        cfg, params, batch = self._setup(S_img=16, S_txt=4)
+        ref = flux_forward(params, cfg, **batch)
+        mesh = Mesh(
+            np.asarray(jax.devices()).reshape(2, 4), ("seq", "model"))
+        tp_params = shard_params(params, flux_param_shardings(params, mesh))
+        out = flux_forward_sp(tp_params, cfg, **batch, mesh=mesh,
+                              seq_axis="seq", tp_axis="model")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_sp_tp_gradients_match_replicated(self):
+        """SP x TP composed TRAINING: grads w.r.t. the TP-sharded params
+        through the manual-seq shard_map match the replicated grads."""
+        from jax.sharding import Mesh
+        from unitex_tpu.models.flux.model import flux_forward
+        from unitex_tpu.models.flux.sp import flux_forward_sp
+        from unitex_tpu.parallel.sharding import (
+            flux_param_shardings, shard_params,
+        )
+
+        cfg, params, batch = self._setup(S_img=16, S_txt=4)
+        mesh = Mesh(
+            np.asarray(jax.devices()).reshape(2, 4), ("seq", "model"))
+        tp_params = shard_params(params, flux_param_shardings(params, mesh))
+
+        def loss_ref(p):
+            return jnp.mean(flux_forward(p, cfg, **batch) ** 2)
+
+        def loss_sp_tp(p):
+            return jnp.mean(
+                flux_forward_sp(p, cfg, **batch, mesh=mesh,
+                                seq_axis="seq", tp_axis="model") ** 2)
+
+        g_ref = jax.grad(loss_ref)(params)
+        g = jax.grad(loss_sp_tp)(tp_params)
+        errs = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), g_ref, g)
+        assert max(jax.tree.leaves(errs)) < 5e-5
+
     def test_sp_gradients_match_replicated(self):
         """SP is a TRAINING capability too: the ring schedule's fori_loop
         has a static trip count, so reverse-mode differentiates through

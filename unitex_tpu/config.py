@@ -67,7 +67,10 @@ class DiffusionConfig:
     max_shift: float = 1.15
     # steps served by velocity extrapolation instead of a transformer
     # evaluation (training-free acceleration, models/flux/pipeline.py
-    # make_reuse_mask; 0 = the reference's exact 28-evaluation schedule)
+    # make_reuse_mask; 0 = the reference's exact 28-evaluation schedule).
+    # Quality table (VELOCITY_REUSE_r03.json) was measured on a RANDOM-
+    # INIT transformer — re-run scripts/eval_velocity_reuse.py when real
+    # weights exist before trusting the dB numbers
     velocity_reuse: int = 0
     # replay the CUDA reference's torch.Generator stream for the initial
     # noise and the condition-encode posterior draws, threaded across the

@@ -174,6 +174,87 @@ def make_trefoil(
     return HostMesh(verts.astype(np.float32), np.asarray(faces, dtype=np.int32))
 
 
+def make_cup(
+    radius: float = 0.55,
+    height: float = 1.3,
+    wall: float = 0.08,
+    n_theta: int = 192,
+    tilt_deg: float = 35.0,
+) -> HostMesh:
+    """Open hollow cup (watertight surface of revolution): outer wall, rim
+    annulus, inner wall, interior floor, outer bottom — TILTED so the deep
+    interior is seen only obliquely by the 6 box views.
+
+    This is the oracle's deep-cavity case (VERDICT r03 #6): interior
+    texels sit within ``wall`` (~0.08 units) of the outer surface along a
+    side-view ray, so the 5e-3 depth-eps visibility test must separate
+    inner from outer wall at bf16-grade matmul error (~0.01 absolute at
+    radius-2.8 camera depths) — the joint the round-3 fused concat->matmul
+    miscompile silently broke (camera/conversion.transform_points_mat4).
+    Trefoil/compound stress self-occlusion and contact; nothing before
+    this stressed an oblique deep cavity.
+    """
+    R, H, r = radius, height, radius - wall
+    zb, zt, zf = -H / 2, H / 2, -H / 2 + wall
+    # closed cross-section profile from bottom center to floor center;
+    # traversed once, so the revolved quads get a single consistent
+    # orientation (fixed to outward below via the signed volume)
+    segs = [
+        ((0.0, zb), (R, zb), 8),    # outer bottom disk
+        ((R, zb), (R, zt), 16),     # outer wall
+        ((R, zt), (r, zt), 2),      # rim annulus
+        ((r, zt), (r, zf), 16),     # inner wall (the deep cavity)
+        ((r, zf), (0.0, zf), 8),    # interior floor
+    ]
+    prof = [segs[0][0]]
+    for (p0, p1, m) in segs:
+        for k in range(1, m + 1):
+            t = k / m
+            prof.append((p0[0] + (p1[0] - p0[0]) * t,
+                         p0[1] + (p1[1] - p0[1]) * t))
+    theta = np.arange(n_theta) / n_theta * 2 * np.pi
+    cos_t, sin_t = np.cos(theta), np.sin(theta)
+
+    verts = [np.asarray([0.0, 0.0, prof[0][1]])]  # bottom apex
+    ring_start = {}
+    for i, (rr, zz) in enumerate(prof[1:-1], start=1):
+        ring_start[i] = len(verts)
+        verts.extend(np.stack([rr * cos_t, rr * sin_t,
+                               np.full(n_theta, zz)], axis=-1))
+    apex_floor = len(verts)
+    verts.append(np.asarray([0.0, 0.0, prof[-1][1]]))
+    verts = np.asarray(verts, dtype=np.float64)
+
+    faces = []
+    n_rings = len(prof) - 2
+    for j in range(n_theta):
+        jn = (j + 1) % n_theta
+        faces.append([0, ring_start[1] + j, ring_start[1] + jn])
+        faces.append([apex_floor, ring_start[n_rings] + jn,
+                      ring_start[n_rings] + j])
+    for i in range(1, n_rings):
+        a, b = ring_start[i], ring_start[i + 1]
+        for j in range(n_theta):
+            jn = (j + 1) % n_theta
+            faces += [[a + j, b + j, b + jn], [a + j, b + jn, a + jn]]
+    faces = np.asarray(faces, dtype=np.int64)
+    vol = np.einsum(
+        "ij,ij->i",
+        verts[faces[:, 0]],
+        np.cross(verts[faces[:, 1]], verts[faces[:, 2]]),
+    ).sum() / 6.0
+    if vol < 0:  # flip to outward (CCW seen from outside)
+        faces = faces[:, ::-1]
+
+    t = np.deg2rad(tilt_deg)  # tilt about x: no box view looks axially in
+    rot = np.asarray(
+        [[1, 0, 0], [0, np.cos(t), -np.sin(t)], [0, np.sin(t), np.cos(t)]]
+    )
+    verts = verts @ rot.T
+    verts = verts / np.abs(verts).max()
+    return HostMesh(verts.astype(np.float32), faces.astype(np.int32))
+
+
 def make_compound(
     subdivisions: int = 4,
     n_major: int = 160,

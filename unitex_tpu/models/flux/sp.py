@@ -46,6 +46,7 @@ def flux_forward_sp(
     mesh: Optional[Mesh] = None,
     seq_axis: Optional[str] = None,
     sp_mode: Optional[str] = None,
+    tp_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """:func:`flux_forward` with the sequence sharded over ``seq_axis``
     (default ``cfg.seq_axis``).  Same numerics; S_img and S_txt must both
@@ -54,6 +55,16 @@ def flux_forward_sp(
     (ulysses/ring/auto — ops/ring_attention.py).  Token dropping
     (``kv_keep_idx``) indexes the global sequence and is not supported
     under SP.
+
+    ``tp_axis`` composes SP with Megatron tensor parallelism on a 2-axis
+    mesh (seq x model): the shard_map goes MANUAL over ``seq_axis`` only
+    (``axis_names={seq_axis}``), so params keep their
+    :func:`~unitex_tpu.parallel.sharding.flux_param_shardings`
+    NamedShardings over ``tp_axis`` and the XLA SPMD partitioner inserts
+    the column/row-parallel collectives inside each sequence shard — the
+    >100k-token layout (12 views @ 1024²) where neither the sequence nor
+    the 12B weights fit one chip.  Pass params already device_put with
+    their TP shardings.
     """
     seq_axis = seq_axis or cfg.seq_axis
     assert seq_axis is not None, "flux_forward_sp needs a seq axis name"
@@ -78,6 +89,17 @@ def flux_forward_sp(
         return flux_forward(p, cfg_sp, h, c, t, pool, iid, tid, g)
 
     kwargs = {} if mesh is None else {"mesh": mesh}
+    if tp_axis is not None:
+        # manual over seq only; tp_axis (and any other mesh axis) stays
+        # auto so the params' TP NamedShardings drive SPMD partitioning
+        assert tp_axis != seq_axis, "tp_axis must differ from seq_axis"
+        import inspect
+
+        assert "axis_names" in inspect.signature(sm).parameters, (
+            "SP x TP composition needs jax.shard_map with axis_names "
+            "(jax >= 0.9)"
+        )
+        kwargs["axis_names"] = frozenset({seq_axis})
     fn = sm(
         local,
         in_specs=(param_specs, seq, seq, rep, rep, P(seq_axis), P(seq_axis),

@@ -165,19 +165,53 @@ def decode_field(
     return jax.nn.sigmoid(linear(params["head_out"], h))
 
 
-def make_query_field(params: Params, cfg: LTMConfig, chunk: int = 65536):
+def _subsample_context(points, colors, mask, max_ref: int):
+    """Static-shape unbiased pick of up to ``max_ref`` valid points (the
+    golden-ratio-hash shuffle of renderer_inverse._select_masked_points:
+    taking the FIRST max_ref valid texels would bias the encoder context
+    to the top of the UV atlas)."""
+    N = points.shape[0]
+    if N <= max_ref:
+        return points, colors, mask
+    idx = jnp.arange(N, dtype=jnp.uint32)
+    h = (idx * jnp.uint32(2654435761)) ^ (idx >> 16)
+    key = jnp.where(mask, h >> 1, jnp.uint32(0xFFFFFFFF))
+    take = jnp.argsort(key)[:max_ref]
+    return points[take], colors[take], mask[take]
+
+
+def make_query_field(params: Params, cfg: LTMConfig, chunk: int = 65536,
+                     max_ref: int = 16384):
     """Build the ``query_field`` callable the bake consumes
     (renderer_inverse.register_query_field semantics): encode the visible
-    colored points once, decode colors at the query points."""
+    colored points once, decode colors at the query points.
+
+    A 2048² bake hands the hook ~4.2M dense texels; cross-attending all
+    of them into the latents would materialize a [heads, L, 4M] logit
+    tensor (tens of GB).  The encoder context is therefore subsampled to
+    ``max_ref`` spread-out valid points (matching the training-time
+    visible-set size, training/ltm.py) and the query decode runs in
+    ``chunk``-sized lax.map slices — peak memory is O(max_ref + chunk),
+    independent of texture size."""
 
     def query_field(vertices_visible, colors_visible, vertices_query,
                     visible_mask=None, query_mask=None):
         if visible_mask is None:
             visible_mask = jnp.ones(vertices_visible.shape[0], bool)
-        z, _, _ = encode_geometry(
-            params, cfg, vertices_visible, colors_visible, visible_mask
+        pts, cols, val = _subsample_context(
+            vertices_visible, colors_visible, visible_mask, max_ref
         )
-        return decode_field(params, cfg, z, vertices_query)
+        z, _, _ = encode_geometry(params, cfg, pts, cols, val)
+        M = vertices_query.shape[0]
+        if M <= chunk:
+            return decode_field(params, cfg, z, vertices_query)
+        pad = (-M) % chunk
+        q = jnp.pad(vertices_query, ((0, pad), (0, 0)))
+        out = jax.lax.map(
+            lambda qq: decode_field(params, cfg, z, qq),
+            q.reshape(-1, chunk, q.shape[-1]),
+        )
+        return out.reshape(-1, cfg.color_dim)[:M]
 
     return query_field
 
