@@ -100,8 +100,7 @@ def main():
 
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("n_query",), donate_argnums=(0,))
-    def step_fn(state, key, points, n_query):
+    def _one_step(state, key, points, n_query):
         kb, kl = jax.random.split(key)
         batch = sample_device_batch(kb, points, n_query)
 
@@ -118,6 +117,29 @@ def main():
         return LTMTrainState(
             step=state.step + 1, params=new_params, opt_state=opt_state
         ), loss
+
+    @partial(jax.jit, static_argnames=("n_query",), donate_argnums=(0,))
+    def step_fn(state, key, points, n_query):
+        return _one_step(state, key, points, n_query)
+
+    @partial(jax.jit, static_argnames=("n_query", "n_steps"),
+             donate_argnums=(0,))
+    def multi_step_fn(state, key, bank, n_query, n_steps):
+        """``n_steps`` train steps in ONE device program (lax.scan): data
+        sampling is already device-side, so chaining amortizes the ~38 ms
+        remote-exec round-trip per dispatch (CLAUDE.md measured facts) —
+        the whole 20k-step run becomes a few hundred dispatches."""
+
+        def body(carry, _):
+            state, key = carry
+            key, ks, km = jax.random.split(key, 3)
+            mi = jax.random.randint(km, (), 0, bank.shape[0])
+            state, loss = _one_step(state, ks, bank[mi], n_query)
+            return (state, key), loss
+
+        (state, key), losses = jax.lax.scan(
+            body, (state, key), None, length=n_steps)
+        return state, losses[-1]
 
     @partial(jax.jit, static_argnames=("n_query",))
     def eval_psnr(params, key, points, n_query):
@@ -139,20 +161,30 @@ def main():
 
     key = jax.random.key(1)
     mesh_rng = np.random.default_rng(2)  # host pick: no device round-trip
+    train_bank = bank_dev[:n_train]
     losses = []
     t0 = time.perf_counter()
-    for it in range(args.steps):
+    it = 0
+    chunk = 1 if args.tiny else min(args.log_every, 250)
+    while it < args.steps:
         key, ks = jax.random.split(key)
-        mesh_i = int(mesh_rng.integers(n_train))
-        state, loss = step_fn(state, ks, bank_dev[mesh_i], args.n_query)
-        if (it + 1) % args.log_every == 0 or it == 0:
+        if chunk > 1:
+            n = min(chunk, args.steps - it)
+            state, loss = multi_step_fn(state, ks, train_bank,
+                                        args.n_query, n)
+            it += n
+        else:
+            mesh_i = int(mesh_rng.integers(n_train))
+            state, loss = step_fn(state, ks, bank_dev[mesh_i], args.n_query)
+            it += 1
+        if it % args.log_every == 0 or it >= args.steps or it <= chunk:
             l = float(loss)
             p = float(eval_psnr(
                 state.params, jax.random.key(10_000 + it), bank_dev[-1],
                 args.n_query,
             ))
             dt = time.perf_counter() - t0
-            losses.append({"step": it + 1, "loss": round(l, 6),
+            losses.append({"step": it, "loss": round(l, 6),
                            "holdout_hole_psnr_db": round(p, 2),
                            "elapsed_s": round(dt, 1)})
             print(json.dumps(losses[-1]), flush=True)
