@@ -170,8 +170,15 @@ def main():
                 sp = quantize_linears(sp)
             vp = init_vae_params(jax.random.key(11), v_cfg)
             vp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vp)
+        # co-residency headroom: with the 12 GB int8 FLUX resident the
+        # measured-default vae_decode_batch=8 (~13 GB of activation peak)
+        # would OOM the 16 GB chip — 0 = auto picks the largest batch that
+        # fits the ACTUAL free HBM at first decode (sr_pipeline.
+        # _auto_decode_batch, the memory-adaptive VAEHook analog)
+        sr_cfg = TSDSRConfig() if args.small else TSDSRConfig(
+            vae_decode_batch=0)
         pipe.sr_pipeline = TSDSRPipeline(
-            cfg=TSDSRConfig(),
+            cfg=sr_cfg,
             sd3_cfg=s_cfg,
             transformer_params=jax.device_put(sp, jax.devices()[0]),
             vae_params=jax.device_put(vp, jax.devices()[0]),

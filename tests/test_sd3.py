@@ -142,6 +142,53 @@ class TestSRPipeline:
         assert np.isfinite(np.asarray(out)).all()
 
 
+class TestAutoDecodeBatch:
+    """vae_decode_batch=0: per-process static pick from free HBM (the
+    memory-adaptive VAEHook analog, reference TSD_SR/utils/vaehook.py:
+    82-127)."""
+
+    def _pipe(self):
+        return TSDSRPipeline(None, cfg=TSDSRConfig(vae_decode_batch=0))
+
+    def test_fallback_without_memory_stats(self, monkeypatch):
+        import jax
+
+        pipe = self._pipe()
+
+        class Dev:
+            def memory_stats(self):
+                return None  # CPU / no stats API
+
+        monkeypatch.setattr(jax, "devices", lambda *a: [Dev()])
+        assert pipe._auto_decode_batch() == 2  # measured-safe default
+
+    def test_picks_largest_fitting(self, monkeypatch):
+        import jax
+
+        def with_free(free):
+            class Dev:
+                def memory_stats(self):
+                    return {"bytes_limit": int(free + 1e9),
+                            "bytes_in_use": int(1e9)}
+            return [Dev()]
+
+        # ~14 GB free (empty chip): batch 8 (8 * 1.6 GB <= 0.8 * 14 GB)
+        pipe = self._pipe()
+        monkeypatch.setattr(jax, "devices", lambda *a: with_free(16.1e9))
+        assert pipe._auto_decode_batch() == 8
+        # ~2.5 GB free (12 GB FLUX co-resident): batch 1
+        pipe = self._pipe()
+        monkeypatch.setattr(jax, "devices", lambda *a: with_free(2.5e9))
+        assert pipe._auto_decode_batch() == 1
+        # ~7 GB free: batch 2 fits (2 * 1.6 <= 0.8 * 7), 4 doesn't
+        pipe = self._pipe()
+        monkeypatch.setattr(jax, "devices", lambda *a: with_free(7e9))
+        assert pipe._auto_decode_batch() == 2
+        # cached after first resolve (static shapes per process)
+        monkeypatch.setattr(jax, "devices", lambda *a: with_free(16.1e9))
+        assert pipe._auto_decode_batch() == 2
+
+
 class TestSD3Sharding:
     def test_tp_matches_single_device(self):
         """TP-sharded SD3 forward must equal the unsharded result

@@ -173,6 +173,12 @@ class TSDSRConfig:
     # stage (same process, 5 reps each).  group_norm statistics stay f32;
     # the output is uint8-quantized downstream, so bf16's ~3-digit
     # mantissa sits below the 1-LSB quantization floor.
+    # 0 = AUTO: pick the largest of (8, 4, 2, 1) whose estimated peak fits
+    # the chip's CURRENT free HBM (the TPU-idiomatic form of the
+    # reference's memory-adaptive VAEHook tile sizing, TSD_SR/utils/
+    # vaehook.py:82-127 — adaptivity at process level, shapes stay static
+    # so nothing recompiles).  Matters when SD3 co-resides with the 12 GB
+    # int8 FLUX on one 16 GB chip (scripts/e2e_production.py --sr).
     vae_decode_batch: int = 8
     vae_decode_dtype: str = "bfloat16"  # "float32" to force full precision
     # W8A8 int8 serving for the SD3 transformer blocks (the same transform
@@ -413,6 +419,35 @@ class TSDSRPipeline:
             )
         return lat / jnp.maximum(cnt, 1e-8)
 
+    def _auto_decode_batch(self) -> int:
+        """Resolve ``vae_decode_batch == 0``: largest of (8, 4, 2, 1) whose
+        estimated activation peak fits the chip's free HBM, computed ONCE
+        per process (static shapes — no recompiles).  Peak anchor: the
+        measured ~1.6 GB/tile (bf16, 128² decoder tile; f32 doubles it),
+        scaled by (tile/128)² and dtype, with a 20% safety margin.  Falls
+        back to the measured-safe batch 2 when memory stats are
+        unavailable (CPU, or a runtime without the stats API)."""
+        cached = getattr(self, "_auto_batch", None)
+        if cached is not None:
+            return cached
+        per_tile = 1.6e9 * (self.cfg.vae_decoder_tile / 128.0) ** 2
+        if self.cfg.vae_decode_dtype != "bfloat16":
+            per_tile *= 2.0
+        batch = 2
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            free = stats["bytes_limit"] - stats["bytes_in_use"]
+        except (KeyError, AttributeError, TypeError, RuntimeError):
+            free = None
+        if free is not None:
+            batch = 1
+            for b in (8, 4, 2):
+                if b * per_tile <= 0.8 * free:
+                    batch = b
+                    break
+        self._auto_batch = batch
+        return batch
+
     def _tiled_decode(self, lat: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         ds = self.vae_cfg.downscale
@@ -437,9 +472,11 @@ class TSDSRPipeline:
             ],
             axis=0,
         )
+        decode_batch = (self.cfg.vae_decode_batch
+                        or self._auto_decode_batch())
         t_out = self._run_tile_batches(
             lambda b: vae_decode_jit(self.vae_params, self.vae_cfg, b),
-            tiles, self.cfg.vae_decode_batch,
+            tiles, decode_batch,
         ).astype(jnp.float32)
         out = jnp.zeros((1, h * ds, w_ * ds, 3), jnp.float32)
         cnt = jnp.zeros((1, h * ds, w_ * ds, 1), jnp.float32)
