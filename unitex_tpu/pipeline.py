@@ -725,6 +725,16 @@ class RGBTextureFullPipeline(RGBTextureFullPipelineBase):
 
     def __init__(self, *args, ltm_params=None, ltm_cfg=None, **kwargs):
         super().__init__(*args, **kwargs)
+        if isinstance(ltm_params, str):
+            # a scripts/train_ltm.py checkpoint path: the npz meta carries
+            # the LTMConfig fields (utils/param_cache.py fingerprint)
+            from .models.ltm import LTMConfig
+            from .utils.param_cache import load_meta, load_params
+
+            meta = load_meta(ltm_params) or {}
+            if ltm_cfg is None:
+                ltm_cfg = LTMConfig(**meta.get("config", {}))
+            ltm_params = load_params(ltm_params)
         self.ltm_params = ltm_params
         self.ltm_cfg = ltm_cfg
 
