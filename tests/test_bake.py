@@ -442,3 +442,34 @@ class TestLowHbmBake:
             np.asarray(a["visible_per_view"]),
             np.asarray(b["visible_per_view"]),
         )
+
+    def test_row_chunked_matches_full(self, sphere_mesh):
+        """row_chunk (lax.map row slabs of the pointwise texel math inside
+        each scanned view — the r04 fix for the 2.5 GB full-grid gather
+        temps that OOMed next to the 12 GB resident params) must be
+        bit-identical to the unchunked scan."""
+        tex, uv_out = _procedural_texture(sphere_mesh)
+        c2ws, intr = condition_cameras()
+        out = render_views(
+            sphere_mesh, c2ws, intr, (VIEW, VIEW),
+            map_attr=tex, render_uv=True, render_map_attr=True,
+        )
+        kw = dict(
+            uv_size=UV, method="reproject", low_hbm=True,
+            knn_max_ref=8192, knn_chunk=2048, uv_pixel_tile=0,
+        )
+        a = bake_texture(
+            sphere_mesh, out.map_attr, c2ws, intr,
+            low_hbm_row_chunk=None, **kw,
+        )
+        b = bake_texture(
+            sphere_mesh, out.map_attr, c2ws, intr,
+            low_hbm_row_chunk=UV // 4, **kw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a["texture"]), np.asarray(b["texture"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a["visible_per_view"]),
+            np.asarray(b["visible_per_view"]),
+        )

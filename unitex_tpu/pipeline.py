@@ -656,10 +656,15 @@ class RGBTextureFullPipelineBase:
             ray_normal_angle_threshold=bcfg.ray_normal_angle_threshold,
             depth_eps=bcfg.depth_eps,
             # max_memory serving keeps ~12 GB of int8 12B params resident:
-            # the vmapped 6-view visibility+paste peak OOMed the 16 GB
-            # chip on the measured E2E's second asset — scan views instead
-            # (one view's footprint, ~2x the stage time; E2E_r03)
+            # the full-grid visibility gather (~2.5 GB temps at 2048²,
+            # r04 memory_analysis) OOMed the 16 GB chip — scan views AND
+            # row-chunk the per-view texel math (0.62 GB temps at
+            # row_chunk=256); also shrink the KNN-fill distance-matrix
+            # chunk (4096x65536 f32 would be another 1.07 GB spike)
             low_hbm=(self.int8_serving == "max_memory" and self._flux_loaded),
+            **({"knn_chunk": 1024}
+               if self.int8_serving == "max_memory" and self._flux_loaded
+               else {}),
         )
         # quantize on device: the 2048² texture crosses the tunnel as uint8
         # (12.6 MB) instead of f32 (50 MB) — measured 2.5-3.0 s saved

@@ -194,73 +194,109 @@ def _one_view_visibility(
     pos, mask_2d, tri_2d, fn_2d,
     mvp_i, w2c_i, c2w_i, depth_i, tri_i, mask_i, img_i,
     *, perspective, ray_normal_angle_threshold, depth_eps,
-    visibility_mode, ring_kernels,
+    visibility_mode, ring_kernels, row_chunk=None,
 ):
     """One view's texel visibility + sampled color (shared by the eager
     ``view_visibility`` and the fused jitted ``_visibility_paste``).
 
     Projections via :func:`transform_points_mat4` — exact f32 and immune
     to the in-jit concat→matmul fusion miscompile (see that docstring):
-    the depth test below resolves 5e-3 differences."""
-    clip = transform_points_mat4(pos, mvp_i)          # [H2, W2, 4]
-    w = jnp.where(jnp.abs(clip[..., 3:4]) > 1e-12, clip[..., 3:4], 1e-12)
-    ndc = clip[..., :2] / w
-    # linear view depth of the texel point
-    cam = transform_points_mat4(pos, w2c_i)
-    tex_depth = -cam[..., 2:3]
-    # sampled view depth + view mask (+ view color) at the projected
-    # location, as ONE bilinear gather: color taps share the depth/alpha
-    # taps' addresses, so fusing them halves the 4M-texel gather passes.
-    # Zeros padding is sound for the color channels too: visibility
-    # requires view_alpha > 0.999, so any texel whose sample window leaves
-    # the image (where border vs zeros padding differ) is invisible and
-    # its color is never consumed (out-of-window tap weight < 1e-3).
-    planes = [jnp.where(mask_i, depth_i, 0.0), mask_i.astype(jnp.float32)]
-    if img_i is not None:
-        planes.append(img_i)
-    samp = grid_sample(
-        jnp.concatenate(planes, axis=-1), ndc, padding_mode="zeros"
-    )
-    view_depth, view_alpha = samp[..., :1], samp[..., 1:2]
-    depth_ok = (view_alpha > 0.999) & (
-        jnp.abs(view_depth - tex_depth) < depth_eps
-    )
-    # nearest-pixel triangle-id equality (the reference's ray-trace test).
-    # Gate by an in-frame check: the pixel lookup clamps, so a texel
-    # projecting outside the view image would otherwise read a border
-    # pixel's tri id and could pass while its bilinear color sample is
-    # zeros-diluted (the depth path is safe — view_alpha > 0.999 already
-    # implies in-frame under zeros padding).
-    Hv, Wv = tri_i.shape[:2]
-    in_frame = (
-        (jnp.abs(ndc[..., 0]) <= 1.0) & (jnp.abs(ndc[..., 1]) <= 1.0)
-    )[..., None]
-    px = jnp.clip(((ndc[..., 0] + 1) * 0.5 * Wv).astype(jnp.int32), 0, Wv - 1)
-    py = jnp.clip(((ndc[..., 1] + 1) * 0.5 * Hv).astype(jnp.int32), 0, Hv - 1)
-    tid_ok = (
-        (tri_i[py, px] == tri_2d)[..., None]
-        & (tri_2d >= 0)[..., None]
-        & in_frame
-    )
-    if visibility_mode == "depth":
-        vis = depth_ok
-    elif visibility_mode == "tid":
-        vis = tid_ok
+    the depth test below resolves 5e-3 differences.
+
+    ``row_chunk``: process the texel grid in row slabs via ``lax.map`` —
+    everything but the ring closing is pointwise over texels, so slab
+    temps shrink by H2/row_chunk.  Measured need: XLA gives the full-grid
+    bilinear gather ~2.5 GB of temps at 2048² (AOT memory_analysis), which
+    OOMed the bake next to the 12 GB resident int8 12B (E2E r04 asset 1);
+    256-row slabs cut the per-view peak ~8x.  The closing runs on the
+    assembled full-grid mask (box sums, lane-safe)."""
+
+    def pointwise(pos_s, tri2d_s, fn_s):
+        clip = transform_points_mat4(pos_s, mvp_i)      # [..., 4]
+        w = jnp.where(jnp.abs(clip[..., 3:4]) > 1e-12, clip[..., 3:4], 1e-12)
+        ndc = clip[..., :2] / w
+        # linear view depth of the texel point
+        cam = transform_points_mat4(pos_s, w2c_i)
+        tex_depth = -cam[..., 2:3]
+        # sampled view depth + view mask (+ view color) at the projected
+        # location, as ONE bilinear gather: color taps share the
+        # depth/alpha taps' addresses, so fusing them halves the 4M-texel
+        # gather passes.  Zeros padding is sound for the color channels
+        # too: visibility requires view_alpha > 0.999, so any texel whose
+        # sample window leaves the image (where border vs zeros padding
+        # differ) is invisible and its color is never consumed
+        # (out-of-window tap weight < 1e-3).
+        planes = [jnp.where(mask_i, depth_i, 0.0), mask_i.astype(jnp.float32)]
+        if img_i is not None:
+            planes.append(img_i)
+        samp = grid_sample(
+            jnp.concatenate(planes, axis=-1), ndc, padding_mode="zeros"
+        )
+        view_depth, view_alpha = samp[..., :1], samp[..., 1:2]
+        depth_ok = (view_alpha > 0.999) & (
+            jnp.abs(view_depth - tex_depth) < depth_eps
+        )
+        # nearest-pixel triangle-id equality (the reference's ray-trace
+        # test).  Gate by an in-frame check: the pixel lookup clamps, so a
+        # texel projecting outside the view image would otherwise read a
+        # border pixel's tri id and could pass while its bilinear color
+        # sample is zeros-diluted (the depth path is safe —
+        # view_alpha > 0.999 already implies in-frame under zeros padding).
+        Hv, Wv = tri_i.shape[:2]
+        in_frame = (
+            (jnp.abs(ndc[..., 0]) <= 1.0) & (jnp.abs(ndc[..., 1]) <= 1.0)
+        )[..., None]
+        px = jnp.clip(
+            ((ndc[..., 0] + 1) * 0.5 * Wv).astype(jnp.int32), 0, Wv - 1)
+        py = jnp.clip(
+            ((ndc[..., 1] + 1) * 0.5 * Hv).astype(jnp.int32), 0, Hv - 1)
+        tid_ok = (
+            (tri_i[py, px] == tri2d_s)[..., None]
+            & (tri2d_s >= 0)[..., None]
+            & in_frame
+        )
+        if visibility_mode == "depth":
+            vis = depth_ok
+        elif visibility_mode == "tid":
+            vis = tid_ok
+        else:
+            vis = depth_ok | tid_ok
+        # ray-normal angle test on the texel's own face normal
+        if perspective:
+            rays_d = pos_s - c2w_i[:3, 3]
+        else:
+            rays_d = jnp.broadcast_to(-c2w_i[:3, 2], pos_s.shape)
+        rays_d = rays_d / jnp.maximum(
+            jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-12
+        )
+        cos_rn = jnp.sum(rays_d * fn_s, axis=-1, keepdims=True)
+        vis = vis & (
+            cos_rn < math.cos(math.radians(ray_normal_angle_threshold)))
+        color = samp[..., 2:] if img_i is not None else jnp.zeros(())
+        return vis, color, ndc, cos_rn
+
+    H2, W2 = pos.shape[:2]
+    if row_chunk is None or H2 <= row_chunk or H2 % row_chunk != 0:
+        vis, color, ndc, cos_rn = pointwise(pos, tri_2d, fn_2d)
     else:
-        vis = depth_ok | tid_ok
-    # ray-normal angle test on the texel's own face normal
-    if perspective:
-        rays_d = pos - c2w_i[:3, 3]
-    else:
-        rays_d = jnp.broadcast_to(-c2w_i[:3, 2], pos.shape)
-    rays_d = rays_d / jnp.maximum(
-        jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-12
-    )
-    cos_rn = jnp.sum(rays_d * fn_2d, axis=-1, keepdims=True)
-    vis = vis & (cos_rn < math.cos(math.radians(ray_normal_angle_threshold)))
+        n = H2 // row_chunk
+        vis, color, ndc, cos_rn = jax.lax.map(
+            lambda t: pointwise(*t),
+            (
+                pos.reshape(n, row_chunk, W2, 3),
+                tri_2d.reshape(n, row_chunk, W2),
+                fn_2d.reshape(n, row_chunk, W2, 3),
+            ),
+        )
+        vis = vis.reshape(H2, W2, 1)
+        ndc = ndc.reshape(H2, W2, 2)
+        cos_rn = cos_rn.reshape(H2, W2, 1)
+        if img_i is not None:
+            color = color.reshape(H2, W2, -1)
     vis = ring_close_mask(vis, ring_kernels) if ring_kernels else vis
     vis = vis & mask_2d
-    color = samp[..., 2:] if img_i is not None else None
+    if img_i is None:
+        color = None
     return vis, color, ndc, cos_rn
 
 
@@ -421,7 +457,7 @@ def _visibility_paste(
     static_argnames=(
         "perspective", "ray_normal_angle_threshold", "depth_eps",
         "visibility_mode", "ring_kernels", "priority",
-        "kernel_size_boundary", "kernel_size_boundary_blur",
+        "kernel_size_boundary", "kernel_size_boundary_blur", "row_chunk",
     ),
 )
 def _visibility_paste_scan(
@@ -429,16 +465,19 @@ def _visibility_paste_scan(
     mvp, w2cs, c2ws, depth, tri, maskv, view_images,
     *, perspective, ray_normal_angle_threshold, depth_eps,
     visibility_mode, ring_kernels, priority,
-    kernel_size_boundary, kernel_size_boundary_blur,
+    kernel_size_boundary, kernel_size_boundary_blur, row_chunk=256,
 ):
     """Low-HBM variant of :func:`_visibility_paste`: one view at a time
-    through a ``lax.scan`` IN PRIORITY ORDER, pasting into the carry — the
-    peak footprint is one view's visibility temps instead of all M
-    vmapped together.  ~2× slower at production scale (the scan serializes
-    conv/gather work the VPU batches well — round-2 measurement) but it is
-    the mode that CO-RESIDES with the 12 GB int8 12B params on a 16 GB
-    chip: the vmapped form OOMed on the second asset of the measured E2E
-    run (E2E_r03).  Priority paste only."""
+    through a ``lax.scan`` IN PRIORITY ORDER, pasting into the carry, AND
+    row-chunked pointwise texel math inside each view (``row_chunk``).
+    Both levels matter: AOT memory_analysis measured the view scan alone
+    at 2.99 GB of temps vs the vmapped 3.33 GB — the full-grid bilinear
+    gather (~2.5 GB at 2048², XLA's TPU gather lowering) dominates either
+    way, and it OOMed next to the 12 GB resident int8 12B on the r04 E2E's
+    first asset.  The row slabs cut it ~H2/row_chunk x; the scan removes
+    the view factor.  ~2x slower than vmapped at production scale —
+    acceptable only in the co-resident max_memory serving mode.  Priority
+    paste only."""
     order = jnp.asarray(priority, jnp.int32)
 
     def step(carry, idx):
@@ -450,7 +489,7 @@ def _visibility_paste_scan(
             perspective=perspective,
             ray_normal_angle_threshold=ray_normal_angle_threshold,
             depth_eps=depth_eps, visibility_mode=visibility_mode,
-            ring_kernels=ring_kernels,
+            ring_kernels=ring_kernels, row_chunk=row_chunk,
         )
         extra = (~mask_cur) & vis
         color_cur = jnp.where(extra, color, color_cur)
@@ -883,7 +922,10 @@ def bake_texture(
         if low_hbm:
             assert bake_kwargs.get("paste_mode", "priority") == "priority", \
                 "low_hbm bake supports priority paste only"
-            paste_fn = _visibility_paste_scan
+            paste_fn = partial(
+                _visibility_paste_scan,
+                row_chunk=bake_kwargs.get("low_hbm_row_chunk", 256),
+            )
         else:
             paste_fn = partial(
                 _visibility_paste,
