@@ -167,26 +167,54 @@ def mv_render(
 
 
 @partial(jax.jit, static_argnames=(
-    "uv_size", "face_chunk", "pixel_tile", "tile_batch"))
+    "uv_size", "face_chunk", "pixel_tile", "tile_batch", "row_chunk"))
 def uv_render(
     mesh: Mesh,
     uv_size: int,
     face_chunk: int = 512,
     pixel_tile: int = 512,
     tile_batch: int = 64,
+    row_chunk: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """UV-space geometry buffers (uv_to_pcd first half): per-texel mask,
-    3D position, face normal, triangle id.  Jitted whole (see mv_render)."""
+    3D position, face normal, triangle id.  Jitted whole (see mv_render).
+
+    ``row_chunk``: run the per-texel tail (vertex-gather interpolate +
+    face-normal gather) in row slabs via ``lax.map``.  The full-grid form
+    measured 8.3 GB of XLA temps at 2048²/32k-face bucket (the chained
+    ``attr[faces[tri]]`` gathers under XLA's TPU gather lowering — AOT
+    memory_analysis, r04) and was the largest OOM source next to the 12 GB
+    resident int8 params; the rasterizer itself needs only 0.4 GB."""
+    from ..ops.rasterize import Rast
+
     rast = rasterize_uv(
         mesh.uv, mesh.faces_uv.astype(jnp.int32), uv_size,
         face_chunk=face_chunk, pixel_tile=pixel_tile,
         tile_batch=tile_batch,
     )
     faces = mesh.faces.astype(jnp.int32)
-    mask = rast.mask[..., None]
-    pos = interpolate(mesh.vertices, rast, faces)
     face_normals = compute_face_normals(mesh.vertices, faces)
-    fn = _face_normal_image(face_normals, rast.tri)
+
+    def tail(r):
+        pos_s = interpolate(mesh.vertices, r, faces)
+        fn_s = _face_normal_image(face_normals, r.tri)
+        return pos_s, fn_s
+
+    if row_chunk is None or uv_size <= row_chunk or uv_size % row_chunk:
+        pos, fn = tail(rast)
+    else:
+        n = uv_size // row_chunk
+        pos, fn = jax.lax.map(
+            lambda t: tail(Rast(bary=t[0], z=t[1], tri=t[2])),
+            (
+                rast.bary.reshape(n, row_chunk, uv_size, 2),
+                rast.z.reshape(n, row_chunk, uv_size),
+                rast.tri.reshape(n, row_chunk, uv_size),
+            ),
+        )
+        pos = pos.reshape(uv_size, uv_size, 3)
+        fn = fn.reshape(uv_size, uv_size, 3)
+    mask = rast.mask[..., None]
     return {"tri": rast.tri, "mask": mask, "position": pos, "face_normal": fn}
 
 
@@ -903,6 +931,10 @@ def bake_texture(
     uv_out = uv_render(
         mesh, uv_size, face_chunk=face_chunk, pixel_tile=uv_pixel_tile,
         tile_batch=8 if low_hbm else 64,
+        # low_hbm: slab the per-texel gather tail (8.3 GB full-grid temps
+        # at 2048² — see uv_render docstring)
+        row_chunk=bake_kwargs.get("low_hbm_row_chunk", 256)
+        if low_hbm else None,
     )
     if method == "reproject":
         # fused visibility + paste: one jitted program instead of the eager
