@@ -170,18 +170,21 @@ def main():
                 sp = quantize_linears(sp)
             vp = init_vae_params(jax.random.key(11), v_cfg)
             vp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vp)
-        # co-residency headroom: with the 12 GB int8 FLUX resident the
-        # measured-default vae_decode_batch=8 (~13 GB of activation peak)
-        # would OOM the 16 GB chip — 0 = auto picks the largest batch that
-        # fits the ACTUAL free HBM at first decode (sr_pipeline.
-        # _auto_decode_batch, the memory-adaptive VAEHook analog)
+        # co-residency: permanent SD3 residency next to the 12 GB int8
+        # FLUX left <1.5 GB of HBM — less than the denoise/bake temps
+        # (r04 --sr OOM) — so the SR stage STAGES its weights per call
+        # (host_params=True, ~2.3 GB per asset over the transfer tunnel)
+        # and decodes at the measured-safe small batch (vae_decode_batch=0
+        # auto falls back to 2 where memory stats are unavailable)
         sr_cfg = TSDSRConfig() if args.small else TSDSRConfig(
-            vae_decode_batch=0)
+            vae_decode_batch=0, vae_encode_batch=4, host_params=True)
+        stage = ((lambda t: t) if not args.small
+                 else (lambda t: jax.device_put(t, jax.devices()[0])))
         pipe.sr_pipeline = TSDSRPipeline(
             cfg=sr_cfg,
             sd3_cfg=s_cfg,
-            transformer_params=jax.device_put(sp, jax.devices()[0]),
-            vae_params=jax.device_put(vp, jax.devices()[0]),
+            transformer_params=stage(sp),
+            vae_params=stage(vp),
         )
         pipe.sr_pipeline.vae_cfg = v_cfg
     t_build = time.perf_counter() - t_build0

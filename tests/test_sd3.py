@@ -189,6 +189,39 @@ class TestAutoDecodeBatch:
         assert pipe._auto_decode_batch() == 2
 
 
+class TestHostParamsStaging:
+    def test_host_params_round_trip(self):
+        """host_params=True: weights are device_put per call and the HOST
+        refs restored after (the max-memory co-residency answer) — output
+        must equal the resident-params run."""
+        import dataclasses
+
+        from unitex_tpu.models.flux.vae import VAEConfig, init_vae_params
+        from unitex_tpu.models.sd3.model import init_sd3_params
+
+        s_cfg = SD3Config.tiny()
+        v_cfg = VAEConfig.tiny()
+        sp = init_sd3_params(jax.random.key(0), s_cfg)
+        vp = init_vae_params(jax.random.key(1), v_cfg)
+        img = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (16, 16, 3)), jnp.float32)
+        cfg = TSDSRConfig(upscale=2, latent_tile=8, latent_overlap=2,
+                          vae_encoder_tile=64, vae_decoder_tile=64,
+                          align_method="adain")
+        a = TSDSRPipeline(None, cfg=cfg, sd3_cfg=s_cfg,
+                          transformer_params=sp, vae_params=vp)
+        a.vae_cfg = v_cfg
+        b = TSDSRPipeline(
+            None, cfg=dataclasses.replace(cfg, host_params=True),
+            sd3_cfg=s_cfg, transformer_params=sp, vae_params=vp)
+        b.vae_cfg = v_cfg
+        oa = a(img)
+        ob = b(img)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-5)
+        # host refs restored (not replaced by device copies of a call)
+        assert b.transformer_params is sp and b.vae_params is vp
+
+
 class TestSD3Sharding:
     def test_tp_matches_single_device(self):
         """TP-sharded SD3 forward must equal the unsharded result

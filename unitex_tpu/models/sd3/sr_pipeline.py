@@ -185,6 +185,14 @@ class TSDSRConfig:
     # as FLUX's, models/flux/quantize.py — SD3 shares the linear dispatch);
     # q/k and AdaLN stay bf16 per the measured selective policy
     int8_serving: bool = False
+    # host_params: keep the SD3/VAE trees on the HOST and device_put them
+    # once per __call__, dropping the device copies afterwards.  The
+    # co-residency answer for max-memory serving: 12 GB int8 FLUX + 2.3 GB
+    # SD3 resident left <1.5 GB of HBM — less than the denoise/bake temps
+    # need (r04 E2E --sr OOM) — so the SR stage stages its weights in and
+    # out instead (~2.3 GB over the transfer tunnel per asset, tens of
+    # seconds; the stage runs once per asset after the bake)
+    host_params: bool = False
 
 
 class TSDSRPipeline:
@@ -266,6 +274,25 @@ class TSDSRPipeline:
         return jax.image.resize(image, (H * s, W * s, C), method="bicubic")
 
     def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+        if not (self.cfg.host_params and self.transformer_params is not None
+                and self.vae_params is not None):
+            return self._infer(image)
+        # stage the weights in for this call only (TSDSRConfig.host_params)
+        host_t, host_v = self.transformer_params, self.vae_params
+        dev = jax.devices()[0]
+        self.transformer_params = jax.device_put(host_t, dev)
+        self.vae_params = jax.device_put(host_v, dev)
+        try:
+            out = self._infer(image)
+            # host round-trip fences the async queue (block_until_ready
+            # does not fence through the remote-exec tunnel) so dropping
+            # the device weight refs below actually frees the HBM before
+            # the next asset's denoise allocates
+            return jnp.asarray(np.asarray(out))
+        finally:
+            self.transformer_params, self.vae_params = host_t, host_v
+
+    def _infer(self, image: jnp.ndarray) -> jnp.ndarray:
         image = jnp.asarray(image, jnp.float32)
         up = jnp.clip(self._upscale(image), 0.0, 1.0)
         if self.transformer_params is None or self.vae_params is None:

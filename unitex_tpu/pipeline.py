@@ -509,6 +509,13 @@ class RGBTextureFullPipelineBase:
             background=0.5,
             rows=cam.rows,
             cols=cam.cols,
+            # max_memory serving: the conditioning render's full-grid
+            # gather tail measured 2.0 GB of temps — too big next to the
+            # 12 GB int8 FLUX (+2.3 GB SD3 with --sr); slab it (r04)
+            row_chunk=(64 if self.int8_serving == "max_memory"
+                       and self._flux_loaded else None),
+            tile_batch=(8 if self.int8_serving == "max_memory"
+                        and self._flux_loaded else 64),
         )
         if self.save_artifacts:
             save_image(os.path.join(save_dir, "mv_alpha.png"), out["alpha"])

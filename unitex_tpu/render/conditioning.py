@@ -97,6 +97,8 @@ def render_geometry_condition(
     rows: int = 2,
     cols: int = 3,
     face_chunk: int = 512,
+    row_chunk=None,
+    tile_batch: int = 64,
 ) -> Dict[str, jnp.ndarray]:
     """Render the 6-view geometry conditioning grids.
 
@@ -115,6 +117,12 @@ def render_geometry_condition(
         render_world_normal=True,
         render_world_position=True,
         face_chunk=face_chunk,
+        # low-HBM serving: slab the per-pixel interpolate tail and bound
+        # the binned rasterizer's transient edge-eval batch (see
+        # renderer.render_views row_chunk/tile_batch) so the conditioning
+        # render fits next to ~14 GB of resident int8 params
+        row_chunk=row_chunk,
+        tile_batch=tile_batch,
     )
     alpha = out.alpha
     ccm = out.world_position * 0.5 + 0.5

@@ -163,6 +163,8 @@ def get_visible_vertices(
         "face_chunk",
         "pixel_tile",
         "supersample",
+        "row_chunk",
+        "tile_batch",
     ),
 )
 def render_views(
@@ -187,6 +189,8 @@ def render_views(
     face_chunk: int = 512,
     pixel_tile: int = 0,
     supersample: int = 1,
+    row_chunk: Optional[int] = None,
+    tile_batch: int = 64,
 ) -> RenderOutputs:
     """Render a mesh from M cameras.
 
@@ -215,6 +219,7 @@ def render_views(
             render_uv=render_uv,
             render_map_attr=render_map_attr,
             face_chunk=face_chunk, pixel_tile=pixel_tile, supersample=1,
+            row_chunk=row_chunk, tile_batch=tile_batch,
         )
         s = supersample
 
@@ -248,7 +253,32 @@ def render_views(
         # concat->matmul fusion miscompile (camera/conversion.py) — the
         # re-bake depth test resolves these at the 5e-3 level
         clip = transform_points_mat4(v, mvp_i)
-        rast = rasterize(clip, faces, (H, W), face_chunk=face_chunk, pixel_tile=pixel_tile)
+        rast = rasterize(clip, faces, (H, W), face_chunk=face_chunk, pixel_tile=pixel_tile, tile_batch=tile_batch)
+        if row_chunk is None or H <= row_chunk or H % row_chunk:
+            return _pixel_tail(rast, clip, mvp_i, w2c_i, c2w_i)
+        # low-HBM serving: the per-pixel gather tail (interpolates) is the
+        # program's temp peak under XLA's TPU gather lowering (same
+        # pathology measured at 8.3 GB in the 2048² uv_render,
+        # renderer_inverse.py) — slab it so the conditioning render
+        # co-resides with ~14 GB of int8 FLUX+SD3 params on a 16 GB chip
+        from ..ops.rasterize import Rast
+
+        n = H // row_chunk
+        out = jax.lax.map(
+            lambda t: _pixel_tail(
+                Rast(bary=t[0], z=t[1], tri=t[2]), clip, mvp_i, w2c_i, c2w_i
+            ),
+            (
+                rast.bary.reshape(n, row_chunk, W, 2),
+                rast.z.reshape(n, row_chunk, W),
+                rast.tri.reshape(n, row_chunk, W),
+            ),
+        )
+        return jax.tree.map(
+            lambda x: x.reshape(H, W, *x.shape[3:]), out
+        )
+
+    def _pixel_tail(rast, clip, mvp_i, w2c_i, c2w_i):
         mask = rast.mask[..., None]
         alpha = mask.astype(jnp.float32)
         out = {"mask": mask, "alpha": alpha, "tri": rast.tri, "bary": rast.bary}
