@@ -177,7 +177,7 @@ def main():
         # and decodes at the measured-safe small batch (vae_decode_batch=0
         # auto falls back to 2 where memory stats are unavailable)
         sr_cfg = TSDSRConfig() if args.small else TSDSRConfig(
-            vae_decode_batch=0, vae_encode_batch=4, host_params=True)
+            vae_decode_batch=0, vae_encode_batch=2, host_params=True)
         stage = ((lambda t: t) if not args.small
                  else (lambda t: jax.device_put(t, jax.devices()[0])))
         pipe.sr_pipeline = TSDSRPipeline(

@@ -15,6 +15,7 @@ memory-bounding purpose, simpler and fully jit-able per tile.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import math
 import os
@@ -273,24 +274,40 @@ class TSDSRPipeline:
         s = self.cfg.upscale
         return jax.image.resize(image, (H * s, W * s, C), method="bicubic")
 
-    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
-        if not (self.cfg.host_params and self.transformer_params is not None
-                and self.vae_params is not None):
-            return self._infer(image)
-        # stage the weights in for this call only (TSDSRConfig.host_params)
+    @contextlib.contextmanager
+    def staged(self):
+        """host_params staging window: device_put the weight trees once,
+        run any number of :meth:`__call__`/:meth:`_infer` inside, restore
+        the host refs on exit (the caller must fence — pull results to the
+        host — before the window closes so the dropped device copies
+        actually free; ``block_until_ready`` does not fence through the
+        remote-exec tunnel)."""
+        if (not self.cfg.host_params or getattr(self, "_staged", False)
+                or self.transformer_params is None
+                or self.vae_params is None):
+            yield
+            return
         host_t, host_v = self.transformer_params, self.vae_params
         dev = jax.devices()[0]
         self.transformer_params = jax.device_put(host_t, dev)
         self.vae_params = jax.device_put(host_v, dev)
+        self._staged = True
         try:
-            out = self._infer(image)
-            # host round-trip fences the async queue (block_until_ready
-            # does not fence through the remote-exec tunnel) so dropping
-            # the device weight refs below actually frees the HBM before
-            # the next asset's denoise allocates
-            return jnp.asarray(np.asarray(out))
+            yield
         finally:
+            self._staged = False
             self.transformer_params, self.vae_params = host_t, host_v
+
+    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+        if (not self.cfg.host_params or getattr(self, "_staged", False)
+                or self.transformer_params is None
+                or self.vae_params is None):
+            return self._infer(image)
+        with self.staged():
+            out = self._infer(image)
+            # host round-trip fence (see staged()) before the device
+            # weight copies drop
+            return jnp.asarray(np.asarray(out))
 
     def _infer(self, image: jnp.ndarray) -> jnp.ndarray:
         image = jnp.asarray(image, jnp.float32)

@@ -56,6 +56,8 @@ from .render.renderer_inverse import bake_texture
 from .utils.image_io import load_image, save_image, to_uint8
 from .utils.timer import CPUTimer
 
+from contextlib import nullcontext as _nullcontext
+
 
 class RGBTextureFullPipelineBase:
     """Owns the models + renderers (reference pipeline.py:141-166)."""
@@ -635,7 +637,31 @@ class RGBTextureFullPipelineBase:
         if self.sr_pipeline is not None:
             if self.save_artifacts:
                 save_image(os.path.join(save_dir, "mv_rgb_lr.png"), mv_rgb)
-            mv_rgb = self.sr_pipeline(mv_rgb)
+            if self.int8_serving == "max_memory" and self._flux_loaded:
+                # low-HBM SR: per-VIEW instead of the reference's whole
+                # 2x3 grid — the grid's full-resolution glue buffers
+                # (x4 bicubic output, color-fix pyramids at 4096x6144)
+                # don't fit next to the 12 GB FLUX + staged SD3; per-view
+                # bounds them to 2048^2 (~50 MB).  One staging window
+                # serves all 6 views (sr_pipeline.staged()); each view is
+                # pulled to the host before the window closes so the
+                # dropped device weights actually free.  Color-fix
+                # statistics become per-view (the reference's are
+                # per-grid) — under the uint8 quantization floor.
+                cam = self.config.camera
+                views = grid_to_views(mv_rgb, cam.rows, cam.cols)
+                staged = getattr(self.sr_pipeline, "staged",
+                                 None) or (lambda: _nullcontext())
+                with staged():
+                    sr_views = [
+                        np.asarray(self.sr_pipeline(v)) for v in views
+                    ]
+                from .render.conditioning import views_to_grid
+
+                mv_rgb = views_to_grid(
+                    jnp.asarray(np.stack(sr_views)), cam.rows, cam.cols)
+            else:
+                mv_rgb = self.sr_pipeline(mv_rgb)
         if self.save_artifacts:
             save_image(os.path.join(save_dir, "mv_rgb.png"), mv_rgb)
         return mv_rgb
