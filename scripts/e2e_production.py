@@ -176,8 +176,11 @@ def main():
         # (host_params=True, ~2.3 GB per asset over the transfer tunnel)
         # and decodes at the measured-safe small batch (vae_decode_batch=0
         # auto falls back to 2 where memory stats are unavailable)
+        # batch 1 encode/decode: co-residency leaves ~1.5 GB after the
+        # staged SD3 lands next to the 12 GB FLUX — decode batch 2
+        # (2x0.8 GB bf16 tile peaks) and encode batch 2 both graze it
         sr_cfg = TSDSRConfig() if args.small else TSDSRConfig(
-            vae_decode_batch=0, vae_encode_batch=2, host_params=True)
+            vae_decode_batch=1, vae_encode_batch=1, host_params=True)
         stage = ((lambda t: t) if not args.small
                  else (lambda t: jax.device_put(t, jax.devices()[0])))
         pipe.sr_pipeline = TSDSRPipeline(

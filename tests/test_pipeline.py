@@ -403,3 +403,68 @@ class TestRandomWeightsMode:
         assert pipe.texture_lora is not None and pipe.delight_lora is not None
         rembg_out, glb_out = pipe(str(tmp_path), img_path, mesh_path)
         assert os.path.exists(glb_out) and os.path.getsize(glb_out) > 0
+
+
+class _DummyStagedSR:
+    """Per-view-separable stand-in SR: x2 nearest upscale, recording the
+    staging-window protocol (models/sd3/sr_pipeline.TSDSRPipeline.staged)."""
+
+    def __init__(self):
+        self.staged_windows = 0
+        self.calls_inside = 0
+        self.calls_outside = 0
+        self._open = False
+
+    def staged(self):
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            self.staged_windows += 1
+            self._open = True
+            try:
+                yield
+            finally:
+                self._open = False
+
+        return _cm()
+
+    def __call__(self, img):
+        if self._open:
+            self.calls_inside += 1
+        else:
+            self.calls_outside += 1
+        img = jnp.asarray(img, jnp.float32)
+        H, W, C = img.shape
+        return jax.image.resize(img, (H * 2, W * 2, C), method="nearest")
+
+
+def test_per_view_sr_routing_and_parity():
+    """The max-memory per-view SR branch (pipeline._apply_sr): one staging
+    window serves all views, every view runs inside it, and for a
+    per-view-separable SR the reassembled grid is exact vs the whole-grid
+    path (integer upscale => view seams are preserved)."""
+    from unitex_tpu.config import PipelineConfig
+    from unitex_tpu.pipeline import RGBTextureFullPipelineBase
+
+    rows, cols, v = 2, 3, 8
+    rng = np.random.default_rng(0)
+    grid = rng.random((rows * v, cols * v, 3), np.float32)
+
+    pipe = object.__new__(RGBTextureFullPipelineBase)
+    pipe.config = PipelineConfig(camera=CameraConfig(view_size=v))
+    pipe.save_artifacts = False
+    pipe.sr_pipeline = _DummyStagedSR()
+    pipe._flux_loaded = True
+
+    pipe.int8_serving = "max_memory"
+    per_view = np.asarray(pipe._apply_sr(jnp.asarray(grid)))
+    assert pipe.sr_pipeline.staged_windows == 1
+    assert pipe.sr_pipeline.calls_inside == rows * cols
+    assert pipe.sr_pipeline.calls_outside == 0
+
+    pipe.int8_serving = True  # non-max-memory: whole-grid path
+    whole = np.asarray(pipe._apply_sr(jnp.asarray(grid)))
+    assert pipe.sr_pipeline.calls_outside == 1
+    np.testing.assert_allclose(per_view, whole, atol=1e-6)
+    assert per_view.shape == (rows * v * 2, cols * v * 2, 3)

@@ -289,6 +289,12 @@ class TSDSRPipeline:
             return
         host_t, host_v = self.transformer_params, self.vae_params
         dev = jax.devices()[0]
+        # drain the device queue before the transfer: device_put
+        # allocates on arrival while queued programs (e.g. a pending
+        # denoise) still hold their temps — pulling the result of a
+        # fresh trivial program through the FIFO queue fences them
+        # (block_until_ready does not fence through the remote tunnel)
+        np.asarray(jnp.zeros((), jnp.float32) + jnp.ones((), jnp.float32))
         self.transformer_params = jax.device_put(host_t, dev)
         self.vae_params = jax.device_put(host_v, dev)
         self._staged = True

@@ -634,8 +634,16 @@ class RGBTextureFullPipelineBase:
             strip_delight = strip_w_light
 
         mv_rgb = strip_to_grid(strip_delight)
+        mv_rgb = self._apply_sr(mv_rgb, save_dir)
+        if self.save_artifacts:
+            save_image(os.path.join(save_dir, "mv_rgb.png"), mv_rgb)
+        return mv_rgb
+
+    def _apply_sr(self, mv_rgb, save_dir=None):
+        """TSD-SR on the delighted grid (reference pipeline.py:268-289);
+        per-VIEW under max-memory co-residency, whole-grid otherwise."""
         if self.sr_pipeline is not None:
-            if self.save_artifacts:
+            if self.save_artifacts and save_dir is not None:
                 save_image(os.path.join(save_dir, "mv_rgb_lr.png"), mv_rgb)
             if self.int8_serving == "max_memory" and self._flux_loaded:
                 # low-HBM SR: per-VIEW instead of the reference's whole
@@ -650,6 +658,15 @@ class RGBTextureFullPipelineBase:
                 # per-grid) — under the uint8 quantization floor.
                 cam = self.config.camera
                 views = grid_to_views(mv_rgb, cam.rows, cam.cols)
+                # FENCE before the staging device_put: dispatch-side
+                # allocations (the 2.3 GB staged weights, the SR tile
+                # programs) land IMMEDIATELY, racing the still-executing
+                # denoise queue whose temps are live — 12 GB params +
+                # denoise temps + staged SD3 overcommits the chip (the
+                # r04 --sr encode OOM).  Pulling the views to the host
+                # drains the queue first (block_until_ready does not
+                # fence through the remote-exec tunnel).
+                views = np.asarray(views)
                 staged = getattr(self.sr_pipeline, "staged",
                                  None) or (lambda: _nullcontext())
                 with staged():
@@ -662,8 +679,6 @@ class RGBTextureFullPipelineBase:
                     jnp.asarray(np.stack(sr_views)), cam.rows, cam.cols)
             else:
                 mv_rgb = self.sr_pipeline(mv_rgb)
-        if self.save_artifacts:
-            save_image(os.path.join(save_dir, "mv_rgb.png"), mv_rgb)
         return mv_rgb
 
     @CPUTimer("reproject_and_query_field")
