@@ -180,7 +180,8 @@ def main():
         # staged SD3 lands next to the 12 GB FLUX — decode batch 2
         # (2x0.8 GB bf16 tile peaks) and encode batch 2 both graze it
         sr_cfg = TSDSRConfig() if args.small else TSDSRConfig(
-            vae_decode_batch=1, vae_encode_batch=1, host_params=True)
+            vae_decode_batch=1, vae_encode_batch=1, tile_batch=2,
+            host_params=True)
         stage = ((lambda t: t) if not args.small
                  else (lambda t: jax.device_put(t, jax.devices()[0])))
         pipe.sr_pipeline = TSDSRPipeline(

@@ -41,6 +41,53 @@ def _sd3_tile_step(params, cfg, lat_tiles, prompt, t, pooled):
     return sd3_forward(params, cfg, lat_tiles, prompt, t, pooled)
 
 
+# Jitted glue: under FLUX co-residency (scripts/e2e_production.py --sr,
+# ~1.5 GB HBM headroom) the eager 2048² glue chains OOM — every eager op's
+# OUTPUT allocates at dispatch time, racing the executing queue, so a
+# 10-op chain transiently holds 10 full-resolution buffers.  One program
+# per stage lets XLA schedule/reuse the temps (the r04 probe died in the
+# eager wavelet color fix after the jitted encode/step/decode passed).
+
+@functools.partial(jax.jit, static_argnames=("upscale",))
+def _upscale_clip_jit(image, upscale):
+    H, W, C = image.shape
+    up = jax.image.resize(
+        image, (H * upscale, W * upscale, C), method="bicubic")
+    return jnp.clip(up, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("align",))
+def _sr_finish_jit(decoded, up, align):
+    out = jnp.clip(decoded[0] * 0.5 + 0.5, 0.0, 1.0)
+    if align == "wavelet":
+        out = wavelet_color_fix(out, up)
+    elif align == "adain":
+        out = adain_color_fix(out, up)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("offs", "pt", "H", "W"))
+def _assemble_decode_jit(t_out, wgt, offs, pt, H, W):
+    """Gaussian-blended overlap-tile assembly as ONE program (the eager
+    loop dispatched ~2 full-resolution buffer allocations per tile)."""
+    out = jnp.zeros((1, H, W, t_out.shape[-1]), jnp.float32)
+    cnt = jnp.zeros((1, H, W, 1), jnp.float32)
+    for n, (py, px) in enumerate(offs):
+        out = jax.lax.dynamic_update_slice(
+            out,
+            jax.lax.dynamic_slice(
+                out, (0, py, px, 0), (1, pt, pt, out.shape[-1]))
+            + t_out[n : n + 1] * wgt,
+            (0, py, px, 0),
+        )
+        cnt = jax.lax.dynamic_update_slice(
+            cnt,
+            jax.lax.dynamic_slice(cnt, (0, py, px, 0), (1, pt, pt, 1)) + wgt,
+            (0, py, px, 0),
+        )
+    return out / jnp.maximum(cnt, 1e-8)
+
+
 def gaussian_tile_weights(tile: int, var: float = 0.01) -> jnp.ndarray:
     """[tile, tile] gaussian blend mask (sr_pipeline.py:51-66)."""
     mid = (tile - 1) / 2.0
@@ -317,7 +364,7 @@ class TSDSRPipeline:
 
     def _infer(self, image: jnp.ndarray) -> jnp.ndarray:
         image = jnp.asarray(image, jnp.float32)
-        up = jnp.clip(self._upscale(image), 0.0, 1.0)
+        up = _upscale_clip_jit(image, self.cfg.upscale)
         if self.transformer_params is None or self.vae_params is None:
             return up
 
@@ -378,7 +425,12 @@ class TSDSRPipeline:
                         tprompt, t, tpooled,
                     )
                 return out[:nb]
-            return sd3_forward(
+            # jitted single-device step: eager sd3_forward materializes a
+            # bf16 dequant copy of every int8 kernel and every glue
+            # intermediate as its own dispatch-time allocation — under
+            # FLUX co-residency (~1.5 GB headroom) that alone OOMs; one
+            # compiled program lets XLA schedule/reuse the temps
+            return _sd3_tile_step(
                 self.transformer_params, self.sd3_cfg, lat_tiles,
                 tprompt, t, tpooled,
             )
@@ -391,13 +443,7 @@ class TSDSRPipeline:
         latent_stu = lq_latent - pred
 
         out = self._tiled_decode(latent_stu)
-        out = jnp.clip(out[0] * 0.5 + 0.5, 0.0, 1.0)
-
-        if cfg.align_method == "wavelet":
-            out = wavelet_color_fix(out, up)
-        elif cfg.align_method == "adain":
-            out = adain_color_fix(out, up)
-        return jnp.clip(out, 0.0, 1.0)
+        return _sr_finish_jit(out, up, cfg.align_method)
 
     def _run_tile_batches(self, fn, tiles: jnp.ndarray, bs: int) -> jnp.ndarray:
         """Run ``fn`` over [N, t, t, C] stacked tiles in ``bs``-sized
@@ -528,21 +574,9 @@ class TSDSRPipeline:
             lambda b: vae_decode_jit(self.vae_params, self.vae_cfg, b),
             tiles, decode_batch,
         ).astype(jnp.float32)
-        out = jnp.zeros((1, h * ds, w_ * ds, 3), jnp.float32)
-        cnt = jnp.zeros((1, h * ds, w_ * ds, 1), jnp.float32)
         wgt = gaussian_tile_weights(tile * ds)[None, :, :, None]
-        pt = tile * ds
-        for n, (oy, ox) in enumerate(offs):
-            py, px = oy * ds, ox * ds
-            out = jax.lax.dynamic_update_slice(
-                out,
-                jax.lax.dynamic_slice(out, (0, py, px, 0), (1, pt, pt, 3))
-                + t_out[n : n + 1] * wgt,
-                (0, py, px, 0),
-            )
-            cnt = jax.lax.dynamic_update_slice(
-                cnt,
-                jax.lax.dynamic_slice(cnt, (0, py, px, 0), (1, pt, pt, 1)) + wgt,
-                (0, py, px, 0),
-            )
-        return out / jnp.maximum(cnt, 1e-8)
+        return _assemble_decode_jit(
+            t_out, wgt,
+            tuple((oy * ds, ox * ds) for oy, ox in offs),
+            tile * ds, h * ds, w_ * ds,
+        )
