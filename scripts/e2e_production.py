@@ -152,24 +152,40 @@ def main():
         v_cfg = VAEConfig.tiny() if args.small else VAEConfig.sd3()
         import jax.numpy as jnp
 
-        host = jax.devices("cpu")[0]
-        with jax.default_device(host):
-            sp = init_sd3_params(jax.random.key(10), s_cfg)
-            # the SD3 must co-reside with the 12 GB int8 FLUX on the
-            # 16 GB chip: bf16 first (f32 2B = 8 GB OOMs at build), then
-            # the int8 serving quantization (TSDSRConfig.int8_serving
-            # applies quantize_linears — ~2 GB resident; the stage is
-            # VAE-dominated so int8 is time-neutral, CLAUDE.md)
-            sp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), sp)
-            if not args.small:
-                # quantize ON THE HOST: letting TSDSRPipeline quantize
-                # after device_put would transiently hold bf16 (4 GB) +
-                # int8 next to the 12 GB FLUX
-                from unitex_tpu.ops.quant import quantize_linears
+        sd3_cache = (os.path.join(args.params_cache, "sd3_random_s10_int8.npz")
+                     if args.params_cache and not args.small else None)
+        if sd3_cache and os.path.exists(sd3_cache):
+            from unitex_tpu.utils.param_cache import load_params
 
-                sp = quantize_linears(sp)
-            vp = init_vae_params(jax.random.key(11), v_cfg)
-            vp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vp)
+            cached = load_params(sd3_cache)
+            sp, vp = cached["sd3"], cached["vae"]
+        else:
+            host = jax.devices("cpu")[0]
+            with jax.default_device(host):
+                sp = init_sd3_params(jax.random.key(10), s_cfg)
+                # the SD3 must co-reside with the 12 GB int8 FLUX on the
+                # 16 GB chip: bf16 first (f32 2B = 8 GB OOMs at build),
+                # then the int8 serving quantization (~2 GB resident; the
+                # stage is VAE-dominated so int8 is time-neutral)
+                sp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), sp)
+                if not args.small:
+                    # quantize ON THE HOST: letting TSDSRPipeline quantize
+                    # after device_put would transiently hold bf16 (4 GB)
+                    # + int8 next to the 12 GB FLUX
+                    from unitex_tpu.ops.quant import quantize_linears
+
+                    sp = quantize_linears(sp)
+                vp = init_vae_params(jax.random.key(11), v_cfg)
+                vp = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vp)
+            if sd3_cache:
+                import numpy as _np
+
+                from unitex_tpu.utils.param_cache import save_params
+
+                save_params(sd3_cache, {
+                    "sd3": jax.tree.map(_np.asarray, sp),
+                    "vae": jax.tree.map(_np.asarray, vp),
+                }, meta={"model": "sd3_sr_serving", "seeds": [10, 11]})
         # co-residency: permanent SD3 residency next to the 12 GB int8
         # FLUX left <1.5 GB of HBM — less than the denoise/bake temps
         # (r04 --sr OOM) — so the SR stage STAGES its weights per call
@@ -179,9 +195,13 @@ def main():
         # batch 1 encode/decode: co-residency leaves ~1.5 GB after the
         # staged SD3 lands next to the 12 GB FLUX — decode batch 2
         # (2x0.8 GB bf16 tile peaks) and encode batch 2 both graze it
+        # decoder tile 64 latent (512^2 pixel): the 128-tile decode's
+        # ~0.8 GB scratch programs overlap in the queue and graze the
+        # co-residency headroom once the LoRAs/conditioning buffers are
+        # also resident (measured: probe passes at 128, the E2E OOMs)
         sr_cfg = TSDSRConfig() if args.small else TSDSRConfig(
             vae_decode_batch=1, vae_encode_batch=1, tile_batch=2,
-            host_params=True)
+            vae_decoder_tile=64, host_params=True)
         stage = ((lambda t: t) if not args.small
                  else (lambda t: jax.device_put(t, jax.devices()[0])))
         pipe.sr_pipeline = TSDSRPipeline(
