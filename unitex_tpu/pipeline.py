@@ -713,6 +713,13 @@ class RGBTextureFullPipelineBase:
             **({"knn_chunk": 1024}
                if self.int8_serving == "max_memory" and self._flux_loaded
                else {}),
+            # SR-scaled views (2048² instead of 512²) keep ~1.3 GB more
+            # resident during the bake (mv geometry buffers + the x4
+            # grid), which pushed uv_render's 256-row tail out of the
+            # max-memory headroom (r04 --sr) — slab 4x finer
+            **({"low_hbm_row_chunk": 64}
+               if self.int8_serving == "max_memory" and self._flux_loaded
+               and views.shape[1] > self.config.camera.view_size else {}),
         )
         # quantize on device: the 2048² texture crosses the tunnel as uint8
         # (12.6 MB) instead of f32 (50 MB) — measured 2.5-3.0 s saved
