@@ -673,10 +673,14 @@ class RGBTextureFullPipelineBase:
                     sr_views = [
                         np.asarray(self.sr_pipeline(v)) for v in views
                     ]
-                from .render.conditioning import views_to_grid
-
-                mv_rgb = views_to_grid(
-                    jnp.asarray(np.stack(sr_views)), cam.rows, cam.cols)
+                # assemble the grid on the HOST: a device copy of the x4
+                # grid (300 MB f32) would sit resident through the bake on
+                # top of the views themselves; downstream re-puts only
+                # what it needs
+                mv_rgb = np.concatenate(
+                    [np.concatenate(sr_views[r * cam.cols:(r + 1) * cam.cols],
+                                    axis=1)
+                     for r in range(cam.rows)], axis=0)
             else:
                 mv_rgb = self.sr_pipeline(mv_rgb)
         return mv_rgb

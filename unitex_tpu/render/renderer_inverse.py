@@ -37,6 +37,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..camera.conversion import c2w_to_w2c, get_mvp, transform_points_mat4
 from ..geometry.mesh import Mesh, compute_face_normals
@@ -915,6 +916,23 @@ def bake_texture(
     assert method in ("reproject", "kdtree", "reproject_blending")
     M, H, W, C = view_images.shape
     assert C in (3, 9)
+    # uv_render BEFORE mv_render: no data dependency between them, and
+    # mv_render's per-view geometry buffers ([M, H, W, ~8ch] f32 — 1.3 GB
+    # at SR-scaled 2048² views) would otherwise sit resident through
+    # uv_render's rasterize+tail peak (the r04 --sr uv_render OOM next to
+    # the 11.2 GB int8 FLUX)
+    uv_out = uv_render(
+        mesh, uv_size, face_chunk=face_chunk, pixel_tile=uv_pixel_tile,
+        tile_batch=8 if low_hbm else 64,
+        # low_hbm: slab the per-texel gather tail (8.3 GB full-grid temps
+        # at 2048² — see uv_render docstring)
+        row_chunk=bake_kwargs.get("low_hbm_row_chunk", 256)
+        if low_hbm else None,
+    )
+    if low_hbm:
+        # drain the uv programs before mv_render's dispatch-time output
+        # allocations land (dispatch races execution through the tunnel)
+        np.asarray(jax.tree.leaves(uv_out)[0].ravel()[0])
     mv_out = mv_render(
         mesh, c2ws, intrinsics, (H, W),
         perspective=perspective,
@@ -927,14 +945,6 @@ def bake_texture(
         # OOMed next to 12 GB of resident int8 params (E2E_r03)
         view_scan=low_hbm,
         tile_batch=8 if low_hbm else 64,
-    )
-    uv_out = uv_render(
-        mesh, uv_size, face_chunk=face_chunk, pixel_tile=uv_pixel_tile,
-        tile_batch=8 if low_hbm else 64,
-        # low_hbm: slab the per-texel gather tail (8.3 GB full-grid temps
-        # at 2048² — see uv_render docstring)
-        row_chunk=bake_kwargs.get("low_hbm_row_chunk", 256)
-        if low_hbm else None,
     )
     if method == "reproject":
         # fused visibility + paste: one jitted program instead of the eager
