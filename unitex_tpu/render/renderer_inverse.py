@@ -961,6 +961,7 @@ def bake_texture(
             kernel_size_boundary_blur=bake_kwargs.get(
                 "kernel_size_boundary_blur", 3),
         )
+        maskv = mv_out["mask"] & mv_out["mask_visible"]
         if low_hbm:
             assert bake_kwargs.get("paste_mode", "priority") == "priority", \
                 "low_hbm bake supports priority paste only"
@@ -968,6 +969,13 @@ def bake_texture(
                 _visibility_paste_scan,
                 row_chunk=bake_kwargs.get("low_hbm_row_chunk", 256),
             )
+            # the scanned priority paste consumes only mvp/w2cs/depth/tri
+            # + maskv: drop position/face_normal/cos_ray_normal (~0.9 GB
+            # of [M, H, W, 3] f32 at SR-scaled 2048² views) and drain the
+            # queue so the frees land before the paste's dispatch-time
+            # allocations (r04 --sr paste OOM)
+            mv_out = {k: mv_out[k] for k in ("mvp", "w2cs", "depth", "tri")}
+            np.asarray(maskv.ravel()[0])
         else:
             paste_fn = partial(
                 _visibility_paste,
@@ -977,7 +985,7 @@ def bake_texture(
             uv_out["position"], uv_out["mask"], uv_out["tri"],
             uv_out["face_normal"],
             mv_out["mvp"], mv_out["w2cs"], c2ws, mv_out["depth"],
-            mv_out["tri"], mv_out["mask"] & mv_out["mask_visible"],
+            mv_out["tri"], maskv,
             view_images,
             **vp_kwargs,
         )
