@@ -48,6 +48,29 @@ def _sd3_tile_step(params, cfg, lat_tiles, prompt, t, pooled):
 # per stage lets XLA schedule/reuse the temps (the r04 probe died in the
 # eager wavelet color fix after the jitted encode/step/decode passed).
 
+def _chunked_put(tree, dev, chunk_bytes=256 * 1024 * 1024):
+    """device_put a weight tree in bounded chunks with drain fences: one
+    batched put of a ~2.2 GB tree transiently holds staging + final
+    buffers for many leaves at once and OOMs nondeterministically at
+    ~4 GB free (r04 --sr staging OOM); fencing every ``chunk_bytes``
+    bounds the in-flight footprint.  One retry after a drain covers a
+    straggling async free."""
+    leaves, treedef = jax.tree.flatten(tree)
+    out, acc = [], 0
+    for leaf in leaves:
+        try:
+            put = jax.device_put(leaf, dev)
+        except Exception:
+            np.asarray(jnp.zeros((), jnp.float32) + 1.0)  # drain + retry
+            put = jax.device_put(leaf, dev)
+        out.append(put)
+        acc += leaf.nbytes
+        if acc >= chunk_bytes:
+            np.asarray(put.ravel()[0])
+            acc = 0
+    return jax.tree.unflatten(treedef, out)
+
+
 @functools.partial(jax.jit, static_argnames=("upscale",))
 def _upscale_clip_jit(image, upscale):
     H, W, C = image.shape
@@ -342,8 +365,8 @@ class TSDSRPipeline:
         # fresh trivial program through the FIFO queue fences them
         # (block_until_ready does not fence through the remote tunnel)
         np.asarray(jnp.zeros((), jnp.float32) + jnp.ones((), jnp.float32))
-        self.transformer_params = jax.device_put(host_t, dev)
-        self.vae_params = jax.device_put(host_v, dev)
+        self.transformer_params = _chunked_put(host_t, dev)
+        self.vae_params = _chunked_put(host_v, dev)
         self._staged = True
         try:
             yield
