@@ -473,3 +473,40 @@ class TestLowHbmBake:
             np.asarray(a["visible_per_view"]),
             np.asarray(b["visible_per_view"]),
         )
+
+
+class TestGeometrySizeDecoupling:
+    def test_sr_scaled_color_keeps_plain_visibility(self, sphere_mesh):
+        """geometry_size (max-memory --sr: visibility at the camera's
+        512², SR color at 2048²) — the visibility decision must be
+        IDENTICAL to the same-res bake (it never looks at color), and the
+        texture must bake from the hi-res color at the same texels."""
+        tex, uv_out = _procedural_texture(sphere_mesh)
+        c2ws, intr = condition_cameras()
+        out = render_views(
+            sphere_mesh, c2ws, intr, (VIEW, VIEW),
+            map_attr=tex, render_uv=True, render_map_attr=True,
+        )
+        views = np.asarray(out.map_attr)
+        # x2 "SR" views: nearest upsample (keeps per-pixel values)
+        views_hi = views.repeat(2, axis=1).repeat(2, axis=2)
+        kw = dict(
+            uv_size=UV, method="reproject", low_hbm=True,
+            knn_max_ref=8192, knn_chunk=2048, uv_pixel_tile=0,
+        )
+        a = bake_texture(sphere_mesh, jnp.asarray(views), c2ws, intr, **kw)
+        b = bake_texture(
+            sphere_mesh, jnp.asarray(views_hi), c2ws, intr,
+            geometry_size=(VIEW, VIEW), **kw,
+        )
+        # visibility is color-independent => identical across resolutions
+        np.testing.assert_array_equal(
+            np.asarray(a["visible_per_view"]),
+            np.asarray(b["visible_per_view"]),
+        )
+        # colors: nearest-x2 upsample sampled at the same NDC points is
+        # close to the original bilinear sample (not exact: tap windows
+        # shift by half a fine pixel)
+        ta, tb = np.asarray(a["texture"]), np.asarray(b["texture"])
+        assert np.isfinite(tb).all()
+        assert np.abs(ta - tb).mean() < 0.05, np.abs(ta - tb).mean()

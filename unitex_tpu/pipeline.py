@@ -717,11 +717,14 @@ class RGBTextureFullPipelineBase:
             **({"knn_chunk": 1024}
                if self.int8_serving == "max_memory" and self._flux_loaded
                else {}),
-            # SR-scaled views (2048² instead of 512²) keep ~1.3 GB more
-            # resident during the bake (mv geometry buffers + the x4
-            # grid), which pushed uv_render's 256-row tail out of the
-            # max-memory headroom (r04 --sr) — slab 4x finer
-            **({"low_hbm_row_chunk": 64}
+            # SR-scaled views (2048² instead of 512²): render the bake
+            # GEOMETRY at the camera's 512² (the proven plain-serving
+            # memory regime — SR only sharpens color; the visibility
+            # test is then bit-identical to the non-SR bake) and sample
+            # color at the SR resolution; also slab the tail 4x finer
+            **({"low_hbm_row_chunk": 64,
+                "geometry_size": (self.config.camera.view_size,
+                                  self.config.camera.view_size)}
                if self.int8_serving == "max_memory" and self._flux_loaded
                and views.shape[1] > self.config.camera.view_size else {}),
         )

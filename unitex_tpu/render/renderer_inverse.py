@@ -255,8 +255,15 @@ def _one_view_visibility(
         # sample window leaves the image (where border vs zeros padding
         # differ) is invisible and its color is never consumed
         # (out-of-window tap weight < 1e-3).
+        # color may live at a DIFFERENT resolution than the geometry
+        # buffers (max-memory --sr: depth/tri/mask at the camera's 512²,
+        # SR color at 2048² — NDC sampling decouples them; the 512²
+        # visibility test is then bit-identical to the plain serving
+        # bake).  Same-res keeps the fused single-gather form.
+        fuse_color = img_i is not None and \
+            img_i.shape[:2] == depth_i.shape[:2]
         planes = [jnp.where(mask_i, depth_i, 0.0), mask_i.astype(jnp.float32)]
-        if img_i is not None:
+        if fuse_color:
             planes.append(img_i)
         samp = grid_sample(
             jnp.concatenate(planes, axis=-1), ndc, padding_mode="zeros"
@@ -301,7 +308,12 @@ def _one_view_visibility(
         cos_rn = jnp.sum(rays_d * fn_s, axis=-1, keepdims=True)
         vis = vis & (
             cos_rn < math.cos(math.radians(ray_normal_angle_threshold)))
-        color = samp[..., 2:] if img_i is not None else jnp.zeros(())
+        if img_i is None:
+            color = jnp.zeros(())
+        elif fuse_color:
+            color = samp[..., 2:]
+        else:
+            color = grid_sample(img_i, ndc, padding_mode="zeros")
         return vis, color, ndc, cos_rn
 
     H2, W2 = pos.shape[:2]
@@ -933,8 +945,16 @@ def bake_texture(
         # drain the uv programs before mv_render's dispatch-time output
         # allocations land (dispatch races execution through the tunnel)
         np.asarray(jax.tree.leaves(uv_out)[0].ravel()[0])
+    # geometry_size: render the per-view GEOMETRY buffers at this size
+    # instead of the view-image size — max-memory --sr serving keeps the
+    # visibility test at the camera's proven 512² regime while the paste
+    # samples SR color at 2048² (NDC sampling decouples the resolutions;
+    # reproject method only)
+    geom_hw = bake_kwargs.get("geometry_size") or (H, W)
+    assert geom_hw == (H, W) or method == "reproject", \
+        "geometry_size != view size is supported for method='reproject'"
     mv_out = mv_render(
-        mesh, c2ws, intrinsics, (H, W),
+        mesh, c2ws, intrinsics, geom_hw,
         perspective=perspective,
         grad_norm_threshold=grad_norm_threshold,
         ray_normal_angle_threshold=ray_normal_angle_threshold,
