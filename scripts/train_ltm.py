@@ -45,6 +45,14 @@ def main():
     ap.add_argument("--log-every", type=int, default=500)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config + few steps (CPU smoke)")
+    ap.add_argument("--config", default="large",
+                    choices=["default", "large"],
+                    help="model capacity (large = 4x, VERDICT r04 #2b)")
+    ap.add_argument("--curriculum", default="default",
+                    choices=["default", "r04", "affine"],
+                    help="field family: default (context-inferable scales),"
+                         " r04 (the flat-curve settings, for A/B), affine "
+                         "(pure affine fields — learning diagnostic)")
     ap.add_argument("--report", default=None,
                     help="write a JSON training report here")
     args = ap.parse_args()
@@ -56,10 +64,16 @@ def main():
 
     from unitex_tpu.models.ltm import LTMConfig, init_ltm_params, ltm_vae_loss
     from unitex_tpu.training.ltm import (
-        LTMTrainConfig, LTMTrainState, build_point_bank, sample_device_batch,
+        LTMCurriculum, LTMTrainConfig, LTMTrainState, build_point_bank,
+        idw_fill_baseline, sample_device_batch,
     )
     from unitex_tpu.utils.param_cache import save_params
 
+    cur = {
+        "default": LTMCurriculum(),
+        "r04": LTMCurriculum.r04(),
+        "affine": LTMCurriculum.affine_only(),
+    }[args.curriculum]
     if args.tiny:
         cfg = LTMConfig.tiny()
         args.steps = min(args.steps, 200)
@@ -68,7 +82,7 @@ def main():
         args.n_query = 256
         args.log_every = 50
     else:
-        cfg = LTMConfig()
+        cfg = LTMConfig.large() if args.config == "large" else LTMConfig()
     tcfg = LTMTrainConfig(
         learning_rate=args.lr, kl_weight=args.kl_weight,
         n_visible=args.bank_points, n_query=args.n_query,
@@ -102,7 +116,7 @@ def main():
 
     def _one_step(state, key, points, n_query):
         kb, kl = jax.random.split(key)
-        batch = sample_device_batch(kb, points, n_query)
+        batch = sample_device_batch(kb, points, n_query, cur)
 
         def loss_fn(p):
             return ltm_vae_loss(
@@ -143,26 +157,41 @@ def main():
 
     @partial(jax.jit, static_argnames=("n_query",))
     def eval_psnr(params, key, points, n_query):
-        """Held-out: fresh field + holes on the held-out mesh; PSNR on the
-        HOLE queries only (the occlusion-inpainting figure of merit)."""
+        """Held-out: fresh field + holes on the held-out mesh; PSNR over
+        the HOLE queries ONLY (query_in_hole — the r04 eval diluted the
+        metric with the visible top-up queries), plus the k=8 IDW fill
+        baseline on the SAME batch (the bar the LTM must beat,
+        renderer_inverse._fill_invisible_knn semantics)."""
         from unitex_tpu.models.ltm import decode_field, encode_geometry
 
         kb, _ = jax.random.split(key)
-        batch = sample_device_batch(kb, points, n_query)
+        batch = sample_device_batch(kb, points, n_query, cur)
         z, _, _ = encode_geometry(
             params, cfg, batch["points"], batch["colors"], batch["valid"]
         )
-        pred = decode_field(params, cfg, z, batch["query_points"])
-        # queries are hole-first (occlusion_split); score the hole subset
-        # via the validity of each query point under the same mask
-        err2 = jnp.mean((pred - batch["query_colors"]) ** 2, axis=-1)
-        mse = jnp.mean(err2)
-        return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+        pred = decode_field(
+            params, cfg, z, batch["query_points"],
+            ctx=(batch["points"], batch["colors"], batch["valid"]),
+        )
+        idw = idw_fill_baseline(
+            batch["points"], batch["colors"], batch["valid"],
+            batch["query_points"], k=8,
+        )
+        hole = batch["query_in_hole"]
+        n = jnp.maximum(jnp.sum(hole), 1)
+
+        def psnr(p):
+            err2 = jnp.mean((p - batch["query_colors"]) ** 2, axis=-1)
+            mse = jnp.sum(jnp.where(hole, err2, 0.0)) / n
+            return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+        return psnr(pred), psnr(idw)
 
     key = jax.random.key(1)
     mesh_rng = np.random.default_rng(2)  # host pick: no device round-trip
     train_bank = bank_dev[:n_train]
     losses = []
+    best = {"psnr": -1.0, "params": None, "step": 0}
     t0 = time.perf_counter()
     it = 0
     chunk = 1 if args.tiny else min(args.log_every, 250)
@@ -179,23 +208,36 @@ def main():
             it += 1
         if it % args.log_every == 0 or it >= args.steps or it <= chunk:
             l = float(loss)
-            p = float(eval_psnr(
+            p, p_idw = eval_psnr(
                 state.params, jax.random.key(10_000 + it), bank_dev[-1],
                 args.n_query,
-            ))
+            )
             dt = time.perf_counter() - t0
             losses.append({"step": it, "loss": round(l, 6),
-                           "holdout_hole_psnr_db": round(p, 2),
+                           "holdout_hole_psnr_db": round(float(p), 2),
+                           "idw_k8_hole_psnr_db": round(float(p_idw), 2),
                            "elapsed_s": round(dt, 1)})
             print(json.dumps(losses[-1]), flush=True)
+            # keep the BEST holdout state: long runs must not ship a
+            # checkpoint that drifted below an earlier eval point
+            if float(p) > best["psnr"]:
+                best = {"psnr": float(p),
+                        "params": jax.tree.map(np.asarray, state.params),
+                        "step": it}
 
-    host_params = jax.tree.map(np.asarray, state.params)
+    host_params = (best["params"] if best["params"] is not None
+                   else jax.tree.map(np.asarray, state.params))
+    print(f"saving best-holdout params (step {best['step']}, "
+          f"{best['psnr']:.2f} dB)", flush=True)
     save_params(args.out, host_params, meta={
         "model": "ltm_texture_vae",
         "config": {k: getattr(cfg, k) for k in (
             "n_latents", "latent_dim", "n_heads", "n_self_layers",
-            "n_fourier", "color_dim", "kl_latent_dim")},
+            "n_fourier", "color_dim", "kl_latent_dim", "n_cross_layers",
+            "kernel_decode", "kernel_tau")},
         "steps": args.steps,
+        "best_step": best["step"],
+        "curriculum": args.curriculum,
         "data": "procedural primitives x random smooth fields x "
                 "occlusion holes (training/ltm.py)",
     })
@@ -205,8 +247,11 @@ def main():
             json.dump({
                 "metric": "ltm_training",
                 "steps": args.steps,
-                "config": "tiny" if args.tiny else "default",
+                "config": "tiny" if args.tiny else args.config,
+                "curriculum": args.curriculum,
                 "bank": [args.bank_meshes, args.bank_points],
+                "best_step": best["step"],
+                "best_holdout_hole_psnr_db": round(best["psnr"], 2),
                 "log": losses,
             }, f, indent=2)
 

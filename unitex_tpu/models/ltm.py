@@ -40,11 +40,41 @@ class LTMConfig:
     n_fourier: int = 8           # position Fourier bands
     color_dim: int = 3
     kl_latent_dim: int = 64      # bottleneck channel per latent token
+    # encoder context reads: >1 interleaves extra latent->token
+    # cross-attention reads between the self blocks (perceiver-style
+    # repeated reads — in-context field regression benefits from
+    # re-reading the context after the latents have organized)
+    n_cross_layers: int = 1
+    # kernel_decode: geometry-aware decoder.  The pure latent-bottleneck
+    # decoder CANNOT learn amortized in-context regression at this scale —
+    # measured (r05 ablations, /tmp/ltm_diag2 pattern): a fresh random
+    # field per step collapses the prediction to the field MEAN (pred_std
+    # -> 0.01, loss pinned at the field variance) even for affine-only
+    # fields and even when queries are the VISIBLE points (pure
+    # interpolation), while a FIXED field memorizes to loss 2e-4 — the
+    # context-conditioning pathway is the broken link, not capacity or
+    # optimization.  With kernel_decode the decoder's base prediction is a
+    # soft distance-kernel regression over the visible context points
+    # (softmax(-|q-p|^2 / tau^2), a differentiable IDW analog), and the
+    # latent pathway adds a logit-space residual — at init the model
+    # already predicts at the IDW baseline, and training refines the
+    # bandwidth + learns hole extrapolation the kernel alone cannot do.
+    kernel_decode: bool = False
+    kernel_tau: float = 0.15     # initial kernel bandwidth (unit-box scale)
 
     @classmethod
     def tiny(cls) -> "LTMConfig":
         return cls(n_latents=16, latent_dim=32, n_heads=2, n_self_layers=1,
                    n_fourier=4, kl_latent_dim=8)
+
+    @classmethod
+    def large(cls) -> "LTMConfig":
+        """~4x the default capacity + the kernel decoder (VERDICT r04
+        next-#2): the default trains in ~3 min of device time, so capacity
+        is nearly free."""
+        return cls(n_latents=384, latent_dim=384, n_heads=8,
+                   n_self_layers=6, kl_latent_dim=128, n_cross_layers=2,
+                   kernel_decode=True)
 
 
 def fourier_features(x: jnp.ndarray, n_bands: int) -> jnp.ndarray:
@@ -104,7 +134,8 @@ def _block(p, cfg, x):
 
 
 def init_ltm_params(key, cfg: LTMConfig) -> Params:
-    ks = jax.random.split(key, 10 + cfg.n_self_layers)
+    n_extra = max(0, cfg.n_cross_layers - 1)
+    ks = jax.random.split(key, 10 + cfg.n_self_layers + n_extra)
     d = cfg.latent_dim
     in_dim = 3 + 6 * cfg.n_fourier + cfg.color_dim
     q_dim = 3 + 6 * cfg.n_fourier
@@ -123,6 +154,17 @@ def init_ltm_params(key, cfg: LTMConfig) -> Params:
             _block_init(ks[10 + i], cfg) for i in range(cfg.n_self_layers)
         ],
     }
+    if n_extra:
+        params["cross_more"] = [
+            _mha_init(ks[10 + cfg.n_self_layers + i], d)
+            for i in range(n_extra)
+        ]
+    if cfg.kernel_decode:
+        params["kernel_log_tau"] = jnp.log(
+            jnp.asarray(cfg.kernel_tau, jnp.float32))
+        # residual gate starts at 0: the decode is EXACTLY the kernel
+        # regression at init, the latent residual fades in as it trains
+        params["residual_gate"] = jnp.zeros((), jnp.float32)
     return params
 
 
@@ -140,10 +182,17 @@ def encode_geometry(
     mean, logvar).  Deterministic (mean) unless a PRNG key is given."""
     feats = jnp.concatenate([fourier_features(points, cfg.n_fourier), colors], -1)
     tokens = linear(params["point_embed"], feats)
+    tokens_n = layer_norm(tokens)
     lat = params["latents"]
-    lat = lat + _mha(params["cross_in"], cfg, layer_norm(lat), layer_norm(tokens), valid)
-    for blk in params["self_blocks"]:
-        lat = _block(blk, cfg, lat)
+    crosses = [params["cross_in"]] + list(params.get("cross_more", []))
+    blocks = list(params["self_blocks"])
+    per = max(1, len(blocks) // len(crosses))
+    for ci, cp in enumerate(crosses):
+        lat = lat + _mha(cp, cfg, layer_norm(lat), tokens_n, valid)
+        lo = ci * per
+        hi = len(blocks) if ci == len(crosses) - 1 else (ci + 1) * per
+        for blk in blocks[lo:hi]:
+            lat = _block(blk, cfg, lat)
     mean = linear(params["to_mean"], layer_norm(lat))
     logvar = jnp.clip(linear(params["to_logvar"], layer_norm(lat)), -30.0, 20.0)
     z = mean
@@ -155,14 +204,40 @@ def encode_geometry(
 
 
 def decode_field(
-    params: Params, cfg: LTMConfig, z: jnp.ndarray, queries: jnp.ndarray
+    params: Params,
+    cfg: LTMConfig,
+    z: jnp.ndarray,
+    queries: jnp.ndarray,
+    ctx: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
-    """Latents [L, D_kl] + query points [M, 3] -> colors [M, C]."""
+    """Latents [L, D_kl] + query points [M, 3] -> colors [M, C].
+
+    With ``cfg.kernel_decode`` and ``ctx=(points [N,3], colors [N,C],
+    valid [N])``: base prediction = softmax(-|q-p|^2/tau^2) kernel
+    regression over the valid context (a differentiable IDW analog); the
+    latent pathway contributes a logit-space residual scaled by a
+    zero-init gate.  Without ctx the latent pathway alone decodes (the
+    pre-r05 behavior, kept for checkpoints with kernel_decode=False)."""
     lat = linear(params["from_latent"], z)
     q = linear(params["query_embed"], fourier_features(queries, cfg.n_fourier))
     h = q + _mha(params["cross_out"], cfg, layer_norm(q), layer_norm(lat))
     h = jax.nn.gelu(linear(params["head_in"], layer_norm(h)))
-    return jax.nn.sigmoid(linear(params["head_out"], h))
+    res = linear(params["head_out"], h)
+    if not (cfg.kernel_decode and ctx is not None):
+        return jax.nn.sigmoid(res)
+    pts, cols, val = ctx
+    tau2 = jnp.exp(2.0 * params["kernel_log_tau"])
+    d2 = (
+        jnp.sum(queries**2, -1, keepdims=True)
+        - 2.0 * queries @ pts.T
+        + jnp.sum(pts**2, -1)[None]
+    )                                                   # [M, N]
+    logits = jnp.where(val[None], -d2 / jnp.maximum(tau2, 1e-6), -1e9)
+    w = jax.nn.softmax(logits, axis=-1)
+    base = jnp.clip(w @ cols, 1e-4, 1.0 - 1e-4)         # strict (0,1)
+    return jax.nn.sigmoid(
+        jnp.log(base / (1.0 - base)) + params["residual_gate"] * res
+    )
 
 
 def _subsample_context(points, colors, mask, max_ref: int):
@@ -192,7 +267,11 @@ def make_query_field(params: Params, cfg: LTMConfig, chunk: int = 65536,
     ``max_ref`` spread-out valid points (matching the training-time
     visible-set size, training/ltm.py) and the query decode runs in
     ``chunk``-sized lax.map slices — peak memory is O(max_ref + chunk),
-    independent of texture size."""
+    independent of texture size.  With ``cfg.kernel_decode`` the decode
+    also holds a [chunk, max_ref] kernel matrix, so the chunk shrinks to
+    keep the slice under ~0.3 GB."""
+    if cfg.kernel_decode:
+        chunk = min(chunk, max(1, (80 << 20) // max(1, max_ref)))
 
     def query_field(vertices_visible, colors_visible, vertices_query,
                     visible_mask=None, query_mask=None):
@@ -202,13 +281,14 @@ def make_query_field(params: Params, cfg: LTMConfig, chunk: int = 65536,
             vertices_visible, colors_visible, visible_mask, max_ref
         )
         z, _, _ = encode_geometry(params, cfg, pts, cols, val)
+        ctx = (pts, cols, val)
         M = vertices_query.shape[0]
         if M <= chunk:
-            return decode_field(params, cfg, z, vertices_query)
+            return decode_field(params, cfg, z, vertices_query, ctx=ctx)
         pad = (-M) % chunk
         q = jnp.pad(vertices_query, ((0, pad), (0, 0)))
         out = jax.lax.map(
-            lambda qq: decode_field(params, cfg, z, qq),
+            lambda qq: decode_field(params, cfg, z, qq, ctx=ctx),
             q.reshape(-1, chunk, q.shape[-1]),
         )
         return out.reshape(-1, cfg.color_dim)[:M]
@@ -229,7 +309,8 @@ def ltm_vae_loss(
 ) -> jnp.ndarray:
     """Reconstruction + KL training objective of the texture-function VAE."""
     z, mean, logvar = encode_geometry(params, cfg, points, colors, valid, key)
-    pred = decode_field(params, cfg, z, query_points)
+    pred = decode_field(params, cfg, z, query_points,
+                        ctx=(points, colors, valid))
     rec = jnp.mean((pred - query_colors) ** 2)
     kl = -0.5 * jnp.mean(1 + logvar - mean**2 - jnp.exp(logvar))
     return rec + kl_weight * kl

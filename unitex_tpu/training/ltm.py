@@ -86,12 +86,44 @@ def ltm_train_step(
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class LTMCurriculum:
+    """Field family + occlusion-hole parameters of the procedural
+    training/eval distribution (static jit args).
+
+    VERDICT r04 weak #2 root cause: the r04 defaults (max_freq 2.5,
+    sig_min 0.15, r_max 0.35) put much of the field's energy AT OR BELOW
+    the hole scale — the hidden target was irreducible from the visible
+    context, so holdout hole-PSNR pinned at the field-variance floor
+    (12-13 dB) regardless of training.  The defaults here keep every
+    feature's length scale ABOVE the largest hole diameter: a context-
+    inferable family that still covers the inference regime (the bake's
+    GT textures are position-affine at hole scale, oracle_campaign.py)."""
+
+    n_fourier: int = 10
+    max_freq: float = 1.2        # |freq|·r_max < ~1 rad: inferable
+    n_rbf: int = 6
+    sig_min: float = 0.35        # blob radius >= hole radius
+    sig_max: float = 0.8
+    n_holes: int = 6
+    r_min: float = 0.08
+    r_max: float = 0.25
+
+    @classmethod
+    def r04(cls) -> "LTMCurriculum":
+        """The round-4 (flat-curve) settings, kept for A/B diagnosis."""
+        return cls(max_freq=2.5, sig_min=0.15, sig_max=0.6, r_max=0.35)
+
+    @classmethod
+    def affine_only(cls) -> "LTMCurriculum":
+        """Pure affine fields — the can-it-learn-at-all diagnostic."""
+        return cls(n_fourier=0, n_rbf=0)
+
+
 def random_field_colors(
     key: jax.Array,
     points: jnp.ndarray,
-    n_fourier: int = 10,
-    max_freq: float = 2.5,
-    n_rbf: int = 6,
+    cur: LTMCurriculum = LTMCurriculum(),
 ) -> jnp.ndarray:
     """Random smooth RGB field evaluated at ``points`` [N, 3] -> [N, 3] in
     [0.05, 0.95].
@@ -106,19 +138,22 @@ def random_field_colors(
     host cost."""
     ka, kf, kp, kw, kr, kc, ks = jax.random.split(key, 7)
     A = jax.random.normal(ka, (3, 3)) * 0.8            # affine part
-    freqs = jax.random.uniform(kf, (n_fourier, 3), minval=-max_freq,
-                               maxval=max_freq)
-    phase = jax.random.uniform(kp, (n_fourier,), maxval=2 * jnp.pi)
-    w = jax.random.normal(kw, (n_fourier, 3)) / jnp.sqrt(n_fourier)
-    mu = jax.random.uniform(kr, (n_rbf, 3), minval=-1.0, maxval=1.0)
-    sig = jax.random.uniform(ks, (n_rbf,), minval=0.15, maxval=0.6)
-    amp = jax.random.normal(kc, (n_rbf, 3)) * 0.7
-
     g = points @ A.T
-    ang = points @ freqs.T + phase                      # [N, F]
-    g = g + jnp.sin(ang) @ w
-    d2 = jnp.sum((points[:, None, :] - mu[None]) ** 2, -1)  # [N, R]
-    g = g + jnp.exp(-d2 / (2 * sig**2)) @ amp
+    if cur.n_fourier:
+        freqs = jax.random.uniform(
+            kf, (cur.n_fourier, 3), minval=-cur.max_freq,
+            maxval=cur.max_freq)
+        phase = jax.random.uniform(kp, (cur.n_fourier,), maxval=2 * jnp.pi)
+        w = jax.random.normal(kw, (cur.n_fourier, 3)) / jnp.sqrt(cur.n_fourier)
+        ang = points @ freqs.T + phase                  # [N, F]
+        g = g + jnp.sin(ang) @ w
+    if cur.n_rbf:
+        mu = jax.random.uniform(kr, (cur.n_rbf, 3), minval=-1.0, maxval=1.0)
+        sig = jax.random.uniform(ks, (cur.n_rbf,), minval=cur.sig_min,
+                                 maxval=cur.sig_max)
+        amp = jax.random.normal(kc, (cur.n_rbf, 3)) * 0.7
+        d2 = jnp.sum((points[:, None, :] - mu[None]) ** 2, -1)  # [N, R]
+        g = g + jnp.exp(-d2 / (2 * sig**2)) @ amp
     lo = jnp.min(g, axis=0, keepdims=True)
     hi = jnp.max(g, axis=0, keepdims=True)
     return 0.05 + 0.9 * (g - lo) / jnp.maximum(hi - lo, 1e-6)
@@ -129,9 +164,7 @@ def occlusion_split(
     points: jnp.ndarray,
     colors: jnp.ndarray,
     n_query: int,
-    n_holes: int = 6,
-    r_min: float = 0.08,
-    r_max: float = 0.35,
+    cur: LTMCurriculum = LTMCurriculum(),
 ) -> Dict[str, jnp.ndarray]:
     """Occlusion-shaped train batch: contiguous spherical HOLES around
     random surface points are hidden from the encoder (valid=False) and
@@ -140,11 +173,15 @@ def occlusion_split(
     fine random scatter; the original random split only taught
     interpolation between densely surrounding context).  Static shapes:
     the encoder keeps all N points with a validity mask; the query set is
-    hole-points-first (shuffled) topped up with visible points."""
+    hole-points-first (shuffled) topped up with visible points.
+    ``query_in_hole`` marks which queries are actually occluded — the
+    holdout figure of merit scores ONLY those (the r04 eval averaged the
+    visible top-up queries in, diluting the inpainting metric)."""
     kc, kr, kq = jax.random.split(key, 3)
     N = points.shape[0]
-    centers = points[jax.random.randint(kc, (n_holes,), 0, N)]
-    radii = jax.random.uniform(kr, (n_holes,), minval=r_min, maxval=r_max)
+    centers = points[jax.random.randint(kc, (cur.n_holes,), 0, N)]
+    radii = jax.random.uniform(kr, (cur.n_holes,), minval=cur.r_min,
+                               maxval=cur.r_max)
     d2 = jnp.sum((points[:, None, :] - centers[None]) ** 2, -1)
     in_hole = jnp.any(d2 < radii[None] ** 2, axis=-1)
     shuffle = jax.random.uniform(kq, (N,))
@@ -155,18 +192,39 @@ def occlusion_split(
         "valid": ~in_hole,
         "query_points": points[qidx],
         "query_colors": colors[qidx],
+        "query_in_hole": in_hole[qidx],
     }
 
 
-@partial(jax.jit, static_argnames=("n_query",))
+@partial(jax.jit, static_argnames=("n_query", "cur"))
 def sample_device_batch(
-    key: jax.Array, points: jnp.ndarray, n_query: int
+    key: jax.Array, points: jnp.ndarray, n_query: int,
+    cur: LTMCurriculum = LTMCurriculum(),
 ) -> Dict[str, jnp.ndarray]:
     """One jitted data step: fresh random field + fresh occlusion holes on
     a pregenerated surface point set (build_point_bank)."""
     kf, kh = jax.random.split(key)
-    colors = random_field_colors(kf, points)
-    return occlusion_split(kh, points, colors, n_query)
+    colors = random_field_colors(kf, points, cur)
+    return occlusion_split(kh, points, colors, n_query, cur)
+
+
+def idw_fill_baseline(
+    points: jnp.ndarray,
+    colors: jnp.ndarray,
+    valid: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int = 8,
+) -> jnp.ndarray:
+    """k-NN inverse-distance-weighted fill — the bake's default
+    ``_fill_invisible_knn`` math on a point batch.  The bar the LTM must
+    beat (VERDICT r03 #3 done-criterion): computed in-eval on the SAME
+    batches so the comparison shares field, holes, and context."""
+    d2 = jnp.sum((queries[:, None, :] - points[None]) ** 2, -1)
+    d2 = jnp.where(valid[None], d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k)                    # [M, k]
+    w = 1.0 / jnp.maximum(-neg, 1e-12)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    return jnp.einsum("mk,mkc->mc", w, colors[idx])
 
 
 def build_point_bank(
