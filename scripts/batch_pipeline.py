@@ -46,6 +46,13 @@ def main():
     ap.add_argument("--pretrain-models", default=None)
     ap.add_argument("--seed", type=int, default=63)
     ap.add_argument("--super-resolution", action="store_true")
+    ap.add_argument("--sr-window", type=int, default=1,
+                    help="assets per SD3 weight-staging window when the SR "
+                         "stage runs host_params (max-memory co-residency):"
+                         " denoise the window first, stage SD3 ONCE, SR "
+                         "every grid, then bake all — amortizes the "
+                         "~2.3 GB / ~60 s per-staging transfer (the tunnel "
+                         "moves ~40 MB/s) over the window")
     ap.add_argument("--keep-going", action="store_true",
                     help="continue past per-job failures")
     ap.add_argument("--no-artifacts", action="store_true",
@@ -133,6 +140,10 @@ def main():
 
     pending = submit(jobs[0]) if executor else None
     results = []
+    if args.sr_window > 1 and pipe.sr_pipeline is not None:
+        _run_windowed(args, pipe, jobs, executor, submit, pending, results)
+        _finish(args, pipe, results)
+        return
     for i, job in enumerate(jobs):
         out_dir = os.path.join(args.out, job["name"])
         t0 = time.perf_counter()
@@ -160,6 +171,10 @@ def main():
             print(f"[{i+1}/{len(jobs)}] {job['name']}: FAILED {e}")
     if executor:
         executor.shutdown(wait=False)
+    _finish(args, pipe, results)
+
+
+def _finish(args, pipe, results):
     try:
         pipe.flush_io()
     except Exception as e:
@@ -168,6 +183,85 @@ def main():
             raise
     with open(os.path.join(args.out, "manifest.json"), "w") as f:
         json.dump(results, f, indent=2)
+
+
+def _run_windowed(args, pipe, jobs, executor, submit, pending, results):
+    """SR-window serving loop: denoise ``--sr-window`` assets with SR
+    deferred, run every grid's SR inside ONE sr_pipeline.staged() weight
+    window, then bake all (scripts/e2e_production.py measures this mode;
+    reference analogue: the per-asset single-shot loop at
+    /root/reference/pipeline.py:284-289 re-pays SD3 residency per asset)."""
+    import contextlib
+    import shutil
+
+    import numpy as np
+
+    window = args.sr_window
+    n = len(jobs)
+    i = 0
+    while i < n:
+        wjobs = jobs[i : i + window]
+        held = []
+        for k, job in enumerate(wjobs):
+            out_dir = os.path.join(args.out, job["name"])
+            cache = os.path.join(out_dir, "cache")
+            os.makedirs(cache, exist_ok=True)
+            t0 = time.perf_counter()
+            try:
+                if pending is not None:
+                    pre = pending.result()
+                else:
+                    pre = pipe.preprocess_job(out_dir, job["image"],
+                                              job["mesh"])
+                if executor and i + k + 1 < n:
+                    pending = submit(jobs[i + k + 1])
+                else:
+                    pending = None
+                condition = pipe.render_geometry_images_stage(cache, pre[0])
+                mv = np.asarray(pipe.infer_mv_stage(
+                    cache, pre[1], condition, apply_sr=False))
+                held.append([job, out_dir, cache, pre, condition, mv, t0])
+            except Exception as e:
+                if not args.keep_going:
+                    raise
+                results.append({"name": job["name"], "error": str(e)})
+                print(f"{job['name']}: FAILED {e}")
+        staged_ctx = getattr(pipe.sr_pipeline, "staged",
+                             contextlib.nullcontext)
+        with staged_ctx():
+            for rec in held:
+                rec[5] = pipe._apply_sr(
+                    rec[5], rec[2] if not args.no_artifacts else None)
+        if not args.no_artifacts:
+            from unitex_tpu.utils.image_io import save_image
+
+            for rec in held:
+                save_image(os.path.join(rec[2], "mv_rgb.png"), rec[5])
+        for job, out_dir, cache, pre, condition, mv, t0 in held:
+            try:
+                import jax.numpy as jnp
+
+                glb = pipe.reproject_stage(
+                    cache, condition["mesh"], jnp.asarray(mv), condition,
+                    pre[0])
+                shutil.copy(os.path.join(cache, "rembg_image.png"),
+                            os.path.join(out_dir, "rembg_image.png"))
+                pipe._submit_io(shutil.copy, glb,
+                                os.path.join(out_dir, "textured_mesh.glb"))
+                dt = time.perf_counter() - t0
+                results.append({"name": job["name"],
+                                "glb": os.path.join(out_dir,
+                                                    "textured_mesh.glb"),
+                                "seconds": round(dt, 2)})
+                print(f"{job['name']}: {dt:.1f}s (window {window})")
+            except Exception as e:
+                if not args.keep_going:
+                    raise
+                results.append({"name": job["name"], "error": str(e)})
+                print(f"{job['name']}: FAILED {e}")
+        i += window
+    if executor:
+        executor.shutdown(wait=False)
 
 
 if __name__ == "__main__":

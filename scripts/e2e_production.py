@@ -11,11 +11,19 @@ denoise steps at the 13,824-token joint sequence, 6×512² views, and the
 random-init SD3 at production scale.
 
 Per-asset wall clock is host-fenced (flush_io + final artifact stat); the
-per-stage breakdown comes from CPUTimer.records (approximate at stage
-boundaries — device work is async through the remote-exec tunnel; the
-TOTAL is exact).  Writes the report JSON (default E2E_r03.json).
+per-stage breakdown is fenced too (``CPUTimer.fence``): every stage
+boundary drains the async device queue with a host round-trip, so the
+56-step denoise lands in ``infer_mv``, not in whichever later stage first
+touches the host (E2E_r04 misattributed ~112 s of denoise to the bake —
+VERDICT r04 weak #5).  Costs ~38 ms per boundary, noise against a 126 s
+asset.  Writes the report JSON (default E2E_r05.json).
 
-  python scripts/e2e_production.py --out E2E_r03.json [--assets 3] [--sr]
+With ``--sr``, SD3 weight staging is amortized over ``--sr-window`` assets
+(default 4): the denoise runs for the whole window first, then ONE
+``staged()`` window serves every grid's per-view SR, then all bakes run
+(VERDICT r04 weak #1: per-asset staging was ~70 s/asset unamortized).
+
+  python scripts/e2e_production.py --out E2E_r05.json [--assets 3] [--sr]
       [--small]   # --small = tiny shapes for a CPU smoke run
 """
 
@@ -81,6 +89,14 @@ def main():
                     help="extra warm repeats of the asset list")
     ap.add_argument("--sr", action="store_true",
                     help="include the TSD-SR stage (random-init SD3)")
+    ap.add_argument("--sr-window", type=int, default=4,
+                    help="assets per SD3 staging window (host_params SR): "
+                         "denoise the whole window, stage SD3 once, SR "
+                         "every grid, then bake all.  1 = per-asset "
+                         "staging (the r04 regime)")
+    ap.add_argument("--no-fence", action="store_true",
+                    help="skip the per-stage host fences (r04-style "
+                         "approximate stage attribution)")
     ap.add_argument("--small", action="store_true",
                     help="tiny config for a CPU smoke run")
     ap.add_argument("--weightless", action="store_true",
@@ -154,10 +170,27 @@ def main():
 
         sd3_cache = (os.path.join(args.params_cache, "sd3_random_s10_int8.npz")
                      if args.params_cache and not args.small else None)
+        # fingerprint the things leaf-shape validation can't catch: config
+        # identity, init seeds, quantizer version (ADVICE r04: a stale
+        # cached tree was otherwise served silently after a config/seed/
+        # quantizer change)
+        sd3_meta_expect = {
+            "model": "sd3_sr_serving",
+            "seeds": [10, 11],
+            "config": "sd3_medium+vae_sd3",
+            "quantizer": "quantize_linears_v1_bf16",
+        }
+        cached = None
         if sd3_cache and os.path.exists(sd3_cache):
-            from unitex_tpu.utils.param_cache import load_params
+            from unitex_tpu.utils.param_cache import load_meta, load_params
 
-            cached = load_params(sd3_cache)
+            meta = load_meta(sd3_cache) or {}
+            if meta == sd3_meta_expect:
+                cached = load_params(sd3_cache)
+            else:
+                print(f"[e2e] stale SD3 cache meta {meta!r} != expected; "
+                      "rebuilding", flush=True)
+        if cached is not None:
             sp, vp = cached["sd3"], cached["vae"]
         else:
             host = jax.devices("cpu")[0]
@@ -185,7 +218,7 @@ def main():
                 save_params(sd3_cache, {
                     "sd3": jax.tree.map(_np.asarray, sp),
                     "vae": jax.tree.map(_np.asarray, vp),
-                }, meta={"model": "sd3_sr_serving", "seeds": [10, 11]})
+                }, meta=sd3_meta_expect)
         # co-residency: permanent SD3 residency next to the 12 GB int8
         # FLUX left <1.5 GB of HBM — less than the denoise/bake temps
         # (r04 --sr OOM) — so the SR stage STAGES its weights per call
@@ -213,33 +246,103 @@ def main():
         pipe.sr_pipeline.vae_cfg = v_cfg
     t_build = time.perf_counter() - t_build0
 
+    # fence at every timed stage boundary so the async device queue drains
+    # where the work was dispatched (VERDICT r04 weak #5)
+    CPUTimer.fence = not args.no_fence
+
     stage_keys = [
         "preprocess_blank_mesh", "preprocess_reference_image",
-        "render_geometry_images", "infer_mv", "reproject_and_query_field",
+        "render_geometry_images", "infer_mv", "apply_sr",
+        "reproject_and_query_field",
     ]
     results = []
     order = jobs * (1 + args.repeat)
-    for i, job in enumerate(order):
-        out_dir = os.path.join(work, "out", f"{i:02d}_{job['name']}")
-        os.makedirs(out_dir, exist_ok=True)
-        before = dict(CPUTimer.records)
-        t0 = time.perf_counter()
-        pipe(out_dir, job["image"], job["mesh"])
-        pipe.flush_io()
-        total = time.perf_counter() - t0
+
+    def record(i, job, total, before, extra=None):
         stages = {
             k: round(CPUTimer.records[k], 3)
             for k in stage_keys
             if k in CPUTimer.records and CPUTimer.records.get(k) != before.get(k)
         }
+        out_dir = os.path.join(work, "out", f"{i:02d}_{job['name']}")
         glb = os.path.join(out_dir, "textured_mesh.glb")
         ok = os.path.exists(glb) and os.path.getsize(glb) > 0
         results.append({
             "asset": job["name"], "pass": "warm" if i >= len(jobs) else "first",
             "total_s": round(total, 3), "stages_s": stages, "glb_ok": ok,
+            **(extra or {}),
         })
         print(json.dumps(results[-1]))
         _write_report(args, t_build, results)  # incremental: survive kills
+
+    window = args.sr_window if args.sr else 1
+    if window <= 1:
+        for i, job in enumerate(order):
+            out_dir = os.path.join(work, "out", f"{i:02d}_{job['name']}")
+            os.makedirs(out_dir, exist_ok=True)
+            before = dict(CPUTimer.records)
+            t0 = time.perf_counter()
+            pipe(out_dir, job["image"], job["mesh"])
+            pipe.flush_io()
+            record(i, job, time.perf_counter() - t0, before)
+    else:
+        # windowed --sr: per-asset totals are each asset's own fenced
+        # stage walls plus its 1/k share of the window's SD3 staging
+        import contextlib
+
+        import jax.numpy as jnp
+
+        for w0 in range(0, len(order), window):
+            wjobs = list(enumerate(order))[w0 : w0 + window]
+            held = []
+            for i, job in wjobs:
+                out_dir = os.path.join(work, "out", f"{i:02d}_{job['name']}")
+                cache_dir = os.path.join(out_dir, "cache")
+                os.makedirs(cache_dir, exist_ok=True)
+                before = dict(CPUTimer.records)
+                t0 = time.perf_counter()
+                pre = pipe.preprocess_job(out_dir, job["image"], job["mesh"])
+                condition = pipe.render_geometry_images_stage(
+                    cache_dir, pre[0])
+                mv = pipe.infer_mv_stage(
+                    cache_dir, pre[1], condition, apply_sr=False)
+                # pull the low-res grid to the host: frees the denoise
+                # buffers before the next asset and fences the queue
+                mv = np.asarray(mv)
+                held.append([i, job, pre, condition, mv,
+                             time.perf_counter() - t0, before])
+            # ONE staging window for every grid in this batch: the
+            # staged() entry pays the SD3 host->device transfer once
+            t0 = time.perf_counter()
+            staged_ctx = getattr(pipe.sr_pipeline, "staged",
+                                 contextlib.nullcontext)
+            with staged_ctx():
+                t_staged_in = time.perf_counter() - t0  # the weight puts
+                for rec in held:
+                    t0 = time.perf_counter()
+                    with CPUTimer("apply_sr"):
+                        rec[4] = pipe._apply_sr(rec[4])
+                    rec[5] += time.perf_counter() - t0
+            stage_share = t_staged_in / len(held)
+            import shutil
+
+            for rec in held:
+                i, job, pre, condition, mv, total, before = rec
+                out_dir = os.path.join(work, "out", f"{i:02d}_{job['name']}")
+                cache_dir = os.path.join(out_dir, "cache")
+                t0 = time.perf_counter()
+                pipe.reproject_stage(
+                    cache_dir, condition["mesh"], jnp.asarray(mv),
+                    condition, pre[0])
+                pipe.flush_io()
+                glb = os.path.join(cache_dir, "textured_mesh.glb")
+                if os.path.exists(glb):
+                    shutil.copy(glb, os.path.join(out_dir,
+                                                  "textured_mesh.glb"))
+                total += time.perf_counter() - t0 + stage_share
+                record(i, job, total, before,
+                       extra={"sr_staging_share_s": round(stage_share, 3)})
+            del held
 
     _write_report(args, t_build, results, final=True)
 

@@ -462,9 +462,13 @@ def test_per_view_sr_routing_and_parity():
     assert pipe.sr_pipeline.staged_windows == 1
     assert pipe.sr_pipeline.calls_inside == rows * cols
     assert pipe.sr_pipeline.calls_outside == 0
+    # the per-view branch pulls views QUANTIZED (uint8 crosses the tunnel
+    # at 1/4 the bytes); downstream reproject_stage converts back
+    assert per_view.dtype == np.uint8
 
     pipe.int8_serving = True  # non-max-memory: whole-grid path
     whole = np.asarray(pipe._apply_sr(jnp.asarray(grid)))
     assert pipe.sr_pipeline.calls_outside == 1
-    np.testing.assert_allclose(per_view, whole, atol=1e-6)
+    np.testing.assert_allclose(
+        per_view.astype(np.float32) / 255.0, whole, atol=0.5 / 255 + 1e-6)
     assert per_view.shape == (rows * v * 2, cols * v * 2, 3)

@@ -55,12 +55,21 @@ def _chunked_put(tree, dev, chunk_bytes=256 * 1024 * 1024):
     ~4 GB free (r04 --sr staging OOM); fencing every ``chunk_bytes``
     bounds the in-flight footprint.  One retry after a drain covers a
     straggling async free."""
+    def _is_alloc_failure(e: Exception) -> bool:
+        # retry ONLY allocation failures — shape/dtype/device bugs must
+        # surface immediately, not after a drain + doubled latency
+        txt = str(e).lower()
+        return ("resource_exhausted" in txt or "resource exhausted" in txt
+                or "out of memory" in txt or "allocat" in txt)
+
     leaves, treedef = jax.tree.flatten(tree)
     out, acc = [], 0
     for leaf in leaves:
         try:
             put = jax.device_put(leaf, dev)
-        except Exception:
+        except RuntimeError as e:  # jaxlib XlaRuntimeError subclasses this
+            if not _is_alloc_failure(e):
+                raise
             np.asarray(jnp.zeros((), jnp.float32) + 1.0)  # drain + retry
             put = jax.device_put(leaf, dev)
         out.append(put)

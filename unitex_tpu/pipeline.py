@@ -59,6 +59,11 @@ from .utils.timer import CPUTimer
 from contextlib import nullcontext as _nullcontext
 
 
+@jax.jit
+def _u8_to_f32_jit(x):
+    return x.astype(jnp.float32) / 255.0
+
+
 class RGBTextureFullPipelineBase:
     """Owns the models + renderers (reference pipeline.py:141-166)."""
 
@@ -538,9 +543,16 @@ class RGBTextureFullPipelineBase:
         save_dir: str,
         reference_image: np.ndarray,
         condition: Dict[str, jnp.ndarray],
+        apply_sr: bool = True,
     ) -> jnp.ndarray:
         """Texture + delight FLUX passes over the 1x6 strip
-        (pipeline.py:231-289).  Returns the delighted 2x3 grid [0,1]."""
+        (pipeline.py:231-289).  Returns the delighted 2x3 grid [0,1].
+
+        ``apply_sr=False`` defers the TSD-SR stage: batch drivers denoise a
+        WINDOW of assets first, then run every grid's SR inside one
+        ``sr_pipeline.staged()`` weight-staging window (amortizing the
+        ~2.3 GB host->device SD3 transfer that per-asset staging pays per
+        asset), calling :meth:`_apply_sr` themselves."""
         dcfg = self.config.diffusion
         # control = 0.5*normal + 0.5*ccm, grid -> strip with down-view flip
         control_grid = 0.5 * condition["normal"] + 0.5 * condition["ccm"]
@@ -634,8 +646,9 @@ class RGBTextureFullPipelineBase:
             strip_delight = strip_w_light
 
         mv_rgb = strip_to_grid(strip_delight)
-        mv_rgb = self._apply_sr(mv_rgb, save_dir)
-        if self.save_artifacts:
+        if apply_sr:
+            mv_rgb = self._apply_sr(mv_rgb, save_dir)
+        if self.save_artifacts and (apply_sr or self.sr_pipeline is None):
             save_image(os.path.join(save_dir, "mv_rgb.png"), mv_rgb)
         return mv_rgb
 
@@ -669,14 +682,22 @@ class RGBTextureFullPipelineBase:
                 views = np.asarray(views)
                 staged = getattr(self.sr_pipeline, "staged",
                                  None) or (lambda: _nullcontext())
+                from .utils.image_io import to_uint8_device
+
                 with staged():
+                    # pull each SR view QUANTIZED: the tunnel moves
+                    # ~40 MB/s (r05 probe), so a 2048² view crosses as
+                    # 12.5 MB uint8 in ~0.35 s instead of 50 MB f32 in
+                    # ~1.6 s (~7 s/asset over 6 views); the texture is
+                    # uint8-quantized downstream anyway
                     sr_views = [
-                        np.asarray(self.sr_pipeline(v)) for v in views
+                        np.asarray(to_uint8_device(self.sr_pipeline(v)))
+                        for v in views
                     ]
                 # assemble the grid on the HOST: a device copy of the x4
                 # grid (300 MB f32) would sit resident through the bake on
                 # top of the views themselves; downstream re-puts only
-                # what it needs
+                # what it needs (and re-puts it as uint8, 4x cheaper)
                 mv_rgb = np.concatenate(
                     [np.concatenate(sr_views[r * cam.cols:(r + 1) * cam.cols],
                                     axis=1)
@@ -695,6 +716,11 @@ class RGBTextureFullPipelineBase:
         processed_mesh: HostMesh,
     ) -> str:
         bcfg = self.config.bake
+        # uint8 grids (the quantized-pull SR path) cross the tunnel at 1/4
+        # the bytes; convert to f32 on DEVICE after the put
+        mv_rgb_grid = jnp.asarray(mv_rgb_grid)
+        if mv_rgb_grid.dtype == jnp.uint8:
+            mv_rgb_grid = _u8_to_f32_jit(mv_rgb_grid)
         views = grid_to_views(mv_rgb_grid, self.config.camera.rows, self.config.camera.cols)
         out = bake_texture(
             mesh,
@@ -815,6 +841,9 @@ class RGBTextureFullPipeline(RGBTextureFullPipelineBase):
 
         assert self.ltm_params is not None, "step_2_2 needs LTM weights"
         bcfg = self.config.bake
+        mv_rgb_grid = jnp.asarray(mv_rgb_grid)
+        if mv_rgb_grid.dtype == jnp.uint8:
+            mv_rgb_grid = _u8_to_f32_jit(mv_rgb_grid)
         views = grid_to_views(
             mv_rgb_grid, self.config.camera.rows, self.config.camera.cols
         )

@@ -1021,6 +1021,11 @@ def bake_texture(
         out["visible_per_view"] = vis_pv
         out["mask_visible_any"] = visible_any
         return out
+    # reproject-only knobs that may legally ride in bake_kwargs (the assert
+    # above admits geometry_size == (H, W)) but that bake_kdtree /
+    # bake_reproject_blending do not accept — drop before forwarding
+    for consumed in ("geometry_size", "low_hbm_row_chunk"):
+        bake_kwargs.pop(consumed, None)
     vis_out = view_visibility(
         uv_out, mv_out, c2ws, view_images,
         perspective=perspective,

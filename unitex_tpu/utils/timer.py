@@ -50,6 +50,14 @@ class CPUTimer:
     duration in ``CPUTimer.records[name]`` for benchmarking."""
 
     records: Dict[str, float] = {}
+    #: when True, every timed boundary drains the device queue with a host
+    #: round-trip (dispatch a trivial op and fetch it).  Through the axon
+    #: remote-exec tunnel ``block_until_ready``/``effects_barrier`` do NOT
+    #: fence (CLAUDE.md measured facts), so async device work otherwise
+    #: drains inside whichever LATER stage first touches the host — e.g.
+    #: E2E_r04's 56-step denoise (~112 s) was attributed to the bake stage.
+    #: Costs one ~38 ms round-trip per boundary; timing harnesses set it.
+    fence: bool = False
 
     def __init__(self, name: str = "", sync: bool = True, verbose: bool = True):
         self.name = name
@@ -62,6 +70,11 @@ class CPUTimer:
                 import jax
 
                 jax.effects_barrier()
+                if CPUTimer.fence:
+                    import jax.numpy as jnp
+                    import numpy as np
+
+                    np.asarray(jnp.zeros((), jnp.float32) + 1.0)
             except Exception:
                 pass
 
