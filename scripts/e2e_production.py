@@ -232,7 +232,16 @@ def main():
         # ~0.8 GB scratch programs overlap in the queue and graze the
         # co-residency headroom once the LoRAs/conditioning buffers are
         # also resident (measured: probe passes at 128, the E2E OOMs)
-        sr_cfg = TSDSRConfig() if args.small else TSDSRConfig(
+        # --small: the tiny VAE's downscale is 2, so production tile sizes
+        # are pathological on it — a 512² encoder tile reaches the VAE
+        # mid-block attention with 256²=65k tokens (a 17 GB logit matrix,
+        # measured as a ~60 GB host RSS blowup), and a 64² latent tile
+        # exceeds tiny SD3's pos_embed_max_size=16 (patch 2).  Smoke tiles
+        # keep every attention span tiny.
+        sr_cfg = TSDSRConfig(
+            vae_encoder_tile=128, latent_tile=32, latent_overlap=4,
+            vae_decoder_tile=32,
+        ) if args.small else TSDSRConfig(
             vae_decode_batch=1, vae_encode_batch=1, tile_batch=2,
             vae_decoder_tile=64, host_params=True)
         stage = ((lambda t: t) if not args.small

@@ -260,6 +260,28 @@ class TestFillCompaction:
         keep = ~np.asarray(inv)
         np.testing.assert_array_equal(np.asarray(a)[keep], np.asarray(col)[keep])
 
+    def test_compact_matches_dense_k8_chunked_blend(self):
+        """k=8 IDW with Q > chunk exercises the CHUNKED neighbor-color
+        blend (one [Q, k, 3] gather lane-padded 42.7x to a 16 GB temp in
+        the cup oracle's dense fallback — the r05 compile-OOM)."""
+        from unitex_tpu.render.renderer_inverse import _fill_invisible_knn
+
+        rng = np.random.default_rng(2)
+        N = 5000
+        pos = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+        col = jnp.asarray(rng.uniform(size=(N, 3)).astype(np.float32))
+        vis = jnp.asarray(rng.uniform(size=N) < 0.7)
+        inv = ~vis & jnp.asarray(rng.uniform(size=N) < 0.5)
+        a = _fill_invisible_knn(pos, col, vis, inv, k=8,
+                                max_ref=4096, chunk=1024, max_fill=4096)
+        b = _fill_invisible_knn(pos, col, vis, inv, k=8,
+                                max_ref=4096, chunk=1024, max_fill=1)
+        # and an unchunked reference: chunk larger than every Q
+        c = _fill_invisible_knn(pos, col, vis, inv, k=8,
+                                max_ref=4096, chunk=8192, max_fill=1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c), atol=1e-5)
+
     def test_zero_fill_short_circuit(self):
         from unitex_tpu.render.renderer_inverse import _fill_invisible_knn
 

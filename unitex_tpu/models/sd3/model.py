@@ -213,6 +213,10 @@ def sd3_forward(
     hidden = linear(params["pos_embed"]["proj"], tokens)
     # cropped learned position embedding (diffusers PatchEmbed cropped mode)
     pmax = cfg.pos_embed_max_size
+    assert hp <= pmax and wp <= pmax, (
+        f"latent patch grid {hp}x{wp} exceeds pos_embed_max_size {pmax}; "
+        "shrink the latent tile (a negative crop start would silently "
+        "wrap the slice)")
     top = (pmax - hp) // 2
     left = (pmax - wp) // 2
     pos = params["pos_embed"]["pos"][top : top + hp, left : left + wp]
@@ -296,6 +300,10 @@ def sd3_forward_sp(
     tokens = patchify(latents.astype(dtype), ps)
     hidden = linear(params["pos_embed"]["proj"], tokens)
     pmax = cfg.pos_embed_max_size
+    assert hp <= pmax and wp <= pmax, (
+        f"latent patch grid {hp}x{wp} exceeds pos_embed_max_size {pmax}; "
+        "shrink the latent tile (a negative crop start would silently "
+        "wrap the slice)")
     top = (pmax - hp) // 2
     left = (pmax - wp) // 2
     pos = params["pos_embed"]["pos"][top : top + hp, left : left + wp]

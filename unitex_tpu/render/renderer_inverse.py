@@ -586,7 +586,7 @@ def _fill_invisible_knn(
     max_ref: int = 65536,
     chunk: int = 4096,
     query_field=None,
-    max_fill: int = 262144,
+    max_fill: int = 1 << 20,
 ) -> jnp.ndarray:
     """Fill masked target texels with the (mean of) k nearest visible texels
     in 3D (renderer_inverse.py:611-616).  All arrays flat over texels.
@@ -613,8 +613,8 @@ def _fill_invisible_knn(
     if n_fill == 0:
         return color_flat
 
-    def blend(d, idx):
-        vals = ref_vals[idx]                           # [Q, k, C]
+    def _blend_one(d, idx):
+        vals = ref_vals[idx]                           # [q, k, C]
         if k == 1:
             return vals[..., 0, :]
         # inverse-distance weighting: smooth fill instead of the nearest
@@ -624,6 +624,24 @@ def _fill_invisible_knn(
         w = 1.0 / jnp.maximum(d, 1e-6)
         w = w / jnp.sum(w, axis=-1, keepdims=True)
         return jnp.einsum("qk,qkc->qc", w, vals)
+
+    def blend(d, idx):
+        """CHUNKED neighbor-color blend: one [Q, k, C] gather lane-pads
+        the size-C(=3) trailing dim to the 128-lane tile — measured 16 GB
+        of HLO temp (42.7x expansion) for the cup oracle's dense-fallback
+        fill at 2048² (Q=4.2M, k=8), a compile-time OOM.  lax.map over
+        ``chunk``-query slices bounds it to [chunk, k, C]."""
+        Q = idx.shape[0]
+        if Q <= chunk:
+            return _blend_one(d, idx)
+        pad = (-Q) % chunk
+        dp = jnp.pad(d, ((0, pad), (0, 0)))
+        ip = jnp.pad(idx, ((0, pad), (0, 0)))
+        out = jax.lax.map(
+            lambda di: _blend_one(*di),
+            (dp.reshape(-1, chunk, k), ip.reshape(-1, chunk, k)),
+        )
+        return out.reshape(-1, out.shape[-1])[:Q]
 
     ref_pts, ref_vals, ref_valid = _select_masked_points(
         pos_flat, color_flat, visible_flat, max_ref
