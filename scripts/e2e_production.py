@@ -267,12 +267,18 @@ def main():
     results = []
     order = jobs * (1 + args.repeat)
 
-    def record(i, job, total, before, extra=None):
-        stages = {
+    def snapshot(before):
+        """Stage values CHANGED since ``before`` — call right after the
+        phase that produced them (CPUTimer.records only keeps the last
+        value per name, so a deferred read reports another asset's)."""
+        return {
             k: round(CPUTimer.records[k], 3)
             for k in stage_keys
             if k in CPUTimer.records and CPUTimer.records.get(k) != before.get(k)
         }
+
+    def record(i, job, total, before, extra=None, stages=None):
+        stages = dict(stages) if stages is not None else snapshot(before)
         out_dir = os.path.join(work, "out", f"{i:02d}_{job['name']}")
         glb = os.path.join(out_dir, "textured_mesh.glb")
         ok = os.path.exists(glb) and os.path.getsize(glb) > 0
@@ -319,7 +325,8 @@ def main():
                 # buffers before the next asset and fences the queue
                 mv = np.asarray(mv)
                 held.append([i, job, pre, condition, mv,
-                             time.perf_counter() - t0, before])
+                             time.perf_counter() - t0, before,
+                             snapshot(before)])
             # ONE staging window for every grid in this batch: the
             # staged() entry pays the SD3 host->device transfer once
             t0 = time.perf_counter()
@@ -332,11 +339,13 @@ def main():
                     with CPUTimer("apply_sr"):
                         rec[4] = pipe._apply_sr(rec[4])
                     rec[5] += time.perf_counter() - t0
+                    rec[7]["apply_sr"] = round(
+                        CPUTimer.records["apply_sr"], 3)
             stage_share = t_staged_in / len(held)
             import shutil
 
             for rec in held:
-                i, job, pre, condition, mv, total, before = rec
+                i, job, pre, condition, mv, total, before, stages = rec
                 out_dir = os.path.join(work, "out", f"{i:02d}_{job['name']}")
                 cache_dir = os.path.join(out_dir, "cache")
                 t0 = time.perf_counter()
@@ -348,9 +357,12 @@ def main():
                 if os.path.exists(glb):
                     shutil.copy(glb, os.path.join(out_dir,
                                                   "textured_mesh.glb"))
+                stages["reproject_and_query_field"] = round(
+                    CPUTimer.records.get("reproject_and_query_field", 0.0), 3)
                 total += time.perf_counter() - t0 + stage_share
                 record(i, job, total, before,
-                       extra={"sr_staging_share_s": round(stage_share, 3)})
+                       extra={"sr_staging_share_s": round(stage_share, 3)},
+                       stages=stages)
             del held
 
     _write_report(args, t_build, results, final=True)
