@@ -472,3 +472,51 @@ def test_per_view_sr_routing_and_parity():
     np.testing.assert_allclose(
         per_view.astype(np.float32) / 255.0, whole, atol=0.5 / 255 + 1e-6)
     assert per_view.shape == (rows * v * 2, cols * v * 2, 3)
+
+
+def test_per_view_adain_matches_per_grid_statistics():
+    """adain align under max-memory per-view SR must reproduce the
+    reference's per-GRID statistics (TSD_SR/sr_pipeline.py:273-274): the
+    transfer is affine per channel, so _apply_sr aggregates grid stats
+    and applies one grid-level affine (COLORFIX_DELTA_r05 measured the
+    naive per-view transfer at mean |d| 0.013 — far over the uint8
+    floor)."""
+    from types import SimpleNamespace
+
+    from unitex_tpu.config import PipelineConfig
+    from unitex_tpu.models.sd3.color_fix import adain_color_fix
+    from unitex_tpu.models.sd3.sr_pipeline import _upscale_clip_jit
+    from unitex_tpu.pipeline import RGBTextureFullPipelineBase
+    from unitex_tpu.render.conditioning import grid_to_views
+
+    rows, cols, v = 2, 3, 8
+    rng = np.random.default_rng(1)
+    grid = rng.random((rows * v, cols * v, 3), np.float32)
+
+    pipe = object.__new__(RGBTextureFullPipelineBase)
+    pipe.config = PipelineConfig(camera=CameraConfig(view_size=v))
+    pipe.save_artifacts = False
+    pipe.sr_pipeline = _DummyStagedSR()
+    pipe.sr_pipeline.cfg = SimpleNamespace(align_method="adain", upscale=2)
+    pipe._flux_loaded = True
+    pipe.int8_serving = "max_memory"
+
+    got = np.asarray(pipe._apply_sr(jnp.asarray(grid))).astype(np.float32) / 255.0
+    assert pipe.sr_pipeline.cfg.align_method == "adain"  # restored
+
+    # per-grid reference on the SAME quantized inputs the impl sees
+    views = np.asarray(grid_to_views(jnp.asarray(grid), rows, cols))
+    t_views = [np.asarray(pipe.sr_pipeline(vw)) for vw in views]
+    t_q = [np.round(np.clip(t, 0, 1) * 255) / 255.0 for t in t_views]
+    s_q = [np.round(np.clip(np.asarray(
+        _upscale_clip_jit(jnp.asarray(vw), 2)), 0, 1) * 255) / 255.0
+        for vw in views]
+
+    def assemble(vs):
+        return np.concatenate(
+            [np.concatenate(vs[r * cols:(r + 1) * cols], axis=1)
+             for r in range(rows)], axis=0)
+
+    want = np.clip(np.asarray(adain_color_fix(
+        jnp.asarray(assemble(t_q)), jnp.asarray(assemble(s_q)))), 0.0, 1.0)
+    np.testing.assert_allclose(got, want, atol=1.5 / 255)

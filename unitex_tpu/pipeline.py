@@ -684,15 +684,55 @@ class RGBTextureFullPipelineBase:
                                  None) or (lambda: _nullcontext())
                 from .utils.image_io import to_uint8_device
 
-                with staged():
-                    # pull each SR view QUANTIZED: the tunnel moves
-                    # ~40 MB/s (r05 probe), so a 2048² view crosses as
-                    # 12.5 MB uint8 in ~0.35 s instead of 50 MB f32 in
-                    # ~1.6 s (~7 s/asset over 6 views); the texture is
-                    # uint8-quantized downstream anyway
+                # adain align: its statistics are GLOBAL per channel, so a
+                # per-view transfer genuinely diverges from the reference's
+                # per-grid one (COLORFIX_DELTA_r05: mean |d| 0.013, 79% of
+                # pixels over the uint8 floor).  The transfer is an affine
+                # per channel, so per-grid semantics are recovered EXACTLY:
+                # run the views align-free, aggregate grid statistics, and
+                # apply one grid-level affine on the host.  (wavelet stays
+                # per-view: its deviation is under the uint8 floor for 99%
+                # of pixels — seam-band kernel support only.)
+                sr_cfg = getattr(self.sr_pipeline, "cfg", None)
+                align = getattr(sr_cfg, "align_method", None)
+                grid_adain = align == "adain"
+                if grid_adain:
+                    sr_cfg.align_method = "nofix"
+                ups = None
+                try:
+                    with staged():
+                        # pull each SR view QUANTIZED: the tunnel moves
+                        # ~40 MB/s (r05 probe), so a 2048² view crosses as
+                        # 12.5 MB uint8 in ~0.35 s instead of 50 MB f32 in
+                        # ~1.6 s (~7 s/asset over 6 views); the texture is
+                        # uint8-quantized downstream anyway
+                        sr_views = [
+                            np.asarray(to_uint8_device(self.sr_pipeline(v)))
+                            for v in views
+                        ]
+                        if grid_adain:
+                            # the adain SOURCE is the bicubic upscale
+                            from .models.sd3.sr_pipeline import \
+                                _upscale_clip_jit
+
+                            ups = [
+                                np.asarray(to_uint8_device(_upscale_clip_jit(
+                                    jnp.asarray(v), sr_cfg.upscale)))
+                                for v in views
+                            ]
+                finally:
+                    if grid_adain:
+                        sr_cfg.align_method = align
+                if grid_adain:
+                    t = np.stack(sr_views).astype(np.float32) / 255.0
+                    s = np.stack(ups).astype(np.float32) / 255.0
+                    ax = (0, 1, 2)
+                    a = (s.std(axis=ax) + 1e-5) / (t.std(axis=ax) + 1e-5)
+                    b = s.mean(axis=ax) - a * t.mean(axis=ax)
                     sr_views = [
-                        np.asarray(to_uint8_device(self.sr_pipeline(v)))
-                        for v in views
+                        (np.clip(a * v + b, 0.0, 1.0) * 255.0 + 0.5)
+                        .astype(np.uint8)
+                        for v in t
                     ]
                 # assemble the grid on the HOST: a device copy of the x4
                 # grid (300 MB f32) would sit resident through the bake on
