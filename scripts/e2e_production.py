@@ -97,6 +97,13 @@ def main():
     ap.add_argument("--no-fence", action="store_true",
                     help="skip the per-stage host fences (r04-style "
                          "approximate stage attribution)")
+    ap.add_argument("--sr-resident", action="store_true",
+                    help="keep the int8 SD3 + bf16 VAE RESIDENT next to "
+                         "the 12 GB FLUX instead of host-staging per "
+                         "window (~14.4 GB params total; the r04 attempt "
+                         "OOMed at <1.5 GB headroom, but the r05 bake "
+                         "renders geometry at 512^2 and row-chunks its "
+                         "tails — this flag re-tests co-residency)")
     ap.add_argument("--small", action="store_true",
                     help="tiny config for a CPU smoke run")
     ap.add_argument("--weightless", action="store_true",
@@ -243,9 +250,16 @@ def main():
             vae_decoder_tile=32,
         ) if args.small else TSDSRConfig(
             vae_decode_batch=1, vae_encode_batch=1, tile_batch=2,
-            vae_decoder_tile=64, host_params=True)
-        stage = ((lambda t: t) if not args.small
-                 else (lambda t: jax.device_put(t, jax.devices()[0])))
+            vae_decoder_tile=64, host_params=not args.sr_resident)
+        # resident mode puts the trees on device ONCE at build (chunked:
+        # one batched 2.2 GB put OOMs nondeterministically, r04)
+        if args.sr_resident and not args.small:
+            from unitex_tpu.models.sd3.sr_pipeline import _chunked_put
+
+            stage = (lambda t: _chunked_put(t, jax.devices()[0]))
+        else:
+            stage = ((lambda t: t) if not args.small
+                     else (lambda t: jax.device_put(t, jax.devices()[0])))
         pipe.sr_pipeline = TSDSRPipeline(
             cfg=sr_cfg,
             sd3_cfg=s_cfg,
