@@ -15,7 +15,12 @@ def main():
                     help="checkpoint root (flux/{transformer,vae} + LoRAs)")
     ap.add_argument("--seed", type=int, default=63)
     ap.add_argument("--super-resolution", action="store_true")
-    ap.add_argument("--export-video", action="store_true")
+    # the reference's step_2_ablition always exports the 120-frame orbit
+    # turntable (/root/reference/pipeline.py:624-632); the single-shot CLI
+    # matches that default, opt out with --no-export-video (batch serving
+    # drivers keep it off — it costs seconds per asset)
+    ap.add_argument("--export-video", action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument("--int8", dest="int8", action="store_const", const=True,
                     default=False, help="W8A8 int8 serving (fastest)")
     ap.add_argument("--int8-max-memory", dest="int8",

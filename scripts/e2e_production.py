@@ -97,6 +97,11 @@ def main():
     ap.add_argument("--no-fence", action="store_true",
                     help="skip the per-stage host fences (r04-style "
                          "approximate stage attribution)")
+    ap.add_argument("--sr-batches", type=int, default=1,
+                    help="VAE encode/decode tile batch in the SR stage "
+                         "(windowed staging drains the denoise queue "
+                         "first, so batch 2 has headroom the r04 "
+                         "per-asset staged mode lacked)")
     ap.add_argument("--sr-resident", action="store_true",
                     help="keep the int8 SD3 + bf16 VAE RESIDENT next to "
                          "the 12 GB FLUX instead of host-staging per "
@@ -249,7 +254,8 @@ def main():
             vae_encoder_tile=128, latent_tile=32, latent_overlap=4,
             vae_decoder_tile=32,
         ) if args.small else TSDSRConfig(
-            vae_decode_batch=1, vae_encode_batch=1, tile_batch=2,
+            vae_decode_batch=args.sr_batches,
+            vae_encode_batch=args.sr_batches, tile_batch=2,
             vae_decoder_tile=64, host_params=not args.sr_resident)
         # resident mode puts the trees on device ONCE at build (chunked:
         # one batched 2.2 GB put OOMs nondeterministically, r04)
