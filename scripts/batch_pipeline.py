@@ -220,6 +220,10 @@ def _run_windowed(args, pipe, jobs, executor, submit, pending, results):
                 condition = pipe.render_geometry_images_stage(cache, pre[0])
                 mv = np.asarray(pipe.infer_mv_stage(
                     cache, pre[1], condition, apply_sr=False))
+                # hold only what the bake reads — the conditioning images
+                # (~56 MB/asset) otherwise stay resident across the window
+                condition = {k: condition[k]
+                             for k in ("mesh", "c2ws", "intrinsics")}
                 held.append([job, out_dir, cache, pre, condition, mv, t0])
             except Exception as e:
                 if not args.keep_going:

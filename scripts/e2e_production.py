@@ -344,6 +344,12 @@ def main():
                 # pull the low-res grid to the host: frees the denoise
                 # buffers before the next asset and fences the queue
                 mv = np.asarray(mv)
+                # hold only what the bake reads: the per-view conditioning
+                # images (~56 MB/asset) otherwise accumulate on device
+                # across the window and shaved the denoise headroom (the
+                # window-8 OOM at asset 8's LoRA attach)
+                condition = {k: condition[k]
+                             for k in ("mesh", "c2ws", "intrinsics")}
                 held.append([i, job, pre, condition, mv,
                              time.perf_counter() - t0, before,
                              snapshot(before)])

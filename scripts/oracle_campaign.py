@@ -140,6 +140,10 @@ def main():
     ap.add_argument("--ltm", default=None,
                     help="trained LTM checkpoint (scripts/train_ltm.py) — "
                          "adds a fill=ltm option set per primitive")
+    ap.add_argument("--ltm-relax", type=int, default=0,
+                    help="seam-aware relaxation iterations AFTER the LTM "
+                         "fill (the bake composes them; the quality IDW "
+                         "set uses 50)")
     args = ap.parse_args()
 
     from unitex_tpu.utils import enable_compilation_cache
@@ -153,7 +157,9 @@ def main():
     if args.ltm:
         # the trained-LTM inpainting column (VERDICT r03 #3): same paste
         # as the quality set, learned field instead of the KNN fill
-        settings.append(dict(paste_mode="cosine", ltm_path=args.ltm))
+        settings.append(dict(paste_mode="cosine", ltm_path=args.ltm,
+                             **({"fill_relax_iters": args.ltm_relax}
+                                if args.ltm_relax else {})))
     cases = []
     for prim in args.primitives:
         for s in settings:
