@@ -219,7 +219,7 @@ class TestWindowedBatchDriver:
 
             def render_geometry_images_stage(self, cache, pm):
                 events.append(("geo", pm))
-                return {"mesh": pm}
+                return {"mesh": pm, "c2ws": 0, "intrinsics": 0}
 
             def infer_mv_stage(self, cache, img, cond, apply_sr=True):
                 assert apply_sr is False
