@@ -17,6 +17,14 @@ TPU-native architecture with that exact interface:
 With trained weights this is the learned inpainting field; untrained it
 still functions as the ``query_field`` hook contract for the bake
 (renderer_inverse.register_query_field).
+
+Measured (round 5): the trained ``LTMConfig.large()`` checkpoint
+(``ltm_params.npz``, scripts/train_ltm.py, 20k steps on procedural
+fields x occlusion holes) beats the bake's k=8 IDW + 50-iter relaxation
+fill on 3 of 4 occluded oracle cases — all-chart-texel PSNR trefoil
+41.4 vs 38.7, compound 41.1 vs 36.6, deep-cavity cup 33.5 vs 30.7
+(ORACLE_r05.json; torus loses 55.2 vs 57.7, and composing relaxation
+after the LTM fill is a measured negative, ORACLE_r05_ltm_relax.json).
 """
 
 from __future__ import annotations
