@@ -282,6 +282,51 @@ class TestFillCompaction:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
         np.testing.assert_allclose(np.asarray(b), np.asarray(c), atol=1e-5)
 
+    def test_query_field_auto_policy(self):
+        """query_field_auto (the ORACLE_r05 LTM-vs-IDW split): a
+        near-fully-visible chart must take the IDW branch (field not
+        called), a heavily occluded one must call the field — and the
+        field fill must suppress the relaxation iterations (composing
+        them is the measured ORACLE_r05_ltm_relax negative)."""
+        from unitex_tpu.render.renderer_inverse import _finish_reproject_blur
+
+        rng = np.random.default_rng(3)
+        H = 32
+        pos = jnp.asarray(rng.normal(size=(H, H, 3)).astype(np.float32))
+        color = jnp.asarray(rng.uniform(size=(H, H, 3)).astype(np.float32))
+        mask_2d = jnp.ones((H, H, 1), bool)   # rast masks are [H, W, 1]
+        boundary = jnp.zeros((H, H, 1), bool)
+
+        def run(visible_frac, auto):
+            called = {"n": 0}
+
+            def field(pts, cols, q, visible_mask=None, query_mask=None):
+                called["n"] += 1
+                return jnp.full((q.shape[0], 3), 0.5, jnp.float32)
+
+            mask_cur = jnp.asarray(
+                rng.uniform(size=(H, H, 1)) < visible_frac)
+            out = _finish_reproject_blur(
+                {"mask": mask_2d, "position": pos}, color, mask_cur,
+                boundary, mask_cur,
+                method="gaussian", kernel_size_blur=3,
+                knn_max_ref=256, knn_chunk=128, query_field=field,
+                fill_k=8, fill_relax_iters=50, query_field_auto=auto,
+            )
+            return called["n"], out, mask_cur
+
+        n_visible, _, _ = run(0.98, auto=0.93)
+        assert n_visible == 0, "98%-visible chart must take the IDW branch"
+        n_occluded, out, mask_cur = run(0.50, auto=0.93)
+        assert n_occluded == 1, "50%-visible chart must call the field"
+        # relax suppressed: filled texels keep the field's exact constant
+        # (boundary is empty so no blur touches them; 50 Jacobi iterations
+        # would have mixed them with visible neighbors)
+        filled = np.asarray(out["texture"])[~np.asarray(mask_cur)[..., 0]]
+        np.testing.assert_array_equal(filled, 0.5)
+        n_off, _, _ = run(0.98, auto=None)
+        assert n_off == 1, "auto=None keeps the always-field behavior"
+
     def test_zero_fill_short_circuit(self):
         from unitex_tpu.render.renderer_inverse import _fill_invisible_knn
 

@@ -856,8 +856,17 @@ class RGBTextureFullPipeline(RGBTextureFullPipelineBase):
     VAE instead of KNN (``infer_field``/``reproject_and_query_field``
     inpainting=True, pipeline.py:410-564)."""
 
-    def __init__(self, *args, ltm_params=None, ltm_cfg=None, **kwargs):
+    def __init__(self, *args, ltm_params=None, ltm_cfg=None,
+                 ltm_auto: float | None = 0.93, **kwargs):
+        """``ltm_auto``: per-asset fill policy threshold — meshes whose
+        chart is at least this fraction visible take the k=8 IDW +
+        relaxation fill instead of the LTM field (the measured ORACLE_r05
+        split: the field wins every case under ~90% visible by 2.8-4.5 dB
+        but loses the 96.6%-visible torus by 2.5; 0.93 is the midpoint).
+        ``None`` always uses the field (the reference step_2_2 behavior,
+        pipeline.py:410-564)."""
         super().__init__(*args, **kwargs)
+        self.ltm_auto = ltm_auto
         if isinstance(ltm_params, str):
             # a scripts/train_ltm.py checkpoint path: the npz meta carries
             # the LTMConfig fields (utils/param_cache.py fingerprint)
@@ -897,6 +906,10 @@ class RGBTextureFullPipeline(RGBTextureFullPipelineBase):
             depth_eps=bcfg.depth_eps,
             filt_gradient_points=True,   # inpainting path filters gradients
             query_field=make_query_field(self.ltm_params, self.ltm_cfg),
+            # auto policy fallback settings (used only when the asset is
+            # >= ltm_auto visible and the IDW branch is taken)
+            query_field_auto=self.ltm_auto,
+            fill_k=8, fill_relax_iters=50,
         )
         from .utils.image_io import to_uint8_device
 

@@ -675,12 +675,13 @@ def bake_reproject_blur(
     paste_mode: str = "priority",
     fill_k: int = 1,
     fill_relax_iters: int = 0,
+    query_field_auto: float | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Paste + seam blur + KNN fill + pull_push (the shipped default bake,
     renderer_inverse.py:574-633).  ``query_field`` swaps the KNN fill for a
     learned texture-function (the LTM inpainting path,
     ``reproject_inpainting=True``).  ``paste_mode``/``fill_k``/
-    ``fill_relax_iters`` — see :func:`_paste_views` /
+    ``fill_relax_iters``/``query_field_auto`` — see :func:`_paste_views` /
     :func:`_finish_reproject_blur`."""
     assert method in ("gaussian", "lens")
     mask_2d = uv_out["mask"]
@@ -702,6 +703,7 @@ def bake_reproject_blur(
         knn_max_ref=knn_max_ref, knn_chunk=knn_chunk,
         query_field=query_field, fill_k=fill_k,
         fill_relax_iters=fill_relax_iters,
+        query_field_auto=query_field_auto,
     )
 
 
@@ -732,9 +734,23 @@ def _relax_fill(color, update_mask, support_mask, iters: int):
 def _finish_reproject_blur(
     uv_out, color_cur, mask_cur, boundary, visible_any,
     *, method, kernel_size_blur, knn_max_ref, knn_chunk, query_field,
-    fill_k=1, fill_relax_iters=0,
+    fill_k=1, fill_relax_iters=0, query_field_auto=None,
 ):
-    """KNN fill + seam blur + pull_push — the bake tail after the paste."""
+    """KNN fill + seam blur + pull_push — the bake tail after the paste.
+
+    ``query_field_auto``: per-asset fill-policy threshold (visible-texel
+    fraction over the chart).  The ORACLE_r05 split: the trained LTM
+    query_field beats k=8 IDW + relaxation on every case under ~90%
+    visible (trefoil/compound/cup, by 2.8-4.5 dB all-texel) but LOSES on
+    the near-fully-visible torus (96.6% visible, 55.2 vs 57.7 dB — its
+    occlusions are thin bands where local interpolation is the right
+    model, while the field regression smooths across them).  With a
+    threshold (default 0.93 from the pipeline, the midpoint of the
+    measured split), assets at or above it take the IDW+relax fill and
+    the field serves only genuinely occluded meshes; relaxation is also
+    suppressed after a field fill (composing them is a measured negative,
+    ORACLE_r05_ltm_relax.json).  Costs one host scalar sync (~40 ms)
+    on the LTM path only."""
     mask_2d = uv_out["mask"]
     H2, W2, C = color_cur.shape
     # fill texels never seen by any view with nearest visible color in 3D
@@ -742,6 +758,14 @@ def _finish_reproject_blur(
     color_flat = color_cur.reshape(-1, C)
     vis_flat = mask_cur.reshape(-1)
     invis_flat = (mask_2d & ~mask_cur).reshape(-1)
+    if query_field is not None and query_field_auto is not None:
+        n_valid = int(jnp.count_nonzero(mask_2d))       # host sync
+        n_fill = int(jnp.count_nonzero(invis_flat))
+        vis_frac = 1.0 - n_fill / max(1, n_valid)
+        if vis_frac >= query_field_auto:
+            query_field = None                          # IDW+relax branch
+        else:
+            fill_relax_iters = 0                        # field fill: no relax
     color_flat = _fill_invisible_knn(
         pos_flat, color_flat, vis_flat, invis_flat,
         k=fill_k, max_ref=knn_max_ref, chunk=knn_chunk,
@@ -1035,6 +1059,7 @@ def bake_texture(
             query_field=bake_kwargs.get("query_field"),
             fill_k=bake_kwargs.get("fill_k", 1),
             fill_relax_iters=bake_kwargs.get("fill_relax_iters", 0),
+            query_field_auto=bake_kwargs.get("query_field_auto"),
         )
         out["visible_per_view"] = vis_pv
         out["mask_visible_any"] = visible_any
@@ -1042,7 +1067,7 @@ def bake_texture(
     # reproject-only knobs that may legally ride in bake_kwargs (the assert
     # above admits geometry_size == (H, W)) but that bake_kdtree /
     # bake_reproject_blending do not accept — drop before forwarding
-    for consumed in ("geometry_size", "low_hbm_row_chunk"):
+    for consumed in ("geometry_size", "low_hbm_row_chunk", "query_field_auto"):
         bake_kwargs.pop(consumed, None)
     vis_out = view_visibility(
         uv_out, mv_out, c2ws, view_images,
