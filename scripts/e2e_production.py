@@ -102,6 +102,12 @@ def main():
                          "(windowed staging drains the denoise queue "
                          "first, so batch 2 has headroom the r04 "
                          "per-asset staged mode lacked)")
+    ap.add_argument("--sr-int4", action="store_true",
+                    help="nibble-pack the SD3 W8A8 kernels for the staging "
+                         "transfer (ops/quant.pack_int4_tree): ~1.1 GB "
+                         "crosses the ~40 MB/s tunnel instead of ~2.1, "
+                         "unpacked device-side; lossy 4-bit weight grid — "
+                         "quality delta in INT4_STAGING_r05.json")
     ap.add_argument("--sr-resident", action="store_true",
                     help="keep the int8 SD3 + bf16 VAE RESIDENT next to "
                          "the 12 GB FLUX instead of host-staging per "
@@ -252,11 +258,13 @@ def main():
         # keep every attention span tiny.
         sr_cfg = TSDSRConfig(
             vae_encoder_tile=128, latent_tile=32, latent_overlap=4,
-            vae_decoder_tile=32,
+            vae_decoder_tile=32, host_params=args.sr_int4,
+            stage_pack_int4=args.sr_int4,
         ) if args.small else TSDSRConfig(
             vae_decode_batch=args.sr_batches,
             vae_encode_batch=args.sr_batches, tile_batch=2,
-            vae_decoder_tile=64, host_params=not args.sr_resident)
+            vae_decoder_tile=64, host_params=not args.sr_resident,
+            stage_pack_int4=args.sr_int4)
         # resident mode puts the trees on device ONCE at build (chunked:
         # one batched 2.2 GB put OOMs nondeterministically, r04)
         if args.sr_resident and not args.small:

@@ -464,3 +464,94 @@ class TestAttachLora:
         rel = float(jnp.linalg.norm((out_c - out_m).astype(jnp.float32))
                     / (jnp.linalg.norm(out_m.astype(jnp.float32)) + 1e-8))
         assert rel < 2e-2, rel
+
+
+class TestInt4StagingPack:
+    """pack_int4_tree / unpack_int4_tree: the transfer-packing format that
+    halves the SD3 staging bytes (sr_pipeline.staged, stage_pack_int4)."""
+
+    def test_kernel_roundtrip_error_bounded(self):
+        from unitex_tpu.ops.quant import (
+            pack_int4_kernel,
+            quantize_kernel,
+            unpack_int4_kernel,
+        )
+
+        rng = np.random.default_rng(0)
+        w = rng.normal(size=(128, 96)).astype(np.float32) * 0.02
+        packed, s4 = pack_int4_kernel(w, group=32)
+        assert packed.dtype == np.uint8 and packed.shape == (64, 96)
+        q8, s8 = unpack_int4_kernel(jnp.asarray(packed), jnp.asarray(s4),
+                                    group=32)
+        deq = np.asarray(q8, np.float32) * np.asarray(s8, np.float32)[None]
+        # int4 grid: error bounded by half a step of the per-group scale
+        step = np.repeat(np.asarray(s4, np.float32), 32, axis=0)
+        assert np.all(np.abs(deq - w) <= 0.55 * step + 1e-7)
+        # and strictly coarser than int8, but the same order of magnitude
+        qi8, si8 = quantize_kernel(jnp.asarray(w))
+        d8 = np.asarray(qi8, np.float32) * np.asarray(si8, np.float32)[None]
+        assert np.abs(deq - w).mean() < 20 * np.abs(d8 - w).mean()
+
+    def test_tree_roundtrip_forward_close(self):
+        """int8 serving tree -> pack -> unpack must still run the shared
+        linear dispatch with a small forward deviation."""
+        from unitex_tpu.models.sd3.config import SD3Config
+        from unitex_tpu.models.sd3.model import init_sd3_params, sd3_forward
+        from unitex_tpu.ops.quant import pack_int4_tree, unpack_int4_tree
+
+        cfg = SD3Config.tiny()
+        params = quantize_linears(init_sd3_params(jax.random.PRNGKey(0), cfg))
+        packed = pack_int4_tree(params, group=16)
+        assert "kernel_int4" in packed["blocks"]["attn"]["to_v"]
+        assert "kernel" in packed["blocks"]["attn"]["to_q"]  # bf16 untouched
+        unpacked = jax.jit(
+            lambda t: unpack_int4_tree(t, group=16))(packed)
+        assert "kernel_int8" in unpacked["blocks"]["attn"]["to_v"]
+
+        rng = np.random.default_rng(0)
+        lat = jnp.asarray(
+            rng.normal(size=(1, 8, 8, cfg.in_channels)).astype(np.float32))
+        ctx = jnp.asarray(
+            rng.normal(size=(1, 6, cfg.joint_attention_dim)).astype(np.float32))
+        pooled = jnp.zeros((1, cfg.pooled_projection_dim))
+        t = jnp.asarray([1000.0])
+        out8 = sd3_forward(params, cfg, lat, ctx, t, pooled)
+        out4 = sd3_forward(unpacked, cfg, lat, ctx, t, pooled)
+        rel = float(jnp.linalg.norm(out4 - out8) / jnp.linalg.norm(out8))
+        assert rel < 0.06, rel
+
+    def test_staged_pipeline_with_pack(self):
+        """TSDSRConfig(host_params=True, stage_pack_int4=True): the staging
+        window packs, transfers, unpacks, serves, and restores host refs."""
+        from unitex_tpu.models.flux.vae import VAEConfig, init_vae_params
+        from unitex_tpu.models.sd3.config import SD3Config
+        from unitex_tpu.models.sd3.model import init_sd3_params
+        from unitex_tpu.models.sd3.sr_pipeline import TSDSRConfig, TSDSRPipeline
+
+        sd3_cfg = SD3Config.tiny()
+        vae_cfg = VAEConfig.tiny()
+        tparams = quantize_linears(
+            init_sd3_params(jax.random.PRNGKey(0), sd3_cfg))
+        vparams = init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+        mk = lambda pack: TSDSRPipeline(
+            None,
+            cfg=TSDSRConfig(
+                upscale=2, latent_tile=8, latent_overlap=2,
+                vae_encoder_tile=64, vae_decoder_tile=64,
+                host_params=True, stage_pack_int4=pack,
+            ),
+            sd3_cfg=sd3_cfg, transformer_params=tparams, vae_params=vparams,
+        )
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+        pipe = mk(True)
+        pipe.vae_cfg = vae_cfg
+        out4 = np.asarray(pipe(img))
+        assert out4.shape == (32, 32, 3) and np.isfinite(out4).all()
+        # host tree restored after the window
+        assert pipe.transformer_params is tparams
+        ref = mk(False)
+        ref.vae_cfg = vae_cfg
+        out8 = np.asarray(ref(img))
+        # int4 transfer grid: close to the int8-staged output
+        assert np.abs(out4 - out8).max() < 0.1, np.abs(out4 - out8).max()

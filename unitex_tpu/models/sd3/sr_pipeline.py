@@ -273,6 +273,13 @@ class TSDSRConfig:
     # out instead (~2.3 GB over the transfer tunnel per asset, tens of
     # seconds; the stage runs once per asset after the bake)
     host_params: bool = False
+    # nibble-pack the W8A8 transformer kernels for the staging transfer
+    # (ops/quant.pack_int4_tree): the ~2 GB of int8 block kernels cross
+    # the ~40 MB/s tunnel as ~1 GB of int4 + bf16 group scales and unpack
+    # device-side back to the standard {"kernel_int8", "scale"} serving
+    # nodes.  int4 is a TRANSFER grid here, but it is lossy — opt-in;
+    # measured quality delta vs int8 staging: INT4_STAGING_r05.json
+    stage_pack_int4: bool = False
 
 
 class TSDSRPipeline:
@@ -374,7 +381,23 @@ class TSDSRPipeline:
         # fresh trivial program through the FIFO queue fences them
         # (block_until_ready does not fence through the remote tunnel)
         np.asarray(jnp.zeros((), jnp.float32) + jnp.ones((), jnp.float32))
-        self.transformer_params = _chunked_put(host_t, dev)
+        if self.cfg.stage_pack_int4:
+            if not hasattr(self, "_host_packed_t"):
+                from ...ops.quant import pack_int4_tree, unpack_int4_tree
+
+                # one-time host pack (~seconds); the packed tree rides
+                # every later window's transfer at half the bytes and
+                # unpacks on device.  NO buffer donation: device_put of an
+                # already-on-device leaf ALIASES it, so a donated unpack
+                # would delete the caller's own pass-through arrays; the
+                # packed+unpacked transient (~3.3 GB at SD3-medium) fits
+                # the measured ~4.6 GB staged-SR headroom
+                self._host_packed_t = pack_int4_tree(host_t)
+                self._unpack_jit = jax.jit(unpack_int4_tree)
+            self.transformer_params = self._unpack_jit(
+                _chunked_put(self._host_packed_t, dev))
+        else:
+            self.transformer_params = _chunked_put(host_t, dev)
         self.vae_params = _chunked_put(host_v, dev)
         self._staged = True
         try:

@@ -24,6 +24,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def quantize_kernel(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -141,6 +142,109 @@ def quantize_linears(
         return node
 
     return walk(params, ())
+
+
+def pack_int4_kernel(
+    kernel: jnp.ndarray,
+    scale_in: Optional[jnp.ndarray] = None,
+    group: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., d_in, d_out] kernel -> (uint8 nibble-packed [..., d_in//2, d_out],
+    bf16 group scales [..., d_in//group, d_out]).
+
+    Symmetric per-(input-group, output-channel) int4: scale = max|w| over
+    each ``group`` input rows / 7.  Values pack two-per-byte in offset-
+    binary (q+8: even row in the low nibble).  ``scale_in`` dequantizes an
+    already-int8 kernel first (packing the serving params cache without
+    the bf16 originals; the int8->int4 re-grid error is ~0 next to int4's
+    own).  This is a TRANSFER format, not a serving format: it exists to
+    halve the bytes crossing the ~40 MB/s host->device staging tunnel
+    (models/sd3/sr_pipeline.staged), and unpacks device-side back to the
+    standard per-channel {"kernel_int8", "scale"} serving nodes — the
+    TPU analog of the reference's 4-bit NF4 small-VRAM branch
+    (pipeline.py:87-95), applied to transfer bandwidth instead of VRAM."""
+    # pure numpy: packing runs on the HOST (under the axon platform jnp
+    # ops would dispatch to the TPU — the very transfer this pack avoids)
+    w = np.asarray(kernel, np.float32)
+    if scale_in is not None:
+        w = w * np.asarray(scale_in, np.float32)[..., None, :]
+    *lead, d_in, d_out = w.shape
+    assert d_in % group == 0 and group % 2 == 0, (d_in, group)
+    g = w.reshape(*lead, d_in // group, group, d_out)
+    amax = np.max(np.abs(g), axis=-2)
+    scale = np.maximum(amax, 1e-8) / 7.0
+    q = np.clip(np.round(g / scale[..., None, :]), -7, 7)
+    u = (q + 8.0).astype(np.uint8).reshape(*lead, d_in, d_out)
+    packed = u[..., 0::2, :] | (u[..., 1::2, :] << 4)
+    import ml_dtypes  # numpy-native bf16 (no device dispatch)
+
+    return packed, scale.astype(ml_dtypes.bfloat16)
+
+
+def unpack_int4_kernel(
+    packed: jnp.ndarray, scale4: jnp.ndarray, group: int = 64
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of :func:`pack_int4_kernel`, producing the standard
+    per-output-channel serving pair (int8 kernel, f32 scale).  Jittable —
+    runs ON DEVICE right after staging (~bitwise ops + one rescale, trivial
+    next to the transfer it halves)."""
+    *lead, d_half, d_out = packed.shape
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    q = jnp.stack([lo, hi], axis=-2)             # [..., d_half, 2, d_out]
+    q = q.reshape(*lead, d_half * 2, d_out)
+    s4 = scale4.astype(jnp.float32)
+    # per-channel int8 grid that loses nothing: the widest group scale
+    # maps int4's ±7 to at most ±127*scale8
+    scale8 = jnp.max(s4, axis=-2) * (7.0 / 127.0)
+    ratio = s4 / jnp.maximum(scale8[..., None, :], 1e-20)
+    ratio = jnp.repeat(ratio, group, axis=-2)
+    q8 = jnp.round(q.astype(jnp.float32) * ratio)
+    return jnp.clip(q8, -127, 127).astype(jnp.int8), scale8
+
+
+def pack_int4_tree(params: Dict[str, Any], group: int = 64) -> Dict[str, Any]:
+    """Nibble-pack every W8A8 node ({"kernel_int8", "scale"}) of a serving
+    tree for staging transfer; other nodes pass through.  Unpack with
+    :func:`unpack_int4_tree` after the device_put."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if (
+                "kernel_int8" in node
+                and node["kernel_int8"].shape[-2] % group == 0
+            ):
+                p, s4 = pack_int4_kernel(
+                    node["kernel_int8"], node["scale"], group=group
+                )
+                new = {"kernel_int4": np.asarray(p), "scale4": np.asarray(s4)}
+                if "bias" in node:
+                    new["bias"] = node["bias"]
+                return new
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
+def unpack_int4_tree(params: Dict[str, Any], group: int = 64) -> Dict[str, Any]:
+    """Device-side inverse of :func:`pack_int4_tree` — jit the whole-tree
+    call once per process; shapes are static."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel_int4" in node:
+                q8, s8 = unpack_int4_kernel(
+                    node["kernel_int4"], node["scale4"], group=group
+                )
+                new = {"kernel_int8": q8, "scale": s8}
+                if "bias" in node:
+                    new["bias"] = node["bias"]
+                return new
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
 
 
 def count_quantized(params: Dict[str, Any]) -> Tuple[int, int]:
