@@ -99,6 +99,25 @@ def main():
         print(f"[int4] rep {r}: int8 {stage8[-1]:.1f} s, "
               f"int4 {stage4[-1]:.1f} s", flush=True)
 
+    report = {
+        "metric": "sd3_staging_int4_vs_int8",
+        "protocol": "production SD3-medium serving tree (e2e seed 10, "
+                    "quantize_linears) staged host->device through the "
+                    "axon tunnel; pack_int4_tree group 64; SR 512^2->2048^2 "
+                    "random-init quality delta",
+        "sd3_int8_gb": round(b8 / 1e9, 3),
+        "sd3_int4_gb": round(b4 / 1e9, 3),
+        "vae_gb": round(bv / 1e9, 3),
+        "pack_once_s": round(t_pack, 2),
+        "stage_int8_s": [round(x, 2) for x in stage8],
+        "stage_int4_s": [round(x, 2) for x in stage4],
+        "stage_int8_median_s": round(float(np.median(stage8)), 2),
+        "stage_int4_median_s": round(float(np.median(stage4)), 2),
+        "complete": False,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)  # incremental: survive kills
+
     # quality: the production SR chain from each staged tree
     cfg = dict(vae_decode_batch=2, vae_encode_batch=2, tile_batch=2,
                vae_decoder_tile=64, host_params=True)
@@ -119,25 +138,13 @@ def main():
     psnr = float(10 * np.log10(1.0 / max(mse, 1e-12)))
     u8_frac = float((np.round(outs["int4"] * 255) !=
                      np.round(outs["int8"] * 255)).mean())
-    report = {
-        "metric": "sd3_staging_int4_vs_int8",
-        "protocol": "production SD3-medium serving tree (e2e seed 10, "
-                    "quantize_linears) staged host->device through the "
-                    "axon tunnel; pack_int4_tree group 64; SR 512^2->2048^2 "
-                    "random-init quality delta",
-        "sd3_int8_gb": round(b8 / 1e9, 3),
-        "sd3_int4_gb": round(b4 / 1e9, 3),
-        "vae_gb": round(bv / 1e9, 3),
-        "pack_once_s": round(t_pack, 2),
-        "stage_int8_s": [round(x, 2) for x in stage8],
-        "stage_int4_s": [round(x, 2) for x in stage4],
-        "stage_int8_median_s": round(float(np.median(stage8)), 2),
-        "stage_int4_median_s": round(float(np.median(stage4)), 2),
+    report.update({
         "sr_delta_max": round(float(d.max()), 5),
         "sr_delta_mean": round(float(d.mean()), 6),
         "sr_delta_psnr_db": round(psnr, 2),
         "sr_uint8_changed_frac": round(u8_frac, 4),
-    }
+        "complete": True,
+    })
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))

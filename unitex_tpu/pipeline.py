@@ -910,6 +910,12 @@ class RGBTextureFullPipeline(RGBTextureFullPipelineBase):
             # >= ltm_auto visible and the IDW branch is taken)
             query_field_auto=self.ltm_auto,
             fill_k=8, fill_relax_iters=50,
+            # same max-memory regime as reproject_stage: with the 12 GB
+            # int8 FLUX resident the full-grid visibility gather OOMs
+            low_hbm=(self.int8_serving == "max_memory" and self._flux_loaded),
+            **({"knn_chunk": 1024}
+               if self.int8_serving == "max_memory" and self._flux_loaded
+               else {}),
         )
         from .utils.image_io import to_uint8_device
 
