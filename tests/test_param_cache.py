@@ -218,3 +218,89 @@ class TestPipelineParamsCache:
         monkeypatch.setattr(flux_model, "init_flux_params_numpy", boom)
         p2 = CustomRGBTextureFullPipeline(**kw)
         assert p2.transformer_params is not None
+
+
+class TestPipelineParamsCacheInt4:
+    def test_int4_cache_round_trip_and_denoise_parity(self, tmp_path,
+                                                      monkeypatch):
+        """params_cache_int4: the cache stores nibble-packed kernels (half
+        the bytes), a fresh process unpacks to the serving int8 form on
+        placement, LoRA sizing still works, and the denoise output stays
+        close to the exact-int8 pipeline's."""
+        from unitex_tpu.config import (
+            BakeConfig, CameraConfig, DiffusionConfig, MeshConfig,
+            PipelineConfig,
+        )
+        from unitex_tpu.models.flux import model as flux_model
+        from unitex_tpu.models.flux.config import FluxConfig
+        from unitex_tpu.models.flux.vae import VAEConfig
+        from unitex_tpu.pipeline import CustomRGBTextureFullPipeline
+
+        monkeypatch.setattr(
+            FluxConfig, "flux1_dev", staticmethod(FluxConfig.tiny)
+        )
+        monkeypatch.setattr(VAEConfig, "flux", staticmethod(VAEConfig.tiny))
+        monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+        cfg = PipelineConfig(
+            camera=CameraConfig(view_size=32),
+            mesh=MeshConfig(min_faces=500, max_faces=4000, uv_size=128),
+            bake=BakeConfig(uv_size=128),
+            diffusion=DiffusionConfig(
+                height=32, width=192, dual_size=32, num_inference_steps=2,
+                max_sequence_length=8,
+            ),
+        )
+        cache = str(tmp_path / "cache")
+        kw = dict(
+            pretrain_models=None, config=cfg, random_weights=True,
+            int8_serving="max_memory", params_cache=cache,
+        )
+        ref = CustomRGBTextureFullPipeline(**kw)           # exact int8
+        p1 = CustomRGBTextureFullPipeline(**kw, params_cache_int4=True)
+        p4 = os.path.join(cache, "flux_random_s0_int8wo4.npz")
+        p8 = os.path.join(cache, "flux_random_s0_int8wo.npz")
+        assert os.path.exists(p4) and os.path.exists(p8)
+        # the int4 cache must be materially smaller (tiny dims limit the
+        # ratio; production kernels halve)
+        assert os.path.getsize(p4) < 0.85 * os.path.getsize(p8)
+        # builder process serves EXACT int8 (packing is cache-only)
+        for a, b in zip(jax.tree.leaves(ref.transformer_params),
+                        jax.tree.leaves(p1.transformer_params)):
+            np.testing.assert_array_equal(np.asarray(a).view(np.uint8),
+                                          np.asarray(b).view(np.uint8))
+
+        def boom(*a, **k):
+            raise AssertionError("init must not run on a cache hit")
+
+        monkeypatch.setattr(flux_model, "init_flux_params_numpy", boom)
+        p2 = CustomRGBTextureFullPipeline(**kw, params_cache_int4=True)
+        assert p2.texture_lora is not None
+        # unpacked serving tree: same leaf structure as the exact one
+        import jax.tree_util as jtu
+
+        s1 = [k for k, _ in jtu.tree_flatten_with_path(ref.transformer_params)[0]]
+        s2 = [k for k, _ in jtu.tree_flatten_with_path(p2.transformer_params)[0]]
+        assert s1 == s2
+        # forward parity: the int4 re-grid must track the exact pipeline
+        rng = np.random.default_rng(0)
+        cfgf = ref.flux_cfg
+        hidden = jnp.asarray(
+            rng.normal(size=(1, 8, cfgf.in_channels)).astype(np.float32))
+        ctx = jnp.asarray(
+            rng.normal(size=(1, 4, cfgf.joint_attention_dim)).astype(np.float32))
+        ids = jnp.zeros((8, 3), jnp.int32)
+        tids = jnp.zeros((4, 3), jnp.int32)
+
+        def fwd(pipe):
+            return np.asarray(flux_model.flux_forward(
+                pipe.transformer_params, cfgf, hidden, ctx,
+                jnp.asarray([0.5]),
+                jnp.zeros((1, cfgf.pooled_projection_dim)),
+                ids, tids, guidance=jnp.asarray([3.5]),
+            ))
+
+        o_ref = fwd(ref)
+        o_int4 = fwd(p2)
+        rel = float(np.linalg.norm(o_int4 - o_ref) /
+                    max(np.linalg.norm(o_ref), 1e-9))
+        assert rel < 0.2, rel

@@ -210,17 +210,16 @@ def pack_int4_tree(params: Dict[str, Any], group: int = 64) -> Dict[str, Any]:
 
     def walk(node):
         if isinstance(node, dict):
-            if (
-                "kernel_int8" in node
-                and node["kernel_int8"].shape[-2] % group == 0
-            ):
-                p, s4 = pack_int4_kernel(
-                    node["kernel_int8"], node["scale"], group=group
-                )
-                new = {"kernel_int4": np.asarray(p), "scale4": np.asarray(s4)}
-                if "bias" in node:
-                    new["bias"] = node["bias"]
-                return new
+            for src, dst in (("kernel_int8", "kernel_int4"),
+                             ("kernel_int8_wo", "kernel_int4_wo")):
+                if src in node and node[src].shape[-2] % group == 0:
+                    p, s4 = pack_int4_kernel(
+                        node[src], node["scale"], group=group
+                    )
+                    new = {dst: np.asarray(p), "scale4": np.asarray(s4)}
+                    if "bias" in node:
+                        new["bias"] = node["bias"]
+                    return new
             return {k: walk(v) for k, v in node.items()}
         return node
 
@@ -233,14 +232,16 @@ def unpack_int4_tree(params: Dict[str, Any], group: int = 64) -> Dict[str, Any]:
 
     def walk(node):
         if isinstance(node, dict):
-            if "kernel_int4" in node:
-                q8, s8 = unpack_int4_kernel(
-                    node["kernel_int4"], node["scale4"], group=group
-                )
-                new = {"kernel_int8": q8, "scale": s8}
-                if "bias" in node:
-                    new["bias"] = node["bias"]
-                return new
+            for src, dst in (("kernel_int4", "kernel_int8"),
+                             ("kernel_int4_wo", "kernel_int8_wo")):
+                if src in node:
+                    q8, s8 = unpack_int4_kernel(
+                        node[src], node["scale4"], group=group
+                    )
+                    new = {dst: q8, "scale": s8}
+                    if "bias" in node:
+                        new["bias"] = node["bias"]
+                    return new
             return {k: walk(v) for k, v in node.items()}
         return node
 

@@ -79,6 +79,7 @@ class RGBTextureFullPipelineBase:
         async_io: bool = False,
         random_weights: bool = False,
         params_cache: Optional[str] = None,
+        params_cache_int4: bool = False,
     ):
         from .utils import enable_compilation_cache
 
@@ -112,6 +113,17 @@ class RGBTextureFullPipelineBase:
         # The filename is keyed by the quantization mode so a mode switch
         # never reads a mismatched tree.
         self.params_cache = params_cache
+        # params_cache_int4: store the int8 serving kernels 4-bit in the
+        # cache (ops/quant.pack_int4_tree, group-64) and unpack ON DEVICE
+        # after the transfer — halves both the cache file read and the
+        # ~12 GB host->device transfer a fresh process pays (~40 MB/s
+        # tunnel).  The closest analog of the reference's prequantized-NF4
+        # checkpoint (pipeline.py:74-96): like NF4 it is a lossy 4-bit
+        # weight grid, so it is OPT-IN; the process that BUILDS the cache
+        # serves exact int8, later cache-loading processes serve the int4
+        # re-grid.  Requires an int8 serving mode.
+        self.params_cache_int4 = params_cache_int4 and bool(int8_serving)
+        self._flux_cache_packed = False
         # kinds whose on-disk cache failed validation this process: the
         # rebuilt tree may then OVERWRITE the stale file (otherwise the
         # cache would never refresh after a quantizer change, ADVICE r03)
@@ -159,6 +171,8 @@ class RGBTextureFullPipelineBase:
         mode = {False: "bf16", True: "int8", "max_memory": "int8wo"}[
             self.int8_serving
         ]
+        if self.params_cache_int4:
+            mode += "4"
         return os.path.join(self.params_cache, f"{kind}_{mode}.npz")
 
     def _cache_meta(self, kind: str) -> Dict[str, Any]:
@@ -228,7 +242,19 @@ class RGBTextureFullPipelineBase:
             return None
         t0 = time.perf_counter()
         tree = load_params(path)
-        err = self._validate_cached_tree(tree)
+        if self.params_cache_int4:
+            # the stored tree is nibble-packed: validate its UNPACKED
+            # abstract shape against the serving expectation
+            from .ops.quant import unpack_int4_tree
+
+            try:
+                err = self._validate_cached_tree(
+                    jax.eval_shape(unpack_int4_tree, tree))
+            except Exception as e:  # malformed pack: treat as stale
+                err = f"int4 unpack failed: {e}"
+            self._flux_cache_packed = err is None
+        else:
+            err = self._validate_cached_tree(tree)
         if err is not None:
             print(f"[pipeline] params cache STALE {path}: {err}; rebuilding")
             self._stale_caches.add(kind)
@@ -243,6 +269,10 @@ class RGBTextureFullPipelineBase:
             from .utils.param_cache import save_params
 
             t0 = time.perf_counter()
+            if self.params_cache_int4:
+                from .ops.quant import pack_int4_tree
+
+                tree = pack_int4_tree(tree)
             save_params(path, tree, meta=self._cache_meta(kind))
             self._stale_caches.discard(kind)
             print(f"[pipeline] params cache write {path} "
@@ -295,26 +325,7 @@ class RGBTextureFullPipelineBase:
                             ),
                         )
                     self._store_cached_tree("flux", self.transformer_params)
-            if jax.device_count() > 1:
-                from .parallel.mesh import make_mesh
-                from .parallel.sharding import flux_param_shardings, shard_params
-
-                self.device_mesh = make_mesh(
-                    data=self.config.parallel.data_size, model=-1
-                )
-                shardings = flux_param_shardings(
-                    self.transformer_params, self.device_mesh
-                )
-                self.transformer_params = shard_params(
-                    self.transformer_params, shardings
-                )
-            else:
-                dev = jax.devices()[0]
-                self.transformer_params = jax.device_put(
-                    self.transformer_params, dev
-                )
-                self.vae_params = jax.device_put(self.vae_params, dev)
-            self._flux_loaded = True
+            self._place_flux_params()
         except (FileNotFoundError, OSError) as e:
             if require:
                 raise
@@ -340,11 +351,19 @@ class RGBTextureFullPipelineBase:
                 )
             else:
                 self.transformer_params = cached
+            # an int4-packed cache load needs the UNPACKED leaf names and
+            # [L, d_in, d_out] shapes for LoRA sizing — init_lora_params
+            # only reads shapes, so the abstract unpack suffices
+            lora_src = self.transformer_params
+            if self._flux_cache_packed:
+                from .ops.quant import unpack_int4_tree
+
+                lora_src = jax.eval_shape(unpack_int4_tree, lora_src)
             self.texture_lora = init_lora_params(
-                jax.random.key(1), self.transformer_params, rank=16
+                jax.random.key(1), lora_src, rank=16
             )
             self.delight_lora = init_lora_params(
-                jax.random.key(2), self.transformer_params, rank=16
+                jax.random.key(2), lora_src, rank=16
             )
             self.vae_params = init_vae_params(jax.random.key(3), self.vae_cfg)
             if cached is None:
@@ -361,10 +380,29 @@ class RGBTextureFullPipelineBase:
                     )
                 self._store_cached_tree("flux_random_s0",
                                         self.transformer_params)
+        self._place_flux_params()
+        self._flux_loaded = True
+
+    def _place_flux_params(self) -> None:
+        """Move the host serving tree to the device(s).  An int4-packed
+        cache load transfers the packed tree (half the ~12 GB / ~40 MB/s
+        tunnel crossing) and unpacks ON DEVICE; multi-device placement
+        unpacks on the host first (the Megatron shardings are keyed to the
+        serving-tree leaf names/shapes), keeping correctness there at the
+        cost of the transfer win — the single-chip max_memory mode is what
+        the packed cache exists for."""
         if jax.device_count() > 1:
             from .parallel.mesh import make_mesh
             from .parallel.sharding import flux_param_shardings, shard_params
 
+            if self._flux_cache_packed:
+                from .ops.quant import unpack_int4_tree
+
+                host = jax.devices("cpu")[0]
+                with jax.default_device(host):
+                    self.transformer_params = unpack_int4_tree(
+                        self.transformer_params)
+                self._flux_cache_packed = False
             self.device_mesh = make_mesh(
                 data=self.config.parallel.data_size, model=-1
             )
@@ -377,6 +415,12 @@ class RGBTextureFullPipelineBase:
             self.transformer_params = jax.device_put(
                 self.transformer_params, dev
             )
+            if self._flux_cache_packed:
+                from .ops.quant import unpack_int4_tree
+
+                self.transformer_params = jax.jit(unpack_int4_tree)(
+                    self.transformer_params)
+                self._flux_cache_packed = False
             self.vae_params = jax.device_put(self.vae_params, dev)
         self._flux_loaded = True
 
