@@ -70,7 +70,7 @@ def main():
     print(f"[int4] host build {time.perf_counter()-t0:.1f} s", flush=True)
 
     t0 = time.perf_counter()
-    packed = pack_int4_tree(sp)
+    packed = pack_int4_tree(sp, pack_bf16_wo=True)  # the shipped staged mode
     t_pack = time.perf_counter() - t0
     b8, b4, bv = tree_bytes(sp), tree_bytes(packed), tree_bytes(vp)
     print(f"[int4] pack {t_pack:.1f} s; sd3 int8 {b8/1e9:.3f} GB -> "
@@ -103,8 +103,10 @@ def main():
         "metric": "sd3_staging_int4_vs_int8",
         "protocol": "production SD3-medium serving tree (e2e seed 10, "
                     "quantize_linears) staged host->device through the "
-                    "axon tunnel; pack_int4_tree group 64; SR 512^2->2048^2 "
-                    "random-init quality delta",
+                    "axon tunnel; pack_int4_tree group 64 FULL packing "
+                    "(pack_bf16_wo: W8A8 + bf16 linears -> int4; a "
+                    "W8A8-only pack measured 3.06->2.54 GB, 17%); SR "
+                    "512^2->2048^2 random-init quality delta",
         "sd3_int8_gb": round(b8 / 1e9, 3),
         "sd3_int4_gb": round(b4 / 1e9, 3),
         "vae_gb": round(bv / 1e9, 3),

@@ -273,13 +273,18 @@ class TSDSRConfig:
     # out instead (~2.3 GB over the transfer tunnel per asset, tens of
     # seconds; the stage runs once per asset after the bake)
     host_params: bool = False
-    # nibble-pack the W8A8 transformer kernels for the staging transfer
-    # (ops/quant.pack_int4_tree): the ~2 GB of int8 block kernels cross
-    # the ~40 MB/s tunnel as ~1 GB of int4 + bf16 group scales and unpack
-    # device-side back to the standard {"kernel_int8", "scale"} serving
-    # nodes.  int4 is a TRANSFER grid here, but it is lossy — opt-in;
-    # measured quality delta vs int8 staging: INT4_STAGING_r05.json
+    # nibble-pack the transformer kernels for the staging transfer
+    # (ops/quant.pack_int4_tree) and unpack device-side back to the
+    # standard int8 serving nodes.  int4 is a TRANSFER grid here, but it
+    # is lossy — opt-in.  Measured (INT4_STAGING_r05, production
+    # SD3-medium, random-init): full packing (stage_pack_bf16=True, W8A8
+    # + bf16 linears) cuts the staged tree 3.06 -> 1.19 GB and the
+    # staging wall 70 -> 29 s median, SR output delta 30.6 dB PSNR vs
+    # int8 staging; W8A8-kernels-only (stage_pack_bf16=False) is gentler
+    # (42.0 dB) but only trims 17% of the bytes — the bf16 q/k + AdaLN +
+    # embedder kernels dominate the tree.
     stage_pack_int4: bool = False
+    stage_pack_bf16: bool = True
 
 
 class TSDSRPipeline:
@@ -392,7 +397,12 @@ class TSDSRPipeline:
                 # would delete the caller's own pass-through arrays; the
                 # packed+unpacked transient (~3.3 GB at SD3-medium) fits
                 # the measured ~4.6 GB staged-SR headroom
-                self._host_packed_t = pack_int4_tree(host_t)
+                # pack_bf16_wo: the W8A8 kernels are only ~1 GB of the
+                # 3.06 GB SD3 tree (INT4_STAGING_r05) — the bf16 q/k +
+                # AdaLN + embedder linears must pack too (weight-only
+                # int4 -> kernel_int8_wo) for the transfer cut to matter
+                self._host_packed_t = pack_int4_tree(
+                    host_t, pack_bf16_wo=self.cfg.stage_pack_bf16)
                 self._unpack_jit = jax.jit(unpack_int4_tree)
             self.transformer_params = self._unpack_jit(
                 _chunked_put(self._host_packed_t, dev))

@@ -203,10 +203,21 @@ def unpack_int4_kernel(
     return jnp.clip(q8, -127, 127).astype(jnp.int8), scale8
 
 
-def pack_int4_tree(params: Dict[str, Any], group: int = 64) -> Dict[str, Any]:
+def pack_int4_tree(
+    params: Dict[str, Any], group: int = 64, pack_bf16_wo: bool = False
+) -> Dict[str, Any]:
     """Nibble-pack every W8A8 node ({"kernel_int8", "scale"}) of a serving
     tree for staging transfer; other nodes pass through.  Unpack with
-    :func:`unpack_int4_tree` after the device_put."""
+    :func:`unpack_int4_tree` after the device_put.
+
+    ``pack_bf16_wo``: ALSO pack plain float ``{"kernel": w}`` linear nodes
+    (2D/3D only — conv kernels are consumed via ``node["kernel"]``
+    directly and must pass through) as weight-only int4, unpacking to the
+    ``{"kernel_int8_wo", "scale"}`` form ``layers.linear`` already
+    dispatches.  Measured motivation (INT4_STAGING_r05): the SD3 serving
+    tree's W8A8 kernels are only ~1 GB of its 3.06 GB — the bf16 q/k +
+    AdaLN + embedder kernels dominate the staging transfer, so packing
+    only the int8 nodes saves 17% where full packing saves ~2.4x."""
 
     def walk(node):
         if isinstance(node, dict):
@@ -220,6 +231,23 @@ def pack_int4_tree(params: Dict[str, Any], group: int = 64) -> Dict[str, Any]:
                     if "bias" in node:
                         new["bias"] = node["bias"]
                     return new
+            if (
+                pack_bf16_wo
+                and "kernel" in node
+                and getattr(node["kernel"], "ndim", 0) in (2, 3)
+                and node["kernel"].shape[-2] % group == 0
+            ):
+                p, s4 = pack_int4_kernel(node["kernel"], group=group)
+                new = {"kernel_int4_wo": np.asarray(p),
+                       "scale4": np.asarray(s4)}
+                for extra in ("bias",):
+                    if extra in node:
+                        new[extra] = node[extra]
+                # any other sibling leaves (norm scales etc.) pass through
+                for k, v in node.items():
+                    if k not in ("kernel", "bias"):
+                        new[k] = walk(v)
+                return new
             return {k: walk(v) for k, v in node.items()}
         return node
 
