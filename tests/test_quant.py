@@ -533,12 +533,13 @@ class TestInt4StagingPack:
         tparams = quantize_linears(
             init_sd3_params(jax.random.PRNGKey(0), sd3_cfg))
         vparams = init_vae_params(jax.random.PRNGKey(1), vae_cfg)
-        mk = lambda pack: TSDSRPipeline(
+        mk = lambda pack, bf16=True: TSDSRPipeline(
             None,
             cfg=TSDSRConfig(
                 upscale=2, latent_tile=8, latent_overlap=2,
                 vae_encoder_tile=64, vae_decoder_tile=64,
                 host_params=True, stage_pack_int4=pack,
+                stage_pack_bf16=bf16,
             ),
             sd3_cfg=sd3_cfg, transformer_params=tparams, vae_params=vparams,
         )
@@ -557,3 +558,9 @@ class TestInt4StagingPack:
         # random-init dims exaggerate the relative error; the production
         # figure is INT4_STAGING_r05.json's 512^2->2048^2 delta)
         assert np.abs(out4 - out8).max() < 0.2, np.abs(out4 - out8).max()
+        # the gentler W8A8-only grid (stage_pack_bf16=False) tracks closer
+        g = mk(True, bf16=False)
+        g.vae_cfg = vae_cfg
+        outg = np.asarray(g(img))
+        assert g.transformer_params is tparams
+        assert np.abs(outg - out8).max() <= np.abs(out4 - out8).max() + 1e-6
